@@ -1,0 +1,116 @@
+"""Lucene-compatible BM25 scoring, bit-exact in float32.
+
+Behavior-parity port of
+``lucene/core/src/java/org/apache/lucene/search/similarities/BM25Similarity.java``:
+
+- ``idf``            (BM25Similarity.java:101-104): double interior math,
+  *naive* ``Math.log(1 + x)`` (NOT log1p), cast to float32.
+- ``avgFieldLength`` (BM25Similarity.java:106-109): ``(float)(sumTTF/(double)docCount)``.
+- norm-inverse cache (BM25Similarity.java:181-187): 256 float32 entries
+  ``1f / (k1 * ((1 - b) + b * LENGTH_TABLE[i] / avgdl))`` computed in
+  float32 arithmetic exactly as Java does.
+- score              (BM25Similarity.java:221-237): the *rewritten*
+  monotone form ``weight - weight / (1 + freq * normInverse)`` — we
+  replicate this form, not the textbook formula, because float32
+  rounding differs between the two and rank-identity demands the same
+  bits.
+- multi-term idf     (BM25Similarity.java:161-170): per-term float32 idfs
+  summed in double, cast to float32 (used for phrase/synonym weights).
+
+Defaults k1=1.2, b=0.75, discountOverlaps=true (BM25Similarity.java:84-99).
+``computeNorm`` (Similarity.java:153-163) is ``intToByte4(numTerms)`` —
+see :mod:`lucene_spark.kernels.smallfloat`.
+
+All functions are numpy-vectorized; executed inside Arrow-batched pandas
+kernels on executors (no per-row Python).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .smallfloat import LENGTH_TABLE
+
+__all__ = ["idf", "sum_idf", "avg_field_length", "norm_inverse_cache", "bm25_score", "BM25Scorer"]
+
+K1_DEFAULT = np.float32(1.2)
+B_DEFAULT = np.float32(0.75)
+
+
+def idf(doc_freq, doc_count) -> np.float32:
+    """float32(log(1 + (N - n + 0.5) / (n + 0.5))) with double interior."""
+    df = np.asarray(doc_freq, dtype=np.float64)
+    n = np.float64(doc_count)
+    val = np.log(1.0 + (n - df + 0.5) / (df + 0.5))  # naive log(1+x) like Java
+    return np.float32(val) if np.ndim(doc_freq) == 0 else val.astype(np.float32)
+
+
+def sum_idf(idfs_f32) -> np.float32:
+    """Multi-term idf: sum float32 idfs in double, cast to float32
+    (BM25Similarity.java:161-170)."""
+    total = np.float64(0.0)
+    for v in np.asarray(idfs_f32, dtype=np.float32):
+        total += np.float64(v)
+    return np.float32(total)
+
+
+def avg_field_length(sum_total_term_freq: int, doc_count: int) -> np.float32:
+    """(float)(sumTotalTermFreq / (double) docCount) (BM25Similarity.java:106-109)."""
+    return np.float32(np.float64(sum_total_term_freq) / np.float64(doc_count))
+
+
+def norm_inverse_cache(avgdl: np.float32, k1=K1_DEFAULT, b=B_DEFAULT) -> np.ndarray:
+    """256-entry float32 cache: 1f/(k1*((1-b) + b*LENGTH_TABLE[i]/avgdl)).
+
+    Every operation is float32, matching the Java float expression order
+    (BM25Similarity.java:185).
+    """
+    k1 = np.float32(k1)
+    b = np.float32(b)
+    one = np.float32(1.0)
+    avgdl = np.float32(avgdl)
+    # Java evaluation order: (1 - b) + b * LENGTH_TABLE[i] / avgdl
+    #   => (b * LENGTH_TABLE[i]) / avgdl, then add (1-b), then k1 *, then 1/.
+    t = (b * LENGTH_TABLE) / avgdl
+    denom = k1 * ((one - b) + t)
+    return (one / denom).astype(np.float32)
+
+
+def bm25_score(freqs, norm_codes, weight: np.float32, cache: np.ndarray) -> np.ndarray:
+    """Vectorized BM25Scorer.score (BM25Similarity.java:221-237).
+
+    freqs: int/float array of term frequencies; norm_codes: uint8 norm
+    bytes; weight = float32(boost * idf); cache from norm_inverse_cache.
+    Returns float32 scores: ``weight - weight / (1 + freq * normInverse)``.
+    """
+    f = np.asarray(freqs).astype(np.float32)
+    ni = cache[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+    one = np.float32(1.0)
+    w = np.float32(weight)
+    return (w - w / (one + f * ni)).astype(np.float32)
+
+
+class BM25Scorer:
+    """Per-(field, term-set) scorer bound to collection stats, mirroring
+    Lucene's Weight/SimScorer binding (TermQuery.java:64-82).
+
+    max_score(freq_cap) gives the same upper bound Lucene derives from
+    impacts: score is monotone in freq and in decoded length descending,
+    so the bound for an (freq, norm) impact is just bm25_score at it.
+    """
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 k1=K1_DEFAULT, b=B_DEFAULT, boost: float = 1.0):
+        self.idf = idf(doc_freq, doc_count)
+        self.avgdl = avg_field_length(sum_ttf, doc_count)
+        self.cache = norm_inverse_cache(self.avgdl, k1, b)
+        self.weight = np.float32(np.float32(boost) * self.idf)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        return bm25_score(freqs, norm_codes, self.weight, self.cache)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        """Upper bound over a block's competitive (freq, norm) skyline
+        (MaxScoreCache.java:19-159 computes exactly score(freq, norm))."""
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
