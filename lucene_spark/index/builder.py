@@ -1,0 +1,372 @@
+"""Index build pipeline: transcripts DataFrame -> inverted-index tables.
+
+Spark-first re-expression of Lucene's write path (SURVEY.md §3.2):
+
+  DWPT / segment      -> one *bucket* = one contiguous global doc_id range
+                         = one Spark task's output (DocumentsWriterPerThread
+                         .flush, core:index/DocumentsWriterPerThread.java:406)
+  IndexingChain.invert-> vectorized tokenize + factorize + lexsort kernel
+                         inside applyInPandas (IndexingChain.java:553,1175)
+  FreqProx sort+flush -> per-bucket (term, doc) sort + block encode
+                         (FreqProxTermsWriter.java:83-135,
+                         Lucene104PostingsWriter.java:389-470)
+  computeNorm         -> SmallFloat.intToByte4(token_count)
+                         (Similarity.java:153-163)
+  SegmentMerger.merge -> range-shuffle of (term, bucket) chunks into a
+                         globally sorted term dictionary; docID remap is
+                         offset-free because doc_ids are global from the
+                         start (DocIDMerger.java:32-60 made unnecessary)
+  segments_N commit   -> IndexCatalog.commit per stage
+  FlushByRam policy   -> num_buckets controls per-kernel working set
+
+Skew (SURVEY.md §4.3): the term dictionary shuffle is *naturally salted*
+by bucket_id — a hot Zipf-head term contributes one chunk per bucket, so
+``repartitionByRange(term, bucket_id)`` spreads it over many partitions
+while keeping the global (term, bucket_id) sort order. No single reducer
+ever sees more than one bucket's postings for one term. Aggregations
+(termstats) rely on Spark's map-side partial aggregation + AQE.
+
+Checkpoint-resume: buckets are processed in waves; every completed bucket
+appends a ``lineage`` row and every completed stage publishes a catalog
+commit. A killed build rerun skips committed stages and lineage-complete
+buckets; partially written bucket directories are overwritten
+idempotently (dynamic partition overwrite).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from ..kernels import codec
+from ..kernels.bm25 import BM25Scorer
+from ..kernels.smallfloat import int_to_byte4
+from ..kernels.tokenizer import tokenize_series
+from .catalog import IndexCatalog
+
+DOCSTORE_SCHEMA = ("doc_id bigint, conv_id string, turn_idx int, role string, "
+                   "tool string, ts timestamp, text string, token_count int, "
+                   "norm int, bucket_id int")
+
+BLOCKS_TYPE = ("array<struct<first_doc:bigint,last_doc:bigint,num_docs:int,"
+               "docs_enc:binary,tfs_enc:binary,pos_enc:binary,"
+               "imp_freqs:array<int>,imp_norms:array<int>>>")
+
+SEGMENTS_SCHEMA = (f"field string, term string, df bigint, ttf bigint, "
+                   f"blocks {BLOCKS_TYPE}, bucket_id int")
+
+POSTINGS_SCHEMA = (f"field string, term string, bucket_id int, df bigint, "
+                   f"ttf bigint, max_score float, "
+                   f"block_max_scores array<float>, blocks {BLOCKS_TYPE}")
+
+LINEAGE_SCHEMA = "stage string, bucket_id int, rows bigint, postings bigint, wall_ms bigint, status string"
+NORMS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, norms binary"
+
+
+def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
+    """The indexing-chain kernel: one bucket's rows -> posting chunk rows.
+
+    All hot paths are numpy/pandas-vectorized; the only Python loop is
+    over distinct terms (bounded by vocabulary size per bucket).
+    """
+    pdf = pdf.sort_values("doc_id")
+    bucket_id = int(pdf["bucket_id"].iloc[0])
+    doc_ids = pdf["doc_id"].to_numpy()
+    norms = pdf["norm"].to_numpy()
+    base = int(doc_ids[0])
+    toks = tokenize_series(pdf[field])
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    if lens.sum() == 0:
+        return pd.DataFrame(columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+    flat_terms = np.concatenate([np.asarray(t, dtype=object) if t else np.empty(0, object)
+                                 for t in toks])
+    flat_docs = np.repeat(doc_ids, lens)
+    # position of each token within its doc: arange minus segment starts
+    starts = np.repeat(np.cumsum(lens) - lens, lens)
+    flat_pos = np.arange(lens.sum(), dtype=np.int64) - starts
+
+    term_codes, uniques = pd.factorize(flat_terms, sort=True)
+    order = np.lexsort((flat_pos, flat_docs, term_codes))
+    tc, dc, pc = term_codes[order], flat_docs[order], flat_pos[order]
+
+    # group boundaries at (term, doc) changes -> tf per posting
+    change = np.empty(tc.size, dtype=bool)
+    change[0] = True
+    np.not_equal(tc[1:], tc[:-1], out=change[1:])
+    dchange = np.empty(dc.size, dtype=bool)
+    dchange[0] = True
+    np.not_equal(dc[1:], dc[:-1], out=dchange[1:])
+    pchange = change | dchange
+    pstarts = np.flatnonzero(pchange)
+    tfs_all = np.diff(np.append(pstarts, tc.size))
+    post_terms = tc[pstarts]
+    post_docs = dc[pstarts]
+
+    # term boundaries over the postings arrays
+    tstarts = np.flatnonzero(np.concatenate(([True], post_terms[1:] != post_terms[:-1])))
+    tends = np.append(tstarts[1:], post_terms.size)
+
+    # norm lookup: doc_ids are contiguous within a bucket
+    norm_by_off = np.zeros(int(doc_ids[-1]) - base + 1, dtype=np.uint8)
+    norm_by_off[doc_ids - base] = norms
+
+    rows = []
+    for s, e in zip(tstarts, tends):
+        docs_t = post_docs[s:e]
+        tfs_t = tfs_all[s:e]
+        norms_t = norm_by_off[docs_t - base]
+        # positions per posting: slices of pc
+        ppos = [pc[pstarts[i]:pstarts[i] + tfs_all[i]] for i in range(s, e)]
+        blocks = codec.encode_chunk(docs_t, tfs_t, norms_t, ppos)
+        rows.append((field, str(uniques[post_terms[s]]), int(e - s),
+                     int(tfs_t.sum()), blocks, bucket_id))
+    return pd.DataFrame(rows, columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+
+
+class IndexBuilder:
+    def __init__(self, spark: SparkSession, out_dir: str, num_buckets: int = 16,
+                 field: str = "text", wave_size: int = 64, merge_partitions: int | None = None):
+        self.spark = spark
+        self.catalog = IndexCatalog(out_dir)
+        self.num_buckets = num_buckets
+        self.field = field
+        self.wave_size = wave_size
+        self.merge_partitions = merge_partitions or num_buckets
+
+    # ---- stage 1: docstore (doc_id assignment + norms) -------------------
+    def build_docstore(self, transcripts: DataFrame) -> str:
+        existing = self.catalog.table_path("docstore")
+        if existing:
+            return existing
+        spark = self.spark
+        n = self.num_buckets
+        # Global order (conv_id, turn_idx) -> contiguous per-partition doc_id
+        # ranges. persist pins the range partitioning so the count pass and
+        # the write pass see identical partitions (the distributed
+        # zipWithIndex pattern; Lucene analog: docIDs assigned in ingestion
+        # order, core:index/IndexWriter.java).
+        sorted_df = (transcripts
+                     .repartitionByRange(n, "conv_id", "turn_idx")
+                     .sortWithinPartitions("conv_id", "turn_idx")
+                     .withColumn("_pid", F.spark_partition_id())
+                     .persist(StorageLevel.DISK_ONLY))
+        counts = {r["_pid"]: r["cnt"] for r in
+                  sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
+        offsets, acc = {}, 0
+        for pid in range(n):
+            offsets[pid] = acc
+            acc += counts.get(pid, 0)
+        boff = spark.sparkContext.broadcast(offsets)
+        field = self.field
+
+        def assign(batches):
+            local = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                doc_ids = boff.value[pid] + local + np.arange(len(pdf), dtype=np.int64)
+                local += len(pdf)
+                counts_ = tokenize_series(pdf[field]).str.len().to_numpy(dtype=np.int64)
+                yield pd.DataFrame({
+                    "doc_id": doc_ids,
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "role": pdf["role"].to_numpy(),
+                    "tool": pdf["tool"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "text": pdf[field].to_numpy(),
+                    "token_count": counts_.astype(np.int32),
+                    "norm": np.asarray(int_to_byte4(counts_), dtype=np.int32),
+                    "bucket_id": np.full(len(pdf), pid, dtype=np.int32),
+                })
+
+        path, rel = self.catalog.new_table_dir("docstore")
+        (sorted_df.mapInPandas(assign, schema=DOCSTORE_SCHEMA)
+         .write.mode("overwrite").partitionBy("bucket_id").parquet(path))
+        sorted_df.unpersist()
+        self.catalog.commit({"docstore": rel}, extra={"num_buckets": self.num_buckets,
+                                                      "field": self.field})
+        return path
+
+    # ---- stage 2: per-bucket segments, wave-checkpointed ------------------
+    def _done_buckets(self) -> set:
+        import glob
+        import os
+        lp = self.catalog.table_path("lineage")
+        if not lp or not os.path.isdir(lp) or not glob.glob(os.path.join(lp, "*.parquet")):
+            return set()
+        ln = self.spark.read.parquet(lp)
+        return {r["bucket_id"] for r in
+                ln.filter((F.col("stage") == "segments") & (F.col("status") == "ok"))
+                .select("bucket_id").distinct().collect()}
+
+    def build_segments(self, docstore_path: str) -> str:
+        spark = self.spark
+        seg_path, seg_rel = None, None
+        c = self.catalog.latest_commit()
+        if c and "segments" in c["tables"]:
+            seg_rel = c["tables"]["segments"]
+            seg_path = self.catalog.table_path("segments")
+        else:
+            seg_path, seg_rel = self.catalog.new_table_dir("segments")
+        lin_path, lin_rel = None, None
+        c = self.catalog.latest_commit()
+        if c and "lineage" in c["tables"]:
+            lin_rel = c["tables"]["lineage"]
+            lin_path = self.catalog.table_path("lineage")
+        else:
+            lin_path, lin_rel = self.catalog.new_table_dir("lineage")
+        self.catalog.commit({"segments": seg_rel, "lineage": lin_rel})
+
+        done = self._done_buckets()
+        todo = [b for b in range(self.num_buckets) if b not in done]
+        field = self.field
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        for w in range(0, len(todo), self.wave_size):
+            wave = todo[w:w + self.wave_size]
+            t0 = time.time()
+            ds = (spark.read.parquet(docstore_path)
+                  .filter(F.col("bucket_id").isin(wave))
+                  .select("doc_id", "norm", "bucket_id", field))
+            seg = ds.groupBy("bucket_id").applyInPandas(
+                lambda pdf: _invert_bucket(pdf, field), schema=SEGMENTS_SCHEMA)
+            (seg.write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path))
+            wall = int((time.time() - t0) * 1000)
+            stats = (spark.read.parquet(seg_path)
+                     .filter(F.col("bucket_id").isin(wave))
+                     .groupBy("bucket_id")
+                     .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
+                     .collect())
+            rows = [("segments", int(r["bucket_id"]), int(r["terms"]),
+                     int(r["postings"]), wall, "ok") for r in stats]
+            found = {r[1] for r in rows}
+            rows += [("segments", b, 0, 0, wall, "ok") for b in wave if b not in found]
+            spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).write.mode("append").parquet(lin_path)
+            self.catalog.commit({}, extra={"segments_waves_done": w + len(wave)})
+        return seg_path
+
+    # ---- stage 3: stats + termstats + merged postings ---------------------
+    def build_stats(self, docstore_path: str) -> None:
+        if self.catalog.has_table("stats"):
+            return
+        spark = self.spark
+        st = (spark.read.parquet(docstore_path)
+              .agg(F.count("*").alias("doc_count"),
+                   F.sum("token_count").alias("sum_ttf"))
+              .withColumn("field", F.lit(self.field))
+              .withColumn("avgdl", F.col("sum_ttf") / F.col("doc_count"))
+              .select("field", "doc_count", "sum_ttf", "avgdl"))
+        path, rel = self.catalog.new_table_dir("stats")
+        st.coalesce(1).write.mode("overwrite").parquet(path)
+        self.catalog.commit({"stats": rel})
+
+    def merge(self, seg_path: str) -> str:
+        """The shuffle-merge: segments -> globally sorted term dictionary.
+
+        Salting: partition key is (term, bucket_id) under a *range*
+        partitioner — hot terms (a chunk in every bucket) spread across
+        partitions by bucket_id while the global term sort is preserved,
+        so no reducer is ever handed all postings of the Zipf head
+        (SURVEY.md §4.3). Doc ranges across buckets are disjoint and
+        ordered, so 'merging' chunk lists is pure metadata — no block
+        re-encoding (cf. SegmentMerger.java:114-189 which must remap).
+        """
+        if self.catalog.has_table("postings") and self.catalog.has_table("termstats"):
+            return self.catalog.table_path("postings")
+        spark = self.spark
+        seg = spark.read.parquet(seg_path)
+
+        ts = seg.groupBy("field", "term").agg(
+            F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        ts_path, ts_rel = self.catalog.new_table_dir("termstats")
+
+        stats_row = spark.read.parquet(self.catalog.table_path("stats")).collect()[0]
+        doc_count, sum_ttf = int(stats_row["doc_count"]), int(stats_row["sum_ttf"])
+
+        # Materialize per-term/per-block BM25 upper bounds from the impact
+        # skylines now that global stats exist (Lucene computes these at
+        # query time from impacts, MaxScoreCache.java:19-159; with k1/b
+        # fixed we can bake floats at merge time — impacts stay stored as
+        # source of truth for future re-stats/compaction).
+        def add_max_scores(batches):
+            scorer_cache = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                maxs, block_maxs = [], []
+                for df_, blocks in zip(pdf["g_df"], pdf["blocks"]):
+                    key = int(df_)
+                    sc = scorer_cache.get(key)
+                    if sc is None:
+                        sc = scorer_cache[key] = BM25Scorer(key, doc_count, sum_ttf)
+                    bm = [float(sc.max_score_for_impacts(b["imp_freqs"], b["imp_norms"]))
+                          for b in blocks]
+                    block_maxs.append(bm)
+                    maxs.append(max(bm) if bm else 0.0)
+                out = pdf[["field", "term", "bucket_id", "df", "ttf", "blocks"]].copy()
+                out["max_score"] = np.array(maxs, dtype=np.float32)
+                out["block_max_scores"] = block_maxs
+                yield out[["field", "term", "bucket_id", "df", "ttf",
+                           "max_score", "block_max_scores", "blocks"]]
+
+        merged = (seg.join(F.broadcast(ts.select("field", "term",
+                                                 F.col("df").alias("g_df"))),
+                           ["field", "term"])
+                  .repartitionByRange(self.merge_partitions, "term", "bucket_id")
+                  .sortWithinPartitions("field", "term", "bucket_id")
+                  .mapInPandas(add_max_scores, schema=POSTINGS_SCHEMA))
+        p_path, p_rel = self.catalog.new_table_dir("postings")
+        merged.write.mode("overwrite").parquet(p_path)
+
+        # term max_score = max over chunks -> stored in termstats for WAND
+        post = spark.read.parquet(p_path)
+        ts_final = (post.groupBy("field", "term")
+                    .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+                         F.max("max_score").alias("max_score")))
+        ts_final.write.mode("overwrite").parquet(ts_path)
+        self.catalog.commit({"postings": p_rel, "termstats": ts_rel})
+        return p_path
+
+    # ---- stage 4: norms table ---------------------------------------------
+    def build_norms(self, docstore_path: str) -> None:
+        if self.catalog.has_table("norms"):
+            return
+        spark = self.spark
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            return pd.DataFrame({
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "base_doc": [int(pdf["doc_id"].iloc[0])],
+                "num_docs": [len(pdf)],
+                "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()],
+            })
+
+        norms = (spark.read.parquet(docstore_path)
+                 .select("doc_id", "norm", "bucket_id")
+                 .groupBy("bucket_id").applyInPandas(pack, schema=NORMS_SCHEMA))
+        path, rel = self.catalog.new_table_dir("norms")
+        norms.write.mode("overwrite").parquet(path)
+        self.catalog.commit({"norms": rel})
+
+    # ---- orchestrator -------------------------------------------------------
+    def build(self, transcripts: DataFrame) -> IndexCatalog:
+        t0 = time.time()
+        ds = self.build_docstore(transcripts)
+        seg = self.build_segments(ds)
+        self.build_stats(ds)
+        self.build_norms(ds)
+        self.merge(seg)
+        self.catalog.commit({}, extra={"build_wall_ms": int((time.time() - t0) * 1000)})
+        return self.catalog
+
+
+def build_index(spark: SparkSession, transcripts: DataFrame, out_dir: str,
+                num_buckets: int = 16, **kw) -> IndexCatalog:
+    return IndexBuilder(spark, out_dir, num_buckets=num_buckets, **kw).build(transcripts)

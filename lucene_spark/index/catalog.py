@@ -1,0 +1,84 @@
+"""IndexCatalog: atomic commit points over a directory of Parquet tables.
+
+Capability analog of Lucene's commit protocol: ``IndexWriter.commit``
+fsyncs segment files then atomically publishes ``segments_N``
+(core:index/IndexWriter.java:4075, core:index/SegmentInfos.java). Here a
+commit is a JSON manifest written via tmp-file + atomic rename; readers
+resolve the latest manifest and only see fully committed table states.
+In production deployment the same role is played by an Iceberg catalog's
+snapshot commit; this class keeps the sandbox dependency-free while
+preserving the semantics (atomic visibility, monotonically numbered
+commit points, resumability metadata).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import time
+
+_COMMIT_RE = re.compile(r"^segments_(\d+)\.json$")
+
+
+class IndexCatalog:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(os.path.join(root, "commits"), exist_ok=True)
+
+    # ---- commit points -------------------------------------------------
+    def _commit_files(self):
+        d = os.path.join(self.root, "commits")
+        out = []
+        for f in os.listdir(d):
+            m = _COMMIT_RE.match(f)
+            if m:
+                out.append((int(m.group(1)), os.path.join(d, f)))
+        return sorted(out)
+
+    def latest_commit(self) -> dict | None:
+        files = self._commit_files()
+        if not files:
+            return None
+        with open(files[-1][1]) as fh:
+            return json.load(fh)
+
+    def commit(self, tables: dict, extra: dict | None = None) -> int:
+        """Publish a new commit point mapping table name -> relative path.
+
+        Carries forward tables from the previous commit unless overridden.
+        """
+        prev = self.latest_commit() or {"gen": 0, "tables": {}}
+        gen = prev["gen"] + 1
+        manifest = {
+            "gen": gen,
+            "tables": {**prev["tables"], **tables},
+            "extra": {**(prev.get("extra") or {}), **(extra or {})},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        path = os.path.join(self.root, "commits", f"segments_{gen}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)  # atomic publish
+        return gen
+
+    # ---- table paths ---------------------------------------------------
+    def table_path(self, name: str, commit: dict | None = None) -> str | None:
+        c = commit or self.latest_commit()
+        if not c or name not in c["tables"]:
+            return None
+        return os.path.join(self.root, c["tables"][name])
+
+    def new_table_dir(self, name: str, gen_hint: str = "") -> tuple:
+        """Uncommitted staging dir for a table version; returns
+        (absolute path, relative path to store in the manifest)."""
+        rel = f"{name}/v{int(time.time() * 1000)}{gen_hint}"
+        ap = os.path.join(self.root, rel)
+        os.makedirs(os.path.dirname(ap), exist_ok=True)
+        return ap, rel
+
+    def has_table(self, name: str) -> bool:
+        return self.table_path(name) is not None

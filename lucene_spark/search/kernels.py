@@ -1,0 +1,323 @@
+"""Per-bucket scoring kernels — the numpy heart of query execution.
+
+A *bucket* is the Spark analog of a Lucene leaf/segment: a contiguous
+global doc_id range with its own posting chunks and packed norms. These
+kernels run inside Arrow-batched applyInPandas tasks, one call per
+(query, bucket), and return the bucket-local top-k, which Spark's native
+ORDER BY ... LIMIT merges globally (TopDocs.merge analog,
+core:search/TopDocs.java:203-230).
+
+Two execution modes, equal by construction and by test (CheckHits-style,
+tests/search/CheckHits.java:181):
+
+- exhaustive: decode every block, score every posting (the oracle path);
+- pruned: block-max pruning — per-block BM25 upper bounds (from the
+  competitive impact skylines, materialized at merge) let us skip
+  decoding blocks that cannot beat the running k-th score, implementing
+  the capability of ImpactsDISI (core:search/ImpactsDISI.java:28-123),
+  block-max WAND for disjunctions (core:search/WANDScorer.java:31-213)
+  and BlockMaxConjunction (core:search/BooleanScorerSupplier.java:398-418)
+  at 256-doc block granularity.
+
+Pruning is always bucket-local (threshold θ from the local heap), which
+is provably rank-safe; a cross-bucket θ estimate can only tighten it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..kernels import codec
+from ..kernels.bm25 import BM25Scorer
+
+__all__ = ["TermChunk", "topk_select", "term_topk", "and_topk", "or_topk",
+           "phrase_topk", "score_bucket"]
+
+
+class TermChunk:
+    """One term's postings within one bucket: lazy block decode + cache."""
+
+    def __init__(self, blocks, block_max_scores):
+        self.blocks = list(blocks)
+        self.block_max = np.asarray(block_max_scores, dtype=np.float32)
+        self.firsts = np.array([b["first_doc"] for b in self.blocks], dtype=np.int64)
+        self.lasts = np.array([b["last_doc"] for b in self.blocks], dtype=np.int64)
+        self._decoded = {}
+        self._positions = {}
+
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def decode(self, i):
+        d = self._decoded.get(i)
+        if d is None:
+            d = self._decoded[i] = codec.decode_block_docs_tfs(self.blocks[i])
+        return d
+
+    def positions(self, i):
+        p = self._positions.get(i)
+        if p is None:
+            p = self._positions[i] = codec.decode_block_positions(self.blocks[i])
+        return p
+
+    def decode_all(self):
+        parts = [self.decode(i) for i in range(len(self.blocks))]
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def blocks_overlapping(self, lo, hi):
+        """Indices of blocks whose [first,last] intersects [lo, hi]."""
+        i0 = int(np.searchsorted(self.lasts, lo, side="left"))
+        i1 = int(np.searchsorted(self.firsts, hi, side="right"))
+        return range(i0, i1)
+
+    def tf_at(self, doc_ids):
+        """tf for given sorted candidate docs; 0 where absent."""
+        docs, tfs = self.decode_all()
+        idx = np.searchsorted(docs, doc_ids)
+        idx_c = np.minimum(idx, max(docs.size - 1, 0))
+        hit = (docs.size > 0) & (docs[idx_c] == doc_ids)
+        out = np.zeros(len(doc_ids), dtype=np.int64)
+        out[hit] = tfs[idx_c[hit]]
+        return out
+
+
+def topk_select(doc_ids, scores, k):
+    """Top-k by (score desc, doc_id asc) — the reference tie-break
+    (core:search/TopScoreDocCollector.java:26, DocScoreEncoder.java:23-31)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    scores = np.asarray(scores, dtype=np.float32)
+    if doc_ids.size == 0:
+        return doc_ids, scores
+    order = np.lexsort((doc_ids, -scores))[:k]
+    return doc_ids[order], scores[order]
+
+
+def _norms_at(norms_arr, base_doc, doc_ids):
+    return norms_arr[np.asarray(doc_ids, dtype=np.int64) - base_doc]
+
+
+def term_topk(chunk: TermChunk, scorer: BM25Scorer, norms_arr, base_doc,
+              k, pruned=True):
+    """Single-term top-k. Pruned mode visits blocks in descending
+    block-max order and stops at the first block whose upper bound can't
+    beat the running k-th score (ImpactsDISI capability)."""
+    if chunk is None:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    if not pruned:
+        docs, tfs = chunk.decode_all()
+        scores = scorer.score(tfs, _norms_at(norms_arr, base_doc, docs))
+        return topk_select(docs, scores, k)
+    order = np.argsort(-chunk.block_max, kind="stable")
+    all_docs, all_scores = [], []
+    count = 0
+    theta = -np.inf
+    for bi in order:
+        if count >= k and chunk.block_max[bi] < theta:
+            break
+        docs, tfs = chunk.decode(int(bi))
+        scores = scorer.score(tfs, _norms_at(norms_arr, base_doc, docs))
+        all_docs.append(docs)
+        all_scores.append(scores)
+        count += docs.size
+        if count >= k:
+            merged = np.concatenate(all_scores)
+            if merged.size >= k:
+                theta = np.partition(merged, -k)[-k]
+    if not all_docs:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    return topk_select(np.concatenate(all_docs), np.concatenate(all_scores), k)
+
+
+def _conj_candidates(chunks, pruned):
+    """Docs present in ALL chunks. Pruned mode first intersects block
+    ranges so non-overlapping blocks are never decoded
+    (BlockMaxConjunction capability)."""
+    if any(c is None or c.n_blocks() == 0 for c in chunks):
+        return np.zeros(0, np.int64)
+    order = sorted(chunks, key=lambda c: sum(b["num_docs"] for b in c.blocks))
+    if not pruned:
+        cand = order[0].decode_all()[0]
+        for c in order[1:]:
+            cand = cand[np.isin(cand, c.decode_all()[0], assume_unique=True)]
+            if cand.size == 0:
+                return cand
+        return cand
+    # leader = sparsest chunk (fewest postings) — the reference orders
+    # conjunctions by ascending cost too (ConjunctionDISI leader choice)
+    lead = order[0]
+    cand_parts = []
+    for bi in range(lead.n_blocks()):
+        lo, hi = int(lead.firsts[bi]), int(lead.lasts[bi])
+        ok = True
+        for c in order[1:]:
+            if len(c.blocks_overlapping(lo, hi)) == 0:
+                ok = False
+                break
+        if ok:
+            cand_parts.append(lead.decode(bi)[0])
+    if not cand_parts:
+        return np.zeros(0, np.int64)
+    cand = np.concatenate(cand_parts)
+    for c in order[1:]:
+        # decode only blocks overlapping the candidate span
+        keep_docs = []
+        for bi in c.blocks_overlapping(int(cand[0]), int(cand[-1])):
+            keep_docs.append(c.decode(bi)[0])
+        other = np.concatenate(keep_docs) if keep_docs else np.zeros(0, np.int64)
+        cand = cand[np.isin(cand, other, assume_unique=True)]
+        if cand.size == 0:
+            break
+    return cand
+
+
+def and_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
+    """Conjunction: docs matching every term, score = Σ term scores
+    (BooleanQuery all-MUST; sort-merge intersection ≙ join on doc_id)."""
+    cand = _conj_candidates(chunks, pruned)
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    norms = _norms_at(norms_arr, base_doc, cand)
+    # per-term float32 scores summed in double, cast to float at the end —
+    # exactly ConjunctionScorer.score() (double sum, :57-62)
+    total = np.zeros(cand.size, dtype=np.float64)
+    for c, sc in zip(chunks, scorers):
+        total += sc.score(c.tf_at(cand), norms).astype(np.float64)
+    return topk_select(cand, total.astype(np.float32), k)
+
+
+def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
+    """Disjunction: score = Σ over matching terms (DisjunctionSumScorer).
+
+    Pruned mode is block-max WAND at window granularity: window
+    boundaries are the union of all block edges, so within a window each
+    term has exactly 0 or 1 covering block; the window upper bound is the
+    sum of covering blocks' max scores; windows are processed in
+    descending bound order and processing stops once the bound falls
+    below the running k-th score (WANDScorer.java:31-213 capability).
+    """
+    live = [(c, s) for c, s in zip(chunks, scorers) if c is not None and c.n_blocks()]
+    if not live:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    if not pruned:
+        parts_d, parts_s = [], []
+        for c, s in live:
+            docs, tfs = c.decode_all()
+            parts_d.append(docs)
+            parts_s.append(s.score(tfs, _norms_at(norms_arr, base_doc, docs)))
+        alld = np.concatenate(parts_d)
+        udocs, inv = np.unique(alld, return_inverse=True)
+        # per-doc sum of float32 sub-scores in double, cast to float —
+        # DisjunctionSumScorer.score() (double sum, :40-46)
+        sums = np.zeros(udocs.size, dtype=np.float64)
+        np.add.at(sums, inv, np.concatenate(parts_s).astype(np.float64))
+        return topk_select(udocs, sums.astype(np.float32), k)
+    # --- WAND ---
+    edges = np.unique(np.concatenate(
+        [c.firsts for c, _ in live] + [c.lasts + 1 for c, _ in live]))
+    windows = list(zip(edges[:-1], edges[1:]))  # [lo, hi)
+    # covering block index per (term, window): -1 if none
+    ub = np.zeros(len(windows), dtype=np.float64)
+    cover = np.full((len(live), len(windows)), -1, dtype=np.int64)
+    w_lo = edges[:-1]
+    for ti, (c, _) in enumerate(live):
+        idx = np.searchsorted(c.lasts, w_lo, side="left")
+        idx_c = np.minimum(idx, c.n_blocks() - 1)
+        covers = (c.firsts[idx_c] <= w_lo) & (c.lasts[idx_c] >= w_lo)
+        cover[ti, covers] = idx_c[covers]
+        ub[covers] += c.block_max[idx_c[covers]]
+    worder = np.argsort(-ub, kind="stable")
+    # accumulate candidate scores doc->float32 (dict of arrays per window)
+    got_d, got_s = [], []
+    count = 0
+    theta = -np.inf
+    for wi in worder:
+        if ub[wi] <= 0:
+            break
+        if count >= k and ub[wi] < theta:
+            break
+        lo, hi = windows[wi]
+        parts_d, parts_s = [], []
+        for ti, (c, s) in enumerate(live):
+            bi = cover[ti, wi]
+            if bi < 0:
+                continue
+            docs, tfs = c.decode(int(bi))
+            m0 = np.searchsorted(docs, lo, side="left")
+            m1 = np.searchsorted(docs, hi, side="left")
+            if m1 > m0:
+                d = docs[m0:m1]
+                parts_d.append(d)
+                parts_s.append(s.score(tfs[m0:m1], _norms_at(norms_arr, base_doc, d)))
+        if not parts_d:
+            continue
+        alld = np.concatenate(parts_d)
+        udocs, inv = np.unique(alld, return_inverse=True)
+        sums = np.zeros(udocs.size, dtype=np.float64)
+        np.add.at(sums, inv, np.concatenate(parts_s).astype(np.float64))
+        got_d.append(udocs)
+        got_s.append(sums.astype(np.float32))
+        count += udocs.size
+        if count >= k:
+            merged = np.concatenate(got_s)
+            if merged.size >= k:
+                theta = np.partition(merged, -k)[-k]
+    if not got_d:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    return topk_select(np.concatenate(got_d), np.concatenate(got_s), k)
+
+
+def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
+                slop=0):
+    """Exact phrase: conjunction + consecutive-position verification;
+    freq = number of phrase occurrences, weight = Σ term idf
+    (PhraseQuery.java:71-143, ExactPhraseMatcher.java:37)."""
+    if slop != 0:
+        raise NotImplementedError("sloppy phrase not implemented (v2)")
+    cand = _conj_candidates(chunks, pruned)
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    freqs = np.zeros(cand.size, dtype=np.int64)
+    # per-term, per-candidate block positions
+    for ci, d in enumerate(np.asarray(cand, dtype=np.int64)):
+        cur = None
+        for off, c in enumerate(chunks):
+            bi = int(np.searchsorted(c.lasts, d, side="left"))
+            docs, _ = c.decode(bi)
+            j = int(np.searchsorted(docs, d))
+            pos = c.positions(bi)[j]
+            cur = pos - off if cur is None else np.intersect1d(cur, pos - off, assume_unique=True)
+            if cur.size == 0:
+                break
+        freqs[ci] = cur.size if cur is not None else 0
+    hit = freqs > 0
+    cand, freqs = cand[hit], freqs[hit]
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    scores = phrase_scorer.score(freqs, _norms_at(norms_arr, base_doc, cand))
+    return topk_select(cand, scores, k)
+
+
+def score_bucket(qtype, chunks, scorers, norms_arr, base_doc, k,
+                 pruned=True, slop=0):
+    """Dispatch one (query, bucket) evaluation.
+
+    chunks: list aligned with query terms; None where the term has no
+    postings in this bucket. scorers: BM25Scorer per term, or a single
+    scorer for phrase (sum-idf weight).
+    """
+    if qtype == "term":
+        return term_topk(chunks[0], scorers[0], norms_arr, base_doc, k, pruned)
+    if qtype == "and":
+        if any(c is None for c in chunks):
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return and_topk(chunks, scorers, norms_arr, base_doc, k, pruned)
+    if qtype == "or":
+        return or_topk(chunks, scorers, norms_arr, base_doc, k, pruned)
+    if qtype == "phrase":
+        if any(c is None for c in chunks):
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return phrase_topk(chunks, scorers[0], norms_arr, base_doc, k, pruned, slop)
+    raise ValueError(f"unknown query type {qtype}")

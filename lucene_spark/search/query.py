@@ -1,0 +1,97 @@
+"""Query AST + parser.
+
+Mirrors the reference Query tree (core:search/Query.java:45,
+BooleanQuery.java:125-147, PhraseQuery.java:71-143) reduced to the shapes
+of the reference query set (FIXTURES.md §2): term, AND (all MUST),
+OR (all SHOULD), exact phrase. The string parser covers the classic
+QueryParser subset ``a b`` (OR), ``+a +b`` / ``a AND b`` (MUST),
+``"a b"`` (phrase) (queryparser/.../classic/QueryParser.java:82).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field as dc_field
+
+
+@dataclass(frozen=True)
+class TermQuery:
+    term: str
+    field: str = "text"
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return [self.term]
+
+
+@dataclass(frozen=True)
+class AndQuery:
+    terms_: tuple
+    field: str = "text"
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
+class OrQuery:
+    terms_: tuple
+    field: str = "text"
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
+class PhraseQuery:
+    terms_: tuple
+    field: str = "text"
+    slop: int = 0
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return list(self.terms_)
+
+
+def from_dict(q: dict):
+    """Build a query from the FIXTURES.md §2 JSON shape."""
+    t = q["type"]
+    field = q.get("field", "text")
+    terms = tuple(q["terms"])
+    if t == "term":
+        return TermQuery(terms[0], field)
+    if t == "and":
+        return AndQuery(terms, field)
+    if t == "or":
+        return OrQuery(terms, field)
+    if t == "phrase":
+        return PhraseQuery(terms, field, slop=q.get("slop", 0))
+    raise ValueError(f"unknown query type: {t}")
+
+
+_PHRASE_RE = re.compile(r'"([^"]*)"')
+
+
+def parse_query(s: str, field: str = "text"):
+    """Tiny classic-QueryParser subset: phrases in quotes; AND / '+' for
+    conjunction; bare terms are OR'd (default OR operator)."""
+    s = s.strip()
+    m = _PHRASE_RE.fullmatch(s)
+    if m:
+        return PhraseQuery(tuple(m.group(1).lower().split()), field)
+    toks = s.split()
+    if "AND" in toks:
+        terms = tuple(t.lower() for t in toks if t != "AND")
+        return AndQuery(terms, field)
+    if all(t.startswith("+") for t in toks) and len(toks) > 1:
+        return AndQuery(tuple(t[1:].lower() for t in toks), field)
+    toks = [t.lstrip("+").lower() for t in toks]
+    if len(toks) == 1:
+        return TermQuery(toks[0], field)
+    return OrQuery(tuple(toks), field)

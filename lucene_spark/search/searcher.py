@@ -1,0 +1,163 @@
+"""Distributed IndexSearcher over the index tables.
+
+Query lifecycle (SURVEY.md §3.1 mapping):
+
+1. *rewrite/weight*: term stats are fetched with a pushed-down filter on
+   the ``termstats`` parquet (the term-dictionary seek — files are sorted
+   by term, so parquet min/max stats prune row groups the way the
+   BlockTree trie prunes term blocks), and BM25 weights are bound
+   (TermWeight binding stats, core:search/TermQuery.java:64-82).
+2. *leaf execution*: posting chunks for the query terms are scanned with
+   a pushed-down ``term IN (...)`` predicate, cogrouped with the norms
+   table by ``bucket_id`` (bucket ≙ LeafReaderContext), and scored by the
+   numpy kernels with block-max pruning; each bucket emits only its local
+   top-k (per-slice TopScoreDocCollector).
+3. *reduce*: Spark's native ``ORDER BY score DESC, doc_id ASC LIMIT k``
+   merges bucket results (TopDocs.merge, core:search/TopDocs.java:203).
+
+Everything driver-side is metadata-sized (term stats for the query's
+terms); postings never leave executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.catalog import IndexCatalog
+from ..kernels.bm25 import BM25Scorer, sum_idf
+from .kernels import TermChunk, score_bucket
+from .query import AndQuery, OrQuery, PhraseQuery, TermQuery
+
+RESULT_SCHEMA = "doc_id bigint, score float"
+
+
+def _qtype(query) -> str:
+    if isinstance(query, TermQuery):
+        return "term"
+    if isinstance(query, AndQuery):
+        return "and"
+    if isinstance(query, OrQuery):
+        return "or"
+    if isinstance(query, PhraseQuery):
+        return "phrase"
+    raise TypeError(type(query))
+
+
+class _PhraseScorer(BM25Scorer):
+    """BM25 scorer whose weight is the float32 double-sum of term idfs
+    (BM25Similarity.idfExplain for TermStatistics[], :161-170)."""
+
+    def __init__(self, term_idfs, doc_count, sum_ttf, boost=1.0):
+        super().__init__(1, doc_count, sum_ttf)  # df unused; weight overridden
+        self.idf = sum_idf(term_idfs)
+        self.weight = np.float32(np.float32(boost) * self.idf)
+
+
+class IndexSearcher:
+    def __init__(self, spark: SparkSession, index_dir: str):
+        self.spark = spark
+        self.catalog = IndexCatalog(index_dir)
+        c = self.catalog.latest_commit()
+        if not c or "postings" not in c["tables"]:
+            raise ValueError(f"no committed index at {index_dir}")
+        self.postings_path = self.catalog.table_path("postings")
+        self.termstats_path = self.catalog.table_path("termstats")
+        self.norms_path = self.catalog.table_path("norms")
+        self.docstore_path = self.catalog.table_path("docstore")
+        st = spark.read.parquet(self.catalog.table_path("stats")).collect()[0]
+        self.field = st["field"]
+        self.doc_count = int(st["doc_count"])
+        self.sum_ttf = int(st["sum_ttf"])
+
+    # ---- stats / weights -------------------------------------------------
+    def term_stats(self, terms: list) -> dict:
+        rows = (self.spark.read.parquet(self.termstats_path)
+                .filter(F.col("term").isin(list(set(terms))))
+                .collect())
+        return {r["term"]: (int(r["df"]), int(r["ttf"]), float(r["max_score"]))
+                for r in rows}
+
+    def _scorers(self, query, tstats):
+        terms = query.terms
+        if isinstance(query, PhraseQuery):
+            idfs = [BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf).idf
+                    for t in terms]
+            return [_PhraseScorer(idfs, self.doc_count, self.sum_ttf, query.boost)]
+        return [BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf,
+                           boost=query.boost)
+                if t in tstats else None for t in terms]
+
+    # ---- search ----------------------------------------------------------
+    def search_df(self, query, k: int = 10, pruned: bool = True) -> DataFrame:
+        """Returns the top-k DataFrame (doc_id, score), globally ordered."""
+        spark = self.spark
+        terms = query.terms
+        qtype = _qtype(query)
+        tstats = self.term_stats(terms)
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        if qtype in ("and", "phrase") and any(t not in tstats for t in terms):
+            return empty  # a required term is absent from the corpus
+        present = [t for t in terms if t in tstats]
+        if not present:
+            return empty
+        scorers = self._scorers(query, tstats)
+        slop = getattr(query, "slop", 0)
+
+        chunks_df = (spark.read.parquet(self.postings_path)
+                     .filter((F.col("field") == query.field) &
+                             F.col("term").isin(present))
+                     .select("term", "bucket_id", "block_max_scores", "blocks"))
+        norms_df = (spark.read.parquet(self.norms_path)
+                    .select("bucket_id", "base_doc", "norms"))
+        # Attach the bucket's packed norms to each chunk row: an equi-join
+        # on bucket_id (norms rows are small; only buckets that actually
+        # contain a query term produce kernel tasks).
+        joined = chunks_df.join(norms_df, "bucket_id")
+
+        term_order = list(terms)
+
+        def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(chunk_pdf):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float32")})
+            norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]), dtype=np.uint8)
+            base = int(chunk_pdf["base_doc"].iloc[0])
+            by_term = {}
+            for t, bms, blocks in zip(chunk_pdf["term"], chunk_pdf["block_max_scores"],
+                                      chunk_pdf["blocks"]):
+                by_term[t] = TermChunk(blocks, bms)
+            chunks = [by_term.get(t) for t in term_order]
+            sc = scorers if qtype != "phrase" else [scorers[0]]
+            docs, scores = score_bucket(qtype, chunks, sc, norms_arr, base,
+                                        k, pruned=pruned, slop=slop)
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "score": scores.astype(np.float32)})
+
+        per_bucket = (joined.groupBy("bucket_id")
+                      .applyInPandas(run, schema=RESULT_SCHEMA))
+        return (per_bucket
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
+    def search(self, query, k: int = 10, pruned: bool = True) -> list:
+        """Returns [(doc_id, float32 score)] — the TopDocs."""
+        return [(int(r["doc_id"]), np.float32(r["score"]))
+                for r in self.search_df(query, k, pruned).collect()]
+
+    def count(self, query) -> int:
+        """TotalHitCountCollector analog. Single term uses the df shortcut
+        (Weight#count, core:search/TermQuery.java:260) — no postings read."""
+        if isinstance(query, TermQuery):
+            ts = self.term_stats([query.term])
+            return ts.get(query.term, (0,))[0]
+        big = self.search_df(query, k=2**31 - 1, pruned=False)
+        return big.count()
+
+    def retrieve(self, topk_df: DataFrame) -> DataFrame:
+        """Stored-fields retrieval: join top-k doc_ids back to the docstore
+        (broadcast the tiny top-k side, not the corpus)."""
+        ds = self.spark.read.parquet(self.docstore_path)
+        return ds.join(F.broadcast(topk_df), "doc_id", "inner")
