@@ -1,0 +1,131 @@
+"""Per-round benchmark: index build + headline query latencies.
+
+Runs at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": "e2e_sec", "value": N, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ...,
+   "build": {...throughput details...}}
+
+Two build measurements:
+- documents corpus (the driver tables) -> the index all headline
+  queries run against;
+- synthetic transcripts (BASELINE.json input_hint schema) -> turns/sec
+  indexing throughput, the north-rule metric. Scaling (local[8] vs
+  local[32]) is reported separately by tools/scaling_bench.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .appName("lucene_spark-bench")
+             .config("spark.sql.shuffle.partitions", str(cpus))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.driver.memory", "48g")
+             .config("spark.ui.enabled", "false")
+             .getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as E
+    from lucene_spark.fixtures.transcripts import transcripts_df
+    from lucene_spark.index import build_index
+    from lucene_spark.search.searcher import IndexSearcher
+
+    tmp = tempfile.mkdtemp(prefix="lucene_spark_bench_")
+    out = {}
+    try:
+        # --- build over the documents corpus (cold, uncached) ---------
+        docs = E._as_transcripts(E._docs(spark, sf_dir))
+        n_docs = docs.count()
+        t0 = time.time()
+        build_index(spark, docs, os.path.join(tmp, "docs_idx"),
+                    num_buckets=min(cpus, 16))
+        docs_build = time.time() - t0
+
+        # --- north-rule corpus: transcripts indexing throughput -------
+        n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "3000"))
+        tr = transcripts_df(spark, n_convs=n_convs, seed=42)
+        n_turns = tr.count()
+        t0 = time.time()
+        build_index(spark, tr, os.path.join(tmp, "tr_idx"),
+                    num_buckets=min(cpus, 16))
+        tr_build = time.time() - t0
+
+        # --- headline queries over the documents index ----------------
+        # swap the entry cache to the freshly built index
+        searcher = IndexSearcher(spark, os.path.join(tmp, "docs_idx"))
+        from lucene_spark.search.query import (AndQuery, BooleanQuery,
+                                               DisMaxQuery, OrQuery,
+                                               PhraseQuery, SynonymQuery,
+                                               TermQuery)
+        headline = {
+            "q_term": TermQuery("vector"),
+            "q_and": AndQuery(("slow", "fast")),
+            "q_or": OrQuery(("scan", "sort", "merge")),
+            "q_phrase": PhraseQuery(("slow", "fast")),
+            "q_bool": BooleanQuery(must=("scan",), should=("sort", "merge"),
+                                   filter_=("batch",), min_should_match=1),
+            "q_synonym": SynonymQuery(("slow", "fast")),
+            "q_dismax": DisMaxQuery(("scan", "merge")),
+        }
+        queries = {}
+        for name, qq in headline.items():
+            t0 = time.time()
+            searcher.search(qq, k=10)
+            queries[name] = round(time.time() - t0, 3)
+
+        # training-data ops at bench scale
+        from lucene_spark.ops import dedup as D
+        from lucene_spark.ops import similarity as SIM
+        raw = E._docs(spark, sf_dir)
+        t0 = time.time()
+        D.minhash_pairs(raw, num_hashes=8, bands=4).count()
+        queries["op_minhash"] = round(time.time() - t0, 3)
+        emb = E._embeddings(spark, sf_dir)
+        qs = (emb.filter(F.col("vec_id") < 16)
+              .select(F.col("vec_id").alias("q_id"), "embedding"))
+        t0 = time.time()
+        SIM.cosine_topk(emb, qs, k=10).count()
+        queries["op_ann"] = round(time.time() - t0, 3)
+
+        total = round(docs_build + tr_build + sum(queries.values()), 3)
+        out = {
+            "metric": "e2e_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "build": {
+                "docs_corpus": {"rows": n_docs,
+                                "sec": round(docs_build, 3),
+                                "docs_per_sec": round(n_docs / docs_build, 1)},
+                "transcripts": {"turns": n_turns,
+                                "sec": round(tr_build, 3),
+                                "turns_per_sec": round(n_turns / tr_build, 1)},
+            },
+            "cpus": cpus,
+        }
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+        spark.stop()
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,196 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+All hashing is derived from md5 so results are engine-independent and
+deterministic (same values in Spark, DuckDB, or any ANSI engine) — no
+dependence on Spark's internal Murmur3 seeds.
+
+Scale notes (100 TB): every per-document computation here is a single
+projection over arrays (JVM-side, whole-stage codegen, zero shuffle).
+The only shuffles are (a) groupBy(hash/bucket) for candidate grouping —
+hash keys are uniform by construction so no skew — and (b) the
+candidate-pair self-join, whose input is already reduced to colliding
+buckets. Pair verification (exact Jaccard) touches only candidates that
+share a bucket, never the full cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_RE = "[0-9a-z]+"
+
+
+def tokens_expr(col: str = "text") -> F.Column:
+    """Analyzer-equivalent token array (lowercase alnum runs), JVM-side."""
+    return F.expr(f"regexp_extract_all(lower({col}), '{TOKEN_RE}', 0)")
+
+
+def _hash64_sql(arg: str) -> str:
+    """Deterministic 60-bit integer hash, identical in Spark and DuckDB:
+    first 15 hex chars of md5, parsed base-16."""
+    return f"cast(conv(substring(md5({arg}), 1, 15), 16, 10) as bigint)"
+
+
+def shingles_expr(tokens_col: str = "toks", n: int = 3) -> F.Column:
+    """n-token shingle strings from a token array column. Guarded against
+    Spark's descending sequence(1, 0) when the doc is shorter than n."""
+    return F.expr(
+        f"if(size({tokens_col}) < {n}, array(), "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({tokens_col}, i, {n}))))")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exact-duplicate groups: md5 over the *normalized token stream* (so
+    whitespace/case variants collapse), groups with >1 member.
+
+    Returns (text_hash, n_docs, min_doc_id) — one row per duplicate
+    group. Map-side partial aggregation makes this a single cheap
+    shuffle on a uniform hash key at any scale.
+    """
+    h = F.md5(F.concat_ws(" ", tokens_expr(text_col))).alias("text_hash")
+    return (df.select(h, F.col(id_col))
+            .groupBy("text_hash")
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("min_doc_id"))
+            .filter(F.col("n_docs") > 1))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+# modulus for the seed-mixed hash family: prime < 2^59, so
+# (h % P) * (s + 2) stays within int64 for small seed counts — identical
+# wrap-free arithmetic in Spark and DuckDB
+MINHASH_P = 576460752303423433
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", num_hashes: int = 8,
+                       shingle_n: int = 3) -> DataFrame:
+    """Per-doc MinHash signature: one md5 per distinct shingle, then a
+    cheap arithmetic hash family sig[s] = min((h·(s+2) + s) mod P). One
+    pure projection — computed entirely inside whole-stage codegen over
+    the shingle array; no shuffle, no UDF, md5 cost paid once (not once
+    per seed).
+
+    Returns (id_col, sig: array<bigint>) with -1 sentinel for docs with
+    no shingles.
+    """
+    sh = shingles_expr("toks", shingle_n)
+    seeds = ", ".join(str(s) for s in range(num_hashes))
+    hs = F.expr(f"transform(sh, x -> {_hash64_sql('x')} % {MINHASH_P})")
+    sig = F.expr(
+        f"transform(array({seeds}), s -> coalesce(array_min(transform(hs, "
+        f"h -> (h * (s + 2) + s) % {MINHASH_P})), -1))")
+    return (df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+            .select(F.col(id_col), F.array_distinct(sh).alias("sh"))
+            .select(F.col(id_col), hs.alias("hs"))
+            .select(F.col(id_col), sig.alias("sig")))
+
+
+def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  num_hashes: int = 8, bands: int = 4,
+                  shingle_n: int = 3) -> DataFrame:
+    """LSH candidate pairs: docs sharing at least one band bucket.
+
+    band key = (band index, the band's signature slice). Self-join runs
+    only within buckets; bucket keys are md5-uniform so the join does
+    not skew. The banded frame is persisted so the self-join reads each
+    signature once instead of recomputing the hash chain per side.
+    Returns distinct (a, b) with a < b.
+    """
+    rows = num_hashes // bands
+    sigs = (minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+            .filter(F.expr("sig[0] >= 0")))  # docs with no shingles can't pair
+    band = (sigs.select(
+        F.col(id_col),
+        F.explode(F.expr(
+            f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+            f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) as key))"
+        )).alias("bk"))
+        .select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
+        .persist())
+    a = band.alias("a")
+    b = band.alias("b")
+    return (a.join(b, ["band", "key"])
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(F.col(f"a.{id_col}").alias("a"),
+                    F.col(f"b.{id_col}").alias("b"))
+            .distinct())
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                  threshold: float = 0.8, shingle_n: int = 3,
+                  candidates: DataFrame | None = None) -> DataFrame:
+    """Near-duplicate pairs by exact n-gram-shingle Jaccard ≥ threshold.
+
+    Candidate generation: docs sharing ≥1 shingle (lossless — Jaccard>0
+    implies a shared shingle), or an externally supplied candidate-pair
+    frame (e.g. minhash_pairs) for the approximate path. Verification is
+    exact set Jaccard via array_intersect/array_union sizes.
+
+    Returns (a, b, jaccard) with a < b.
+    """
+    sh = (df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+          .select(F.col(id_col),
+                  F.array_distinct(shingles_expr("toks", shingle_n)).alias("sh")))
+    if candidates is None:
+        ex = sh.select(F.col(id_col), F.explode("sh").alias("g"))
+        cand = (ex.alias("x").join(ex.alias("y"), "g")
+                .filter(F.col(f"x.{id_col}") < F.col(f"y.{id_col}"))
+                .select(F.col(f"x.{id_col}").alias("a"),
+                        F.col(f"y.{id_col}").alias("b"))
+                .distinct())
+    else:
+        cand = candidates.select("a", "b")
+    j = (cand
+         .join(sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a")), "a")
+         .join(sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b")), "b")
+         .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+         .withColumn("uni", F.size(F.array_union("sh_a", "sh_b")))
+         .withColumn("jaccard", F.col("inter") / F.col("uni")))
+    return (j.filter(F.col("jaccard") >= threshold)
+            .select("a", "b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+            bits: int = 32) -> DataFrame:
+    """Per-doc SimHash fingerprint: bit j of the fingerprint is the sign
+    of Σ_term tf(term) · (±1 from bit j of hash64(term)).
+
+    Computed as explode→groupBy (tf) then a bit-fold projection — one
+    uniform-key shuffle; the 'bits' loop is an array transform, not rows.
+    Returns (id_col, simhash: bigint).
+    """
+    tf = (df.select(F.col(id_col), F.explode(tokens_expr(text_col)).alias("term"))
+          .groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+          .withColumn("h", F.expr(_hash64_sql("term"))))
+    contrib = F.expr(
+        f"transform(sequence(0, {bits - 1}), "
+        f"j -> tf * (cast((shiftright(h, j) % 2) as bigint) * 2 - 1))")
+    per_doc = (tf.select(F.col(id_col), contrib.alias("c"))
+               .groupBy(id_col)
+               .agg(F.expr(
+                   "aggregate(collect_list(c), "
+                   f"cast(array_repeat(0L, {bits}) as array<bigint>), "
+                   "(acc, x) -> zip_with(acc, x, (p, q) -> p + q))").alias("s")))
+    fp = F.expr(
+        f"aggregate(transform(sequence(0, {bits - 1}), "
+        f"j -> if(s[j] > 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a + x)")
+    return per_doc.select(F.col(id_col), fp.alias("simhash"))

@@ -1,0 +1,108 @@
+"""Embedding similarity search: brute-force cosine top-k + LSH scale path.
+
+Input: a table with (vec_id: bigint, embedding: array<float>).
+
+Brute-force path: broadcast the (small) query set against the corpus —
+one scan, no shuffle of the corpus, dot products inside whole-stage
+codegen (zip_with/aggregate in double). This is the exact baseline and
+the oracle for the approximate path.
+
+Scale path (100 TB corpora): random-hyperplane LSH — sign-bit sketch
+from md5-derived pseudo-random hyperplanes, bucket join on band keys,
+exact cosine re-rank only within colliding buckets. Corpus sketches are
+a single projection; the join input shrinks from |corpus| to candidate
+buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_DOT = ("aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * "
+        "cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)")
+
+
+def _norm_sql(col: str) -> str:
+    return f"sqrt({_DOT.format(a=col, b=col)})"
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                q_id_col: str = "q_id") -> DataFrame:
+    """Exact cosine top-k per query vector.
+
+    queries: (q_id, embedding). The query side is broadcast; per-query
+    top-k uses a window rank over (cos desc, vec_id asc) — Spark plans
+    this as a partial top-k per partition before the shuffle.
+    Returns (q_id, vec_id, cos) — self-matches excluded when ids collide.
+    """
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
+    dot = _DOT.format(a=vec_col, b="_qv")
+    cos = F.expr(f"{dot} / ({_norm_sql(vec_col)} * {_norm_sql('_qv')})")
+    scored = (vectors.join(F.broadcast(q))
+              .filter(F.col(id_col) != F.col(q_id_col))
+              .select(F.col(q_id_col), F.col(id_col), cos.alias("cos")))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk"))
+
+
+def _hyperplanes_sql(dim: int, n_planes: int) -> str:
+    """Deterministic pseudo-random hyperplanes: component (p, i) derived
+    from md5(p:i) mapped to [-1, 1). Pure SQL, engine-independent."""
+    comp = ("(cast(conv(substring(md5(concat(cast(p as string), ':', "
+            "cast(i as string))), 1, 12), 16, 10) as double) / 140737488355328.0"
+            " - 1.0)")
+    return (f"transform(sequence(0, {n_planes - 1}), p -> "
+            f"transform(sequence(0, {dim - 1}), i -> {comp}))")
+
+
+def sketch_expr(vec_col: str, dim: int, n_planes: int = 16) -> F.Column:
+    """Sign-bit LSH sketch of a vector column: bit p = sign(v · H_p)."""
+    planes = _hyperplanes_sql(dim, n_planes)
+    dot = _DOT.format(a=vec_col, b="h")
+    return F.expr(
+        f"aggregate(transform({planes}, h -> if({dot} > 0, 1, 0)), "
+        f"named_struct('acc', 0L, 'i', 0), "
+        f"(s, b) -> named_struct('acc', s.acc + shiftleft(cast(b as bigint), s.i), "
+        f"'i', s.i + 1)).acc")
+
+
+def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 10, n_planes: int = 16, bands: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """Approximate cosine top-k: band-bucketed sign sketches prune the
+    corpus, exact cosine re-ranks candidates. Recall grows with bands;
+    candidates per query shrink ~|corpus| / 2^(n_planes/bands) per band.
+    """
+    rows = n_planes // bands
+    def banded(df, idc):
+        s = df.withColumn("_sk", sketch_expr(vec_col, dim, n_planes))
+        return s.select(
+            F.col(idc), F.col(vec_col),
+            F.explode(F.expr(
+                f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+                f"cast(shiftright(_sk, b * {rows}) % shiftleft(1L, {rows}) "
+                f"as bigint) as key))")).alias("bk")
+        ).select(idc, vec_col, "bk.band", "bk.key")
+
+    vb = banded(vectors, id_col)
+    qb = banded(queries.select(F.col(q_id_col).alias("_qid"),
+                               F.col(vec_col)), "_qid")
+    qb = qb.select(F.col("_qid"), F.col(vec_col).alias("_qv"), "band", "key")
+    dot = _DOT.format(a=vec_col, b="_qv")
+    cos = F.expr(f"{dot} / ({_norm_sql(vec_col)} * {_norm_sql('_qv')})")
+    cand = (vb.join(F.broadcast(qb), ["band", "key"])
+            .filter(F.col(id_col) != F.col("_qid"))
+            .select(F.col("_qid").alias(q_id_col), F.col(id_col),
+                    cos.alias("cos"))
+            .dropDuplicates([q_id_col, id_col]))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (cand.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk"))

@@ -31,7 +31,8 @@ from ..kernels import codec
 from ..kernels.bm25 import BM25Scorer
 
 __all__ = ["TermChunk", "topk_select", "term_topk", "and_topk", "or_topk",
-           "phrase_topk", "score_bucket"]
+           "phrase_topk", "phrase_freqs", "synonym_topk", "dismax_topk",
+           "boolean_topk", "score_bucket"]
 
 
 class TermChunk:
@@ -269,16 +270,16 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
     return topk_select(np.concatenate(got_d), np.concatenate(got_s), k)
 
 
-def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
-                slop=0):
-    """Exact phrase: conjunction + consecutive-position verification;
-    freq = number of phrase occurrences, weight = Σ term idf
-    (PhraseQuery.java:71-143, ExactPhraseMatcher.java:37)."""
-    if slop != 0:
-        raise NotImplementedError("sloppy phrase not implemented (v2)")
+def phrase_freqs(chunks, pruned=True):
+    """Docs containing the exact phrase + per-doc occurrence count.
+
+    Conjunction candidates first, then consecutive-position verification
+    by intersecting shifted position lists (ExactPhraseMatcher.java:37).
+    Returns (doc_ids, freqs) with freqs > 0 only.
+    """
     cand = _conj_candidates(chunks, pruned)
     if cand.size == 0:
-        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
     freqs = np.zeros(cand.size, dtype=np.int64)
     # per-term, per-candidate block positions
     for ci, d in enumerate(np.asarray(cand, dtype=np.int64)):
@@ -293,11 +294,130 @@ def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
                 break
         freqs[ci] = cur.size if cur is not None else 0
     hit = freqs > 0
-    cand, freqs = cand[hit], freqs[hit]
+    return cand[hit], freqs[hit]
+
+
+def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
+                slop=0):
+    """Exact phrase: conjunction + consecutive-position verification;
+    freq = number of phrase occurrences, weight = Σ term idf
+    (PhraseQuery.java:71-143, ExactPhraseMatcher.java:37)."""
+    if slop != 0:
+        raise NotImplementedError("sloppy phrase not implemented (v2)")
+    cand, freqs = phrase_freqs(chunks, pruned)
     if cand.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     scores = phrase_scorer.score(freqs, _norms_at(norms_arr, base_doc, cand))
     return topk_select(cand, scores, k)
+
+
+def _union_tfs(chunks):
+    """Union of docs over chunks with per-chunk tf aligned; returns
+    (udocs, tf_matrix[len(chunks), n]) with 0 where absent."""
+    live = [(i, c) for i, c in enumerate(chunks) if c is not None and c.n_blocks()]
+    if not live:
+        return np.zeros(0, np.int64), np.zeros((len(chunks), 0), np.int64)
+    udocs = np.unique(np.concatenate([c.decode_all()[0] for _, c in live]))
+    tfm = np.zeros((len(chunks), udocs.size), dtype=np.int64)
+    for i, c in live:
+        tfm[i] = c.tf_at(udocs)
+    return udocs, tfm
+
+
+def synonym_topk(chunks, scorer, norms_arr, base_doc, k, pruned=True):
+    """SynonymQuery: all terms scored as ONE pseudo-term — per-doc tf is
+    the Σ of member tfs, scored once with blended stats (df = max member
+    df, ttf = Σ; core:search/SynonymQuery.java:52,387,588)."""
+    udocs, tfm = _union_tfs(chunks)
+    if udocs.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    tfs = tfm.sum(axis=0)
+    scores = scorer.score(tfs, _norms_at(norms_arr, base_doc, udocs))
+    return topk_select(udocs, scores, k)
+
+
+def dismax_topk(chunks, scorers, norms_arr, base_doc, k, tie_breaker=0.0,
+                pruned=True):
+    """DisjunctionMaxQuery: score = max(sub) + tie·Σ(others)
+    (core:search/DisjunctionMaxQuery.java:51-63; per-clause float32 scores
+    combined in float32 max, tie sum in double like DisjunctionMaxScorer)."""
+    udocs, tfm = _union_tfs(chunks)
+    if udocs.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    norms = _norms_at(norms_arr, base_doc, udocs)
+    smat = np.zeros(tfm.shape, dtype=np.float32)
+    for i, (c, sc) in enumerate(zip(chunks, scorers)):
+        if c is None:
+            continue
+        s = sc.score(tfm[i], norms)
+        s[tfm[i] == 0] = 0.0
+        smat[i] = s
+    mx = smat.max(axis=0)
+    if tie_breaker:
+        total = smat.astype(np.float64).sum(axis=0)
+        scores = (mx.astype(np.float64)
+                  + np.float64(tie_breaker) * (total - mx.astype(np.float64))
+                  ).astype(np.float32)
+    else:
+        scores = mx
+    return topk_select(udocs, scores, k)
+
+
+def boolean_topk(must, should, must_not, filters, scorers_must, scorers_should,
+                 norms_arr, base_doc, k, min_should_match=0, pruned=True):
+    """General BooleanQuery (core:search/BooleanQuery.java:125-147):
+
+      MUST      -> sort-merge intersection, scored      (ConjunctionScorer)
+      SHOULD    -> union, scored, optional msm          (DisjunctionSumScorer / WANDScorer msm)
+      FILTER    -> intersection, NOT scored             (semi-join)
+      MUST_NOT  -> exclusion                            (ReqExclScorer ≙ anti-join)
+
+    Per-clause float32 scores are summed in double and cast to float32
+    at the end, matching the reference's double score accumulation.
+    """
+    if must:
+        if any(c is None for c in must):
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        cand = _conj_candidates(must, pruned)
+    else:
+        cand, _ = _union_tfs(should)
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    for c in filters:
+        if c is None or c.n_blocks() == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        cand = cand[c.tf_at(cand) > 0]
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    for c in must_not:
+        if c is None or c.n_blocks() == 0:
+            continue
+        cand = cand[c.tf_at(cand) == 0]
+        if cand.size == 0:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    norms = _norms_at(norms_arr, base_doc, cand)
+    total = np.zeros(cand.size, dtype=np.float64)
+    for c, sc in zip(must, scorers_must):
+        total += sc.score(c.tf_at(cand), norms).astype(np.float64)
+    n_should = np.zeros(cand.size, dtype=np.int64)
+    for c, sc in zip(should, scorers_should):
+        if c is None or c.n_blocks() == 0:
+            continue
+        tfs = c.tf_at(cand)
+        hit = tfs > 0
+        s = sc.score(tfs, norms)
+        s[~hit] = 0.0
+        total += s.astype(np.float64)
+        n_should += hit
+    msm = min_should_match if should else 0
+    if must and min_should_match == 0:
+        keep = np.ones(cand.size, dtype=bool)
+    else:
+        keep = n_should >= max(msm, 0 if must else 1)
+    cand, total = cand[keep], total[keep]
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    return topk_select(cand, total.astype(np.float32), k)
 
 
 def score_bucket(qtype, chunks, scorers, norms_arr, base_doc, k,
@@ -320,4 +440,6 @@ def score_bucket(qtype, chunks, scorers, norms_arr, base_doc, k,
         if any(c is None for c in chunks):
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         return phrase_topk(chunks, scorers[0], norms_arr, base_doc, k, pruned, slop)
+    if qtype == "synonym":
+        return synonym_topk(chunks, scorers[0], norms_arr, base_doc, k, pruned)
     raise ValueError(f"unknown query type {qtype}")

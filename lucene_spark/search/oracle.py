@@ -46,7 +46,7 @@ class BruteForceOracle:
     def topk(self, qdict: dict, k: int | None = None) -> list:
         """qdict: FIXTURES.md §2 shape. Returns [(doc_id, float32 score)]."""
         k = k or qdict.get("k", 10)
-        terms = qdict["terms"]
+        terms = qdict.get("terms", [])
         t = qdict["type"]
         if t == "term":
             s, tf = self._term_scores(terms[0])
@@ -73,6 +73,50 @@ class BruteForceOracle:
             sc = BM25Scorer(1, self.doc_count, self.sum_ttf)
             sc.weight = np.float32(sum_idf(idfs))
             s = sc.score(freqs, self.norms)
+        elif t == "synonym":
+            tfs = np.zeros(self.doc_count, dtype=np.int64)
+            for x in terms:
+                tfs += np.array([c.get(x, 0) for c in self.tfs], dtype=np.int64)
+            mask = tfs > 0
+            sc = BM25Scorer(max(self.df[x] for x in terms),
+                            self.doc_count, self.sum_ttf)
+            s = sc.score(tfs, self.norms)
+        elif t == "dismax":
+            tie = np.float64(qdict.get("tie_breaker", 0.0))
+            per = [self._term_scores(x) for x in terms]
+            mask = np.any([tf > 0 for _, tf in per], axis=0)
+            smat = np.stack([sx for sx, _ in per])
+            mx = smat.max(axis=0)
+            if tie:
+                tot = smat.astype(np.float64).sum(axis=0)
+                s = (mx.astype(np.float64)
+                     + tie * (tot - mx.astype(np.float64))).astype(np.float32)
+            else:
+                s = mx
+        elif t == "boolean":
+            must = qdict.get("must", [])
+            should = qdict.get("should", [])
+            must_not = qdict.get("must_not", [])
+            filt = qdict.get("filter", [])
+            msm = qdict.get("min_should_match", 0)
+            tot = np.zeros(self.doc_count, dtype=np.float64)
+            mask = np.ones(self.doc_count, dtype=bool)
+            for x in must:
+                sx, tf = self._term_scores(x)
+                mask &= tf > 0
+                tot += sx.astype(np.float64)
+            for x in filt:
+                mask &= np.array([c.get(x, 0) for c in self.tfs]) > 0
+            for x in must_not:
+                mask &= np.array([c.get(x, 0) for c in self.tfs]) == 0
+            n_sh = np.zeros(self.doc_count, dtype=np.int64)
+            for x in should:
+                sx, tf = self._term_scores(x)
+                tot += sx.astype(np.float64)
+                n_sh += tf > 0
+            if should:
+                mask &= n_sh >= max(msm, 0 if must else 1)
+            s = tot.astype(np.float32)
         else:
             raise ValueError(t)
         idx = np.flatnonzero(mask)

@@ -59,11 +59,57 @@ class PhraseQuery:
         return list(self.terms_)
 
 
+@dataclass(frozen=True)
+class SynonymQuery:
+    """All terms scored as one pseudo-term: per-doc tf = Σ member tfs,
+    blended stats df = max(member df), ttf = Σ member ttf
+    (core:search/SynonymQuery.java:52,387,588)."""
+    terms_: tuple
+    field: str = "text"
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
+class DisMaxQuery:
+    """Score = max(clause scores) + tie_breaker · Σ(other clause scores)
+    (core:search/DisjunctionMaxQuery.java:51-63). Clauses here are terms."""
+    terms_: tuple
+    field: str = "text"
+    tie_breaker: float = 0.0
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
+class BooleanQuery:
+    """MUST / SHOULD / FILTER / MUST_NOT with minimumNumberShouldMatch
+    (core:search/BooleanQuery.java:125-147, BooleanClause.java:25-60).
+    Clauses are single terms (nested boolean = v2)."""
+    must: tuple = ()
+    should: tuple = ()
+    must_not: tuple = ()
+    filter_: tuple = ()
+    field: str = "text"
+    min_should_match: int = 0
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return list(self.must) + list(self.should) + list(self.must_not) + list(self.filter_)
+
+
 def from_dict(q: dict):
     """Build a query from the FIXTURES.md §2 JSON shape."""
     t = q["type"]
     field = q.get("field", "text")
-    terms = tuple(q["terms"])
+    terms = tuple(q.get("terms", ()))
     if t == "term":
         return TermQuery(terms[0], field)
     if t == "and":
@@ -72,6 +118,16 @@ def from_dict(q: dict):
         return OrQuery(terms, field)
     if t == "phrase":
         return PhraseQuery(terms, field, slop=q.get("slop", 0))
+    if t == "synonym":
+        return SynonymQuery(terms, field)
+    if t == "dismax":
+        return DisMaxQuery(terms, field, tie_breaker=q.get("tie_breaker", 0.0))
+    if t == "boolean":
+        return BooleanQuery(
+            must=tuple(q.get("must", ())), should=tuple(q.get("should", ())),
+            must_not=tuple(q.get("must_not", ())),
+            filter_=tuple(q.get("filter", ())), field=field,
+            min_should_match=q.get("min_should_match", 0))
     raise ValueError(f"unknown query type: {t}")
 
 

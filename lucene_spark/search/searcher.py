@@ -28,10 +28,14 @@ from pyspark.sql import functions as F
 
 from ..index.catalog import IndexCatalog
 from ..kernels.bm25 import BM25Scorer, sum_idf
-from .kernels import TermChunk, score_bucket
-from .query import AndQuery, OrQuery, PhraseQuery, TermQuery
+from .kernels import (TermChunk, boolean_topk, dismax_topk, phrase_freqs,
+                      score_bucket)
+from .query import (AndQuery, BooleanQuery, DisMaxQuery, OrQuery, PhraseQuery,
+                    SynonymQuery, TermQuery)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
+POSTING_SCHEMA = "doc_id bigint, tf int"
+PHRASE_SCHEMA = "doc_id bigint, freq int"
 
 
 def _qtype(query) -> str:
@@ -43,6 +47,12 @@ def _qtype(query) -> str:
         return "or"
     if isinstance(query, PhraseQuery):
         return "phrase"
+    if isinstance(query, SynonymQuery):
+        return "synonym"
+    if isinstance(query, DisMaxQuery):
+        return "dismax"
+    if isinstance(query, BooleanQuery):
+        return "boolean"
     raise TypeError(type(query))
 
 
@@ -86,6 +96,11 @@ class IndexSearcher:
             idfs = [BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf).idf
                     for t in terms]
             return [_PhraseScorer(idfs, self.doc_count, self.sum_ttf, query.boost)]
+        if isinstance(query, SynonymQuery):
+            # blended pseudo-term stats: df = max member df
+            # (SynonymQuery.java builds one TermStatistics with max docFreq)
+            df = max(tstats[t][0] for t in terms if t in tstats)
+            return [BM25Scorer(df, self.doc_count, self.sum_ttf, boost=query.boost)]
         return [BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf,
                            boost=query.boost)
                 if t in tstats else None for t in terms]
@@ -100,11 +115,21 @@ class IndexSearcher:
         empty = spark.createDataFrame([], RESULT_SCHEMA)
         if qtype in ("and", "phrase") and any(t not in tstats for t in terms):
             return empty  # a required term is absent from the corpus
+        if qtype == "boolean" and any(
+                t not in tstats for t in list(query.must) + list(query.filter_)):
+            return empty
         present = [t for t in terms if t in tstats]
         if not present:
             return empty
+        if qtype == "boolean" and not (query.must or
+                                       any(t in tstats for t in query.should)):
+            return empty
         scorers = self._scorers(query, tstats)
         slop = getattr(query, "slop", 0)
+        groups = ((len(query.must), len(query.should), len(query.must_not))
+                  if qtype == "boolean" else None)
+        msm = query.min_should_match if qtype == "boolean" else 0
+        tie = query.tie_breaker if qtype == "dismax" else 0.0
 
         chunks_df = (spark.read.parquet(self.postings_path)
                      .filter((F.col("field") == query.field) &
@@ -130,9 +155,21 @@ class IndexSearcher:
                                       chunk_pdf["blocks"]):
                 by_term[t] = TermChunk(blocks, bms)
             chunks = [by_term.get(t) for t in term_order]
-            sc = scorers if qtype != "phrase" else [scorers[0]]
-            docs, scores = score_bucket(qtype, chunks, sc, norms_arr, base,
-                                        k, pruned=pruned, slop=slop)
+            if qtype == "boolean":
+                n_m, n_s, n_n = groups
+                docs, scores = boolean_topk(
+                    chunks[:n_m], chunks[n_m:n_m + n_s],
+                    chunks[n_m + n_s:n_m + n_s + n_n],
+                    chunks[n_m + n_s + n_n:],
+                    scorers[:n_m], scorers[n_m:n_m + n_s],
+                    norms_arr, base, k, min_should_match=msm, pruned=pruned)
+            elif qtype == "dismax":
+                docs, scores = dismax_topk(chunks, scorers, norms_arr, base,
+                                           k, tie_breaker=tie, pruned=pruned)
+            else:
+                sc = scorers if qtype not in ("phrase", "synonym") else [scorers[0]]
+                docs, scores = score_bucket(qtype, chunks, sc, norms_arr, base,
+                                            k, pruned=pruned, slop=slop)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": scores.astype(np.float32)})
 
@@ -155,6 +192,53 @@ class IndexSearcher:
             return ts.get(query.term, (0,))[0]
         big = self.search_df(query, k=2**31 - 1, pruned=False)
         return big.count()
+
+    def term_postings(self, term: str, field: str = "text") -> DataFrame:
+        """Decode the full posting list of one term -> (doc_id, tf).
+
+        The postings scan is pushed down on (field, term) — parquet
+        min/max stats prune chunks the way the term dictionary seeks
+        (core:search/TermQuery.java:120-164's postings() iteration)."""
+        chunks_df = (self.spark.read.parquet(self.postings_path)
+                     .filter((F.col("field") == field) & (F.col("term") == term))
+                     .select("bucket_id", "blocks"))
+
+        def run(batches):
+            from ..kernels import codec
+            for pdf in batches:
+                for blocks in pdf["blocks"]:
+                    ch = TermChunk(blocks, [0.0] * len(blocks))
+                    docs, tfs = ch.decode_all()
+                    yield pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                        "tf": tfs.astype(np.int32)})
+
+        return chunks_df.mapInPandas(run, schema=POSTING_SCHEMA)
+
+    def phrase_matches(self, terms: list, field: str = "text") -> DataFrame:
+        """All docs containing the exact phrase -> (doc_id, freq);
+        freq = occurrence count (ExactPhraseMatcher semantics)."""
+        spark = self.spark
+        tstats = self.term_stats(terms)
+        if any(t not in tstats for t in terms):
+            return spark.createDataFrame([], PHRASE_SCHEMA)
+        chunks_df = (spark.read.parquet(self.postings_path)
+                     .filter((F.col("field") == field) & F.col("term").isin(list(terms)))
+                     .select("term", "bucket_id", "blocks"))
+        term_order = list(terms)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            by_term = {t: TermChunk(b, [0.0] * len(b))
+                       for t, b in zip(pdf["term"], pdf["blocks"])}
+            chunks = [by_term.get(t) for t in term_order]
+            if any(c is None for c in chunks):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "freq": pd.Series(dtype="int32")})
+            docs, freqs = phrase_freqs(chunks, pruned=True)
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "freq": freqs.astype(np.int32)})
+
+        return (chunks_df.groupBy("bucket_id")
+                .applyInPandas(run, schema=PHRASE_SCHEMA))
 
     def retrieve(self, topk_df: DataFrame) -> DataFrame:
         """Stored-fields retrieval: join top-k doc_ids back to the docstore

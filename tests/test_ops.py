@@ -1,0 +1,155 @@
+"""Training-data ops: dedup (exact/minhash/jaccard/simhash), embedding
+similarity (brute + LSH), text stats, multimodal plumbing."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.ops import (cosine_topk, exact_duplicates, fingerprint,
+                              jaccard_pairs, lang_id, lsh_cosine_topk,
+                              minhash_pairs, minhash_signatures, simhash,
+                              text_quality, token_stats)
+from lucene_spark.ops.multimodal import extract_features, pack_binary
+
+BASE = ("the quick brown fox jumps over the lazy dog and runs far away "
+        "from the old barn near the river bend every single day").split()
+
+
+def _mk_docs(spark):
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        words = list(rng.choice(BASE, size=30))
+        rows.append((i, " ".join(words)))
+    # exact dup pair (100, 101) and near-dup pair (102, 103)
+    rows.append((100, " ".join(BASE[:25])))
+    rows.append((101, " ".join(BASE[:25])))
+    near = BASE[:25].copy()
+    near[12] = "Xback"
+    rows.append((102, " ".join(BASE[:25])))
+    rows.append((103, " ".join(near)))
+    return spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return _mk_docs(spark).cache()
+
+
+def test_exact_duplicates(docs):
+    groups = exact_duplicates(docs).collect()
+    # (100, 101, 102) share identical token streams
+    assert any(r["n_docs"] == 3 and r["min_doc_id"] == 100 for r in groups)
+
+
+def test_minhash_finds_dups(docs):
+    pairs = {(r["a"], r["b"]) for r in
+             minhash_pairs(docs, num_hashes=8, bands=4).collect()}
+    assert (100, 101) in pairs and (100, 102) in pairs
+    # near-dup should collide on at least one band too (1-word change)
+    assert (102, 103) in pairs or (100, 103) in pairs
+
+
+def test_minhash_signature_identical_for_identical_docs(docs):
+    sigs = {r["doc_id"]: r["sig"] for r in
+            minhash_signatures(docs).collect()}
+    assert sigs[100] == sigs[101] == sigs[102]
+    assert sigs[100] != sigs[0]
+
+
+def test_jaccard_pairs(docs):
+    res = {(r["a"], r["b"]): r["jaccard"] for r in
+           jaccard_pairs(docs, threshold=0.5).collect()}
+    assert res[(100, 101)] == 1.0
+    assert res[(100, 102)] == 1.0
+    assert 0.5 <= res[(102, 103)] < 1.0
+
+
+def test_simhash_equal_for_dups_and_64bit(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(docs, bits=32).collect()}
+    assert sh[100] == sh[101]
+    assert all(0 <= v < (1 << 32) for v in sh.values())
+    # near-dups stay hamming-close
+    ham = bin(sh[102] ^ sh[103]).count("1")
+    assert ham <= 6
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame({
+        "vec_id": np.arange(200, dtype=np.int64),
+        "embedding": [rng.normal(size=16).astype(np.float32).tolist()
+                      for _ in range(200)],
+    })
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_cosine_topk_matches_numpy(vectors):
+    pdf = vectors.toPandas()
+    mat = np.stack([np.array(e) for e in pdf["embedding"]])
+    qs = (vectors.filter(F.col("vec_id") < 3)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    got = cosine_topk(vectors, qs, k=5).toPandas()
+    mn = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    for q in range(3):
+        cos = mn @ mn[q]
+        cos[q] = -np.inf
+        want = np.argsort(-cos, kind="stable")[:5]
+        g = got[got["q_id"] == q].sort_values(["cos", "vec_id"],
+                                              ascending=[False, True])
+        assert list(g["vec_id"]) == list(want)
+        np.testing.assert_allclose(g["cos"].to_numpy(),
+                                   cos[want], rtol=1e-6)
+
+
+def test_lsh_recall_vs_brute(vectors):
+    qs = (vectors.filter(F.col("vec_id") < 10)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    brute = cosine_topk(vectors, qs, k=5).toPandas()
+    approx = lsh_cosine_topk(vectors, qs, dim=16, k=5, n_planes=16,
+                             bands=8).toPandas()
+    hits = tot = 0
+    for q in range(10):
+        want = set(brute[brute["q_id"] == q]["vec_id"])
+        got = set(approx[approx["q_id"] == q]["vec_id"])
+        hits += len(want & got)
+        tot += len(want)
+    assert hits / tot >= 0.5  # recall floor for 16-dim random data
+
+
+def test_token_stats_and_quality(docs):
+    n = len(BASE[:25])
+    st = token_stats(docs).filter(F.col("doc_id") == 100).collect()[0]
+    assert st["n_tokens"] == n
+    assert st["n_ws_tokens"] == n
+    q = text_quality(docs).filter(F.col("doc_id") == 100).collect()[0]
+    assert q["n_tokens"] == n
+    assert 0 < q["stopword_ratio"] < 1
+    assert q["alpha_ratio"] > 0.7
+
+
+def test_lang_id_and_fingerprint(docs):
+    lp = dict(lang_id(docs).collect())
+    assert lp[100] == "en"
+    fp = dict(fingerprint(docs).collect())
+    assert fp[100] == fp[101]
+    assert fp[100] != fp[103]
+
+
+def test_multimodal_plumbing(docs):
+    packed = pack_binary(docs, "text", "doc_id")
+    row = packed.filter(F.col("id") == 100).collect()[0]
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+    feats = extract_features(packed, dim=8).filter(F.col("id").isin(100, 101))
+    rows = {r["id"]: r for r in feats.collect()}
+    assert rows[100]["sha"] == rows[101]["sha"]
+    assert len(rows[100]["feature"]) == 8
+    np.testing.assert_allclose(sum(rows[100]["feature"]), 1.0, rtol=1e-5)
+
+
+def test_multimodal_real_decoder_is_stubbed(docs):
+    packed = pack_binary(docs, "text", "doc_id").limit(1)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        extract_features(packed, use_real_decoder=True).collect()
