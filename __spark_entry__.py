@@ -28,12 +28,13 @@ from lucene_spark.ops import dedup as D
 from lucene_spark.ops import multimodal as MM
 from lucene_spark.ops import similarity as SIM
 from lucene_spark.ops import textstats as TS
+from lucene_spark.ops import percolate as PC
 from lucene_spark.search.query import (AndQuery, BooleanQuery, DisMaxQuery,
-                                       OrQuery, PhraseQuery, SynonymQuery,
-                                       TermQuery)
+                                       MultiTermQuery, OrQuery, PhraseQuery,
+                                       SynonymQuery, TermQuery)
 from lucene_spark.search.searcher import IndexSearcher
 
-_FORMAT_VERSION = "v3"
+_FORMAT_VERSION = "v4"
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".idxcache")
 
@@ -194,6 +195,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id",
                         F.instr(F.lower("text"), "slow fast").alias("off")))
     q["ft_highlight"] = ft_highlight
+
+    # --- multi-term expansion queries (SURVEY.md §2.4 MultiTermQuery) ---
+    q["ft_wildcard_or"] = lambda sp, sf: _topk_df(
+        sp, sf, MultiTermQuery("wildcard", "s*"), 10)
+    q["ft_fuzzy"] = lambda sp, sf: _topk_df(
+        sp, sf, MultiTermQuery("fuzzy", "joim", max_edits=1), 10)
+    q["ft_constant_set"] = lambda sp, sf: _topk_df(
+        sp, sf, MultiTermQuery("set", ("vector", "stream", "window"),
+                               rewrite="constant_score"), 100000)
+
+    def ft_term_range_dict(sp, sf):
+        # TermRangeQuery over the term dictionary
+        s = _searcher(sp, sf)
+        return (sp.read.parquet(s.termstats_path)
+                .filter((F.col("term") >= "query") & (F.col("term") < "sort"))
+                .select("term", "df"))
+    q["ft_term_range_dict"] = ft_term_range_dict
+
+    def ft_sort_by_field(sp, sf):
+        # TopFieldCollector analog: matches sorted by a doc-values field
+        s = _searcher(sp, sf)
+        docs = _docs(sp, sf).select("doc_id", "n_chars")
+        return (s.term_postings("vector")
+                .join(docs, "doc_id")
+                .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+                .limit(10)
+                .select("doc_id", "n_chars"))
+    q["ft_sort_by_field"] = ft_sort_by_field
+
+    def pc_percolate(sp, sf):
+        # Monitor/percolator: documents matched against stored queries
+        queries_df = PC.stored_queries(sp, [
+            ("q0", "term", ["dup"]),
+            ("q1", "and", ["slow", "fast"]),
+            ("q2", "or", ["vector", "stream"]),
+            ("q3", "and", ["scan", "sort", "merge"]),
+        ])
+        return PC.percolate(_docs(sp, sf), queries_df)
+    q["pc_percolate"] = pc_percolate
 
     # --- training-data ops ---
     def dedup_exact(sp, sf):
@@ -420,6 +460,51 @@ WHERE f.term = 'join' GROUP BY d.source
     o["ft_highlight"] = P + _phrase_cte("slow", "fast") + """
 SELECT p.doc_id, strpos(lower(d.text), 'slow fast')::INT AS off
 FROM ph p JOIN documents d USING (doc_id)
+"""
+
+    o["ft_wildcard_or"] = P + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term LIKE 's%'
+        GROUP BY f.doc_id)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_fuzzy"] = P + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE levenshtein(f.term, 'joim') <= 1
+        GROUP BY f.doc_id)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_constant_set"] = P + """
+SELECT DISTINCT doc_id, 1.0 AS score_r FROM tf
+WHERE term IN ('vector', 'stream', 'window')
+"""
+
+    o["ft_term_range_dict"] = P + """
+SELECT term, df::BIGINT AS df FROM tdict WHERE term >= 'query' AND term < 'sort'
+"""
+
+    o["ft_sort_by_field"] = P + """
+SELECT f.doc_id, d.n_chars
+FROM tf f JOIN documents d USING (doc_id)
+WHERE f.term = 'vector'
+ORDER BY d.n_chars DESC, f.doc_id LIMIT 10
+"""
+
+    o["pc_percolate"] = P + """
+SELECT 'q0' AS query_id, doc_id FROM tf WHERE term = 'dup'
+UNION ALL
+SELECT 'q1', doc_id FROM tf WHERE term IN ('slow', 'fast')
+GROUP BY doc_id HAVING count(*) = 2
+UNION ALL
+SELECT 'q2', doc_id FROM (SELECT DISTINCT doc_id FROM tf
+                          WHERE term IN ('vector', 'stream'))
+UNION ALL
+SELECT 'q3', doc_id FROM tf WHERE term IN ('scan', 'sort', 'merge')
+GROUP BY doc_id HAVING count(*) = 3
 """
 
     o["dedup_exact"] = P + """

@@ -62,7 +62,8 @@ SEGMENTS_SCHEMA = (f"field string, term string, df bigint, ttf bigint, "
 
 POSTINGS_SCHEMA = (f"field string, term string, bucket_id int, df bigint, "
                    f"ttf bigint, max_score float, "
-                   f"block_max_scores array<float>, blocks {BLOCKS_TYPE}")
+                   f"block_max_scores array<float>, blocks {BLOCKS_TYPE}, "
+                   f"term_h string")
 
 LINEAGE_SCHEMA = "stage string, bucket_id int, rows bigint, postings bigint, wall_ms bigint, status string"
 NORMS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, norms binary"
@@ -71,9 +72,14 @@ NORMS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, norms binary"
 def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
     """The indexing-chain kernel: one bucket's rows -> posting chunk rows.
 
-    All hot paths are numpy/pandas-vectorized; the only Python loop is
-    over distinct terms (bounded by vocabulary size per bucket).
+    Fully vectorized: every quantity (posting boundaries, tf, doc/pos
+    deltas, per-block impact skylines) is computed with global numpy
+    array passes over the whole token stream; the only Python loops are
+    final assembly over blocks and terms (cheap slicing — no per-posting
+    or per-token Python). Mirrors IndexingChain.processDocument/invert +
+    FreqProx sort + Lucene104 block encode (SURVEY.md §3.2) in one pass.
     """
+    empty = pd.DataFrame(columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
     pdf = pdf.sort_values("doc_id")
     bucket_id = int(pdf["bucket_id"].iloc[0])
     doc_ids = pdf["doc_id"].to_numpy()
@@ -81,50 +87,125 @@ def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
     base = int(doc_ids[0])
     toks = tokenize_series(pdf[field])
     lens = toks.str.len().to_numpy(dtype=np.int64)
-    if lens.sum() == 0:
-        return pd.DataFrame(columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+    total = int(lens.sum())
+    if total == 0:
+        return empty
     flat_terms = np.concatenate([np.asarray(t, dtype=object) if t else np.empty(0, object)
                                  for t in toks])
     flat_docs = np.repeat(doc_ids, lens)
     # position of each token within its doc: arange minus segment starts
     starts = np.repeat(np.cumsum(lens) - lens, lens)
-    flat_pos = np.arange(lens.sum(), dtype=np.int64) - starts
+    flat_pos = np.arange(total, dtype=np.int64) - starts
 
     term_codes, uniques = pd.factorize(flat_terms, sort=True)
     order = np.lexsort((flat_pos, flat_docs, term_codes))
     tc, dc, pc = term_codes[order], flat_docs[order], flat_pos[order]
 
-    # group boundaries at (term, doc) changes -> tf per posting
-    change = np.empty(tc.size, dtype=bool)
-    change[0] = True
-    np.not_equal(tc[1:], tc[:-1], out=change[1:])
-    dchange = np.empty(dc.size, dtype=bool)
+    # group boundaries at (term, doc) changes -> postings; tf = run length
+    tchange = np.empty(total, dtype=bool)
+    tchange[0] = True
+    np.not_equal(tc[1:], tc[:-1], out=tchange[1:])
+    dchange = np.empty(total, dtype=bool)
     dchange[0] = True
     np.not_equal(dc[1:], dc[:-1], out=dchange[1:])
-    pchange = change | dchange
-    pstarts = np.flatnonzero(pchange)
-    tfs_all = np.diff(np.append(pstarts, tc.size))
+    pchange = tchange | dchange
+    pstarts = np.flatnonzero(pchange)          # token index of posting start
+    P = pstarts.size
+    tfs_all = np.diff(np.append(pstarts, total))
     post_terms = tc[pstarts]
     post_docs = dc[pstarts]
 
-    # term boundaries over the postings arrays
-    tstarts = np.flatnonzero(np.concatenate(([True], post_terms[1:] != post_terms[:-1])))
-    tends = np.append(tstarts[1:], post_terms.size)
+    # position deltas for the ENTIRE token stream in one pass: first
+    # position of a posting absolute, the rest delta-encoded (the
+    # writeProx delta path, FreqProxTermsWriterPerField.java:85-160)
+    pdelta = pc.copy()
+    pdelta[1:] -= pc[:-1]
+    pdelta[pstarts] = pc[pstarts]
 
-    # norm lookup: doc_ids are contiguous within a bucket
+    # term boundaries over postings, then 256-posting block boundaries
+    t_first = np.empty(P, dtype=bool)
+    t_first[0] = True
+    np.not_equal(post_terms[1:], post_terms[:-1], out=t_first[1:])
+    tstarts = np.flatnonzero(t_first)
+    idx_in_term = np.arange(P, dtype=np.int64) - np.repeat(
+        tstarts, np.diff(np.append(tstarts, P)))
+    blk = idx_in_term >> 8  # // codec.BLOCK_SIZE (256)
+    b_first = t_first.copy()
+    b_first[1:] |= blk[1:] != blk[:-1]
+    bstarts = np.flatnonzero(b_first)
+    bends = np.append(bstarts[1:], P)
+    n_blocks = bstarts.size
+    bterm = post_terms[bstarts]
+
+    # doc deltas (per-block first element excluded at assembly)
+    ddelta = post_docs.copy()
+    ddelta[1:] -= post_docs[:-1]
+
+    # norms per posting: doc_ids are contiguous within a bucket
     norm_by_off = np.zeros(int(doc_ids[-1]) - base + 1, dtype=np.uint8)
     norm_by_off[doc_ids - base] = norms
+    pnorms = norm_by_off[post_docs - base].astype(np.int64)
 
-    rows = []
-    for s, e in zip(tstarts, tends):
-        docs_t = post_docs[s:e]
-        tfs_t = tfs_all[s:e]
-        norms_t = norm_by_off[docs_t - base]
-        # positions per posting: slices of pc
-        ppos = [pc[pstarts[i]:pstarts[i] + tfs_all[i]] for i in range(s, e)]
-        blocks = codec.encode_chunk(docs_t, tfs_t, norms_t, ppos)
-        rows.append((field, str(uniques[post_terms[s]]), int(e - s),
-                     int(tfs_t.sum()), blocks, bucket_id))
+    # --- competitive impact skylines, vectorized across ALL blocks ----
+    # (CompetitiveImpactAccumulator.java:102-120): per (block, norm) max
+    # freq, then keep strictly-increasing freq as norm grows. The
+    # exclusive running max uses a block-offset trick so one global
+    # np.maximum.accumulate does every block's scan.
+    block_of_posting = np.repeat(np.arange(n_blocks, dtype=np.int64),
+                                 bends - bstarts)
+    so = np.lexsort((-tfs_all, pnorms, block_of_posting))
+    b_s, n_s, f_s = block_of_posting[so], pnorms[so], tfs_all[so]
+    first_bn = np.empty(P, dtype=bool)
+    first_bn[0] = True
+    first_bn[1:] = (b_s[1:] != b_s[:-1]) | (n_s[1:] != n_s[:-1])
+    bu, nu, fu = b_s[first_bn], n_s[first_bn], f_s[first_bn]
+    OFF = np.int64(1) << 32  # freqs < 2^32 by construction
+    acc = np.maximum.accumulate(fu + bu * OFF)
+    excl = np.empty_like(acc)
+    excl[1:] = acc[:-1] - bu[1:] * OFF
+    excl[0] = -1
+    bstart_mask = np.empty(bu.size, dtype=bool)
+    bstart_mask[0] = True
+    bstart_mask[1:] = bu[1:] != bu[:-1]
+    excl[bstart_mask] = -1
+    keep = fu > excl
+    kb, kn, kf = bu[keep], nu[keep], fu[keep]
+    imp_starts = np.flatnonzero(np.concatenate(([True], kb[1:] != kb[:-1])))
+    imp_ends = np.append(imp_starts[1:], kb.size)
+    kf_l, kn_l = kf.tolist(), kn.tolist()
+
+    # token-offset range per block (for the positions slice)
+    btok_start = pstarts[bstarts]
+    btok_end = pstarts[bends - 1] + tfs_all[bends - 1]
+
+    # --- assembly: cheap slicing loops over blocks then terms ----------
+    fd = post_docs[bstarts]
+    ld = post_docs[bends - 1]
+    nd = bends - bstarts
+    pack = codec.pack_ints
+    blocks_rows = [None] * n_blocks
+    for i in range(n_blocks):
+        s, e = bstarts[i], bends[i]
+        blocks_rows[i] = {
+            "first_doc": int(fd[i]),
+            "last_doc": int(ld[i]),
+            "num_docs": int(nd[i]),
+            "docs_enc": pack(ddelta[s + 1:e]),
+            "tfs_enc": pack(tfs_all[s:e]),
+            "pos_enc": pack(pdelta[btok_start[i]:btok_end[i]]),
+            "imp_freqs": kf_l[imp_starts[i]:imp_ends[i]],
+            "imp_norms": kn_l[imp_starts[i]:imp_ends[i]],
+        }
+    # per-term rows: df/ttf by segmented reduction, block-list slices
+    tstarts_b = np.flatnonzero(np.concatenate(([True], bterm[1:] != bterm[:-1])))
+    tends_b = np.append(tstarts_b[1:], n_blocks)
+    df_t = np.diff(np.append(tstarts, P))
+    ttf_t = np.add.reduceat(tfs_all, tstarts)
+    term_strs = uniques[post_terms[tstarts]]
+    n_terms = tstarts.size
+    rows = [(field, str(term_strs[j]), int(df_t[j]), int(ttf_t[j]),
+             blocks_rows[tstarts_b[j]:tends_b[j]], bucket_id)
+            for j in range(n_terms)]
     return pd.DataFrame(rows, columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
 
 
@@ -140,38 +221,71 @@ class IndexBuilder:
 
     # ---- stage 1: docstore (doc_id assignment + norms) -------------------
     def build_docstore(self, transcripts: DataFrame) -> str:
+        """Assign global dense doc_ids in (conv_id, turn_idx) order and
+        write the docstore, bucketed into contiguous doc-id ranges.
+
+        Scalable doc_id assignment WITHOUT sorting the turns: a
+        conversation-level prefix sum. (1) per-conv turn counts (map-side
+        combined aggregate — ~|convs| rows, 1-2 orders smaller than
+        turns); (2) an ordered distributed cumsum over conv_ids gives
+        each conversation its doc_id base and bucket (buckets = equal
+        doc-id ranges at conversation granularity, so every bucket is a
+        contiguous range — Lucene doc-blocks stay contiguous,
+        IndexWriter.addDocuments, core:index/IndexWriter.java:1521);
+        (3) one shuffle joins bases back to turns and writes. The full
+        corpus is scanned twice but never range-sampled or persisted.
+        """
         existing = self.catalog.table_path("docstore")
         if existing:
             return existing
         spark = self.spark
         n = self.num_buckets
-        # Global order (conv_id, turn_idx) -> contiguous per-partition doc_id
-        # ranges. persist pins the range partitioning so the count pass and
-        # the write pass see identical partitions (the distributed
-        # zipWithIndex pattern; Lucene analog: docIDs assigned in ingestion
-        # order, core:index/IndexWriter.java).
-        sorted_df = (transcripts
-                     .repartitionByRange(n, "conv_id", "turn_idx")
-                     .sortWithinPartitions("conv_id", "turn_idx")
-                     .withColumn("_pid", F.spark_partition_id())
-                     .persist(StorageLevel.DISK_ONLY))
-        counts = {r["_pid"]: r["cnt"] for r in
-                  sorted_df.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()}
-        offsets, acc = {}, 0
-        for pid in range(n):
-            offsets[pid] = acc
-            acc += counts.get(pid, 0)
-        boff = spark.sparkContext.broadcast(offsets)
         field = self.field
 
-        def assign(batches):
-            local = 0
+        counts = (transcripts.groupBy("conv_id")
+                  .agg(F.count("*").alias("n_turns"))
+                  .persist(StorageLevel.MEMORY_AND_DISK))
+        # ordered prefix-sum over conversations (distributed zipWithIndex
+        # on the conv table): range-partition by conv_id, local cumsum,
+        # per-partition offsets from a tiny collect
+        cparts = max(2, min(n, 200))
+        csorted = (counts.repartitionByRange(cparts, "conv_id")
+                   .sortWithinPartitions("conv_id")
+                   .withColumn("_pid", F.spark_partition_id())
+                   .persist(StorageLevel.MEMORY_AND_DISK))
+        psums = {r["_pid"]: r["s"] for r in
+                 csorted.groupBy("_pid").agg(F.sum("n_turns").alias("s")).collect()}
+        offsets, acc = {}, 0
+        for pid in sorted(psums):
+            offsets[pid] = acc
+            acc += psums[pid]
+        total_turns = acc
+        boff = spark.sparkContext.broadcast(offsets)
+
+        def conv_bases(batches):
             for pdf in batches:
                 if not len(pdf):
                     continue
                 pid = int(pdf["_pid"].iloc[0])
-                doc_ids = boff.value[pid] + local + np.arange(len(pdf), dtype=np.int64)
-                local += len(pdf)
+                nt = pdf["n_turns"].to_numpy(dtype=np.int64)
+                base = boff.value[pid] + np.cumsum(nt) - nt
+                yield pd.DataFrame({"conv_id": pdf["conv_id"].to_numpy(),
+                                    "base": base})
+
+        bases = csorted.mapInPandas(conv_bases, "conv_id string, base bigint")
+        bucket = F.floor(F.col("base") * n / max(total_turns, 1)).cast("int")
+        bases = bases.withColumn("bucket_id", bucket)
+
+        def assign(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                # doc_id = conv base + turn_idx (the input contract
+                # guarantees dense per-conversation turn_idx 0..n-1, so
+                # this is batch-boundary-safe — a conversation may
+                # straddle Arrow batches)
+                doc_ids = (pdf["base"].to_numpy(dtype=np.int64)
+                           + pdf["turn_idx"].to_numpy(dtype=np.int64))
                 counts_ = tokenize_series(pdf[field]).str.len().to_numpy(dtype=np.int64)
                 yield pd.DataFrame({
                     "doc_id": doc_ids,
@@ -183,13 +297,16 @@ class IndexBuilder:
                     "text": pdf[field].to_numpy(),
                     "token_count": counts_.astype(np.int32),
                     "norm": np.asarray(int_to_byte4(counts_), dtype=np.int32),
-                    "bucket_id": np.full(len(pdf), pid, dtype=np.int32),
+                    "bucket_id": pdf["bucket_id"].to_numpy(dtype=np.int32),
                 })
 
         path, rel = self.catalog.new_table_dir("docstore")
-        (sorted_df.mapInPandas(assign, schema=DOCSTORE_SCHEMA)
+        (transcripts.join(bases, "conv_id")
+         .repartition(n, "bucket_id")
+         .mapInPandas(assign, schema=DOCSTORE_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket_id").parquet(path))
-        sorted_df.unpersist()
+        counts.unpersist()
+        csorted.unpersist()
         self.catalog.commit({"docstore": rel}, extra={"num_buckets": self.num_buckets,
                                                       "field": self.field})
         return path
@@ -267,15 +384,24 @@ class IndexBuilder:
         self.catalog.commit({"stats": rel})
 
     def merge(self, seg_path: str) -> str:
-        """The shuffle-merge: segments -> globally sorted term dictionary.
+        """The shuffle-merge: segments -> term dictionary partitioned by
+        a term-hash prefix.
 
-        Salting: partition key is (term, bucket_id) under a *range*
-        partitioner — hot terms (a chunk in every bucket) spread across
-        partitions by bucket_id while the global term sort is preserved,
-        so no reducer is ever handed all postings of the Zipf head
-        (SURVEY.md §4.3). Doc ranges across buckets are disjoint and
-        ordered, so 'merging' chunk lists is pure metadata — no block
-        re-encoding (cf. SegmentMerger.java:114-189 which must remap).
+        Layout: postings are hash-shuffled on ``term_h = md5(term)[:2]``
+        (256 values) and written with ``partitionBy(term_h)``, sorted by
+        (field, term, bucket_id) within files. A query term's chunks are
+        then found by *directory* pruning (partition-column equality —
+        the Catalyst-native analog of the block-tree term-dict seek)
+        plus parquet min/max on the sorted term column. One cheap hash
+        shuffle — no range-sampling pass over the postings.
+
+        Skew (SURVEY.md §4.3): chunks are (term, bucket) grains — a hot
+        Zipf-head term stays split across its per-bucket chunks, and the
+        md5 key spreads terms uniformly over reducers, so no reducer
+        sees more than ~1/256 of the dictionary. Doc ranges across
+        buckets are disjoint and ordered, so 'merging' chunk lists needs
+        no block re-encoding (cf. SegmentMerger.java:114-189 which must
+        remap docIDs).
         """
         if self.catalog.has_table("postings") and self.catalog.has_table("termstats"):
             return self.catalog.table_path("postings")
@@ -309,22 +435,25 @@ class IndexBuilder:
                           for b in blocks]
                     block_maxs.append(bm)
                     maxs.append(max(bm) if bm else 0.0)
-                out = pdf[["field", "term", "bucket_id", "df", "ttf", "blocks"]].copy()
+                out = pdf[["field", "term", "bucket_id", "df", "ttf",
+                           "blocks", "term_h"]].copy()
                 out["max_score"] = np.array(maxs, dtype=np.float32)
                 out["block_max_scores"] = block_maxs
                 yield out[["field", "term", "bucket_id", "df", "ttf",
-                           "max_score", "block_max_scores", "blocks"]]
+                           "max_score", "block_max_scores", "blocks", "term_h"]]
 
         merged = (seg.join(F.broadcast(ts.select("field", "term",
                                                  F.col("df").alias("g_df"))),
                            ["field", "term"])
-                  .repartitionByRange(self.merge_partitions, "term", "bucket_id")
+                  .withColumn("term_h", F.substring(F.md5("term"), 1, 2))
+                  .repartition(self.merge_partitions, "term_h")
                   .sortWithinPartitions("field", "term", "bucket_id")
                   .mapInPandas(add_max_scores, schema=POSTINGS_SCHEMA))
         p_path, p_rel = self.catalog.new_table_dir("postings")
-        merged.write.mode("overwrite").parquet(p_path)
+        merged.write.mode("overwrite").partitionBy("term_h").parquet(p_path)
 
         # term max_score = max over chunks -> stored in termstats for WAND
+        # (column-pruned scan of the written postings, no block decode)
         post = spark.read.parquet(p_path)
         ts_final = (post.groupBy("field", "term")
                     .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),

@@ -108,16 +108,20 @@ def minhash_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     Returns distinct (a, b) with a < b.
     """
     rows = num_hashes // bands
-    sigs = (minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-            .filter(F.expr("sig[0] >= 0")))  # docs with no shingles can't pair
-    band = (sigs.select(
-        F.col(id_col),
-        F.explode(F.expr(
-            f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
-            f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) as key))"
-        )).alias("bk"))
-        .select(F.col(id_col), F.col("bk.band"), F.col("bk.key"))
-        .persist())
+    # persist BEFORE the filter/explode: otherwise Catalyst pushes the
+    # filter below the projection and duplicates the whole md5 signature
+    # expression into an interpreted Filter (observed 7x slowdown)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_n).persist()
+    band = (sigs
+            .filter(F.expr("sig[0] >= 0"))  # docs with no shingles can't pair
+            .select(
+                F.col(id_col),
+                F.explode(F.expr(
+                    f"transform(sequence(0, {bands - 1}), b -> struct(b as band, "
+                    f"concat_ws(',', slice(sig, b * {rows} + 1, {rows})) as key))"
+                )).alias("bk"))
+            .select(F.col(id_col), F.col("bk.band"), F.col("bk.key")))
     a = band.alias("a")
     b = band.alias("b")
     return (a.join(b, ["band", "key"])
@@ -143,9 +147,12 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Returns (a, b, jaccard) with a < b.
     """
+    # persisted: referenced by the candidate join AND both verify sides —
+    # without the cache Catalyst would recompute the shingle sets 3x
     sh = (df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
           .select(F.col(id_col),
-                  F.array_distinct(shingles_expr("toks", shingle_n)).alias("sh")))
+                  F.array_distinct(shingles_expr("toks", shingle_n)).alias("sh"))
+          .persist())
     if candidates is None:
         ex = sh.select(F.col(id_col), F.explode("sh").alias("g"))
         cand = (ex.alias("x").join(ex.alias("y"), "g")

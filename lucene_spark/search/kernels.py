@@ -363,6 +363,17 @@ def dismax_topk(chunks, scorers, norms_arr, base_doc, k, tie_breaker=0.0,
     return topk_select(udocs, scores, k)
 
 
+def constant_or_topk(chunks, boost, norms_arr, base_doc, k):
+    """Constant-score union: docs matching ANY chunk score ``boost``
+    (MultiTermQuery CONSTANT_SCORE rewrites / ConstantScoreQuery,
+    core:search/ConstantScoreQuery.java). Ties resolve by doc_id asc."""
+    udocs, _ = _union_tfs(chunks)
+    if udocs.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    scores = np.full(udocs.size, np.float32(boost), dtype=np.float32)
+    return topk_select(udocs, scores, k)
+
+
 def boolean_topk(must, should, must_not, filters, scorers_must, scorers_should,
                  norms_arr, base_doc, k, min_should_match=0, pruned=True):
     """General BooleanQuery (core:search/BooleanQuery.java:125-147):

@@ -105,6 +105,35 @@ class BooleanQuery:
         return list(self.must) + list(self.should) + list(self.must_not) + list(self.filter_)
 
 
+@dataclass(frozen=True)
+class MultiTermQuery:
+    """Term-dictionary expansion queries: prefix / wildcard / regexp /
+    fuzzy / range / set (core:search/MultiTermQuery.java:86,103,
+    PrefixQuery, WildcardQuery, RegexpQuery, FuzzyQuery, TermRangeQuery,
+    TermInSetQuery). ``rewrite``:
+
+      'scoring_boolean'  -> expand to an OR over matched terms, BM25
+                            scored (SCORING_BOOLEAN_QUERY_REWRITE)
+      'constant_score'   -> matching docs score boost (CONSTANT_SCORE
+                            rewrite family)
+
+    kind ∈ {prefix, wildcard, regexp, fuzzy, range, set}; pattern is the
+    prefix/wildcard/regex/fuzzy base, or (lower, upper) for range, or a
+    tuple of terms for set. max_expansions mirrors Lucene's clause cap.
+    """
+    kind: str
+    pattern: object
+    field: str = "text"
+    rewrite: str = "scoring_boolean"
+    max_expansions: int = 1024
+    max_edits: int = 1
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return []  # resolved at search time against the term dictionary
+
+
 def from_dict(q: dict):
     """Build a query from the FIXTURES.md §2 JSON shape."""
     t = q["type"]

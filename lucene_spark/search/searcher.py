@@ -21,6 +21,8 @@ terms); postings never leave executors.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -28,10 +30,10 @@ from pyspark.sql import functions as F
 
 from ..index.catalog import IndexCatalog
 from ..kernels.bm25 import BM25Scorer, sum_idf
-from .kernels import (TermChunk, boolean_topk, dismax_topk, phrase_freqs,
-                      score_bucket)
-from .query import (AndQuery, BooleanQuery, DisMaxQuery, OrQuery, PhraseQuery,
-                    SynonymQuery, TermQuery)
+from .kernels import (TermChunk, boolean_topk, constant_or_topk, dismax_topk,
+                      phrase_freqs, score_bucket)
+from .query import (AndQuery, BooleanQuery, DisMaxQuery, MultiTermQuery,
+                    OrQuery, PhraseQuery, SynonymQuery, TermQuery)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -82,6 +84,22 @@ class IndexSearcher:
         self.doc_count = int(st["doc_count"])
         self.sum_ttf = int(st["sum_ttf"])
 
+    @staticmethod
+    def _term_hs(terms) -> list:
+        """Partition keys for the hash-partitioned term dictionary
+        (md5 prefix, mirrors the build's term_h column)."""
+        import hashlib
+        return sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
+
+    def _postings_for(self, terms, field: str) -> DataFrame:
+        """Postings scan with directory-level pruning (term_h partition
+        equality) + row-group pruning (sorted term column min/max) —
+        the term-dictionary seek."""
+        return (self.spark.read.parquet(self.postings_path)
+                .filter(F.col("term_h").isin(self._term_hs(terms)) &
+                        (F.col("field") == field) &
+                        F.col("term").isin(list(terms))))
+
     # ---- stats / weights -------------------------------------------------
     def term_stats(self, terms: list) -> dict:
         rows = (self.spark.read.parquet(self.termstats_path)
@@ -105,10 +123,52 @@ class IndexSearcher:
                            boost=query.boost)
                 if t in tstats else None for t in terms]
 
+    # ---- multi-term expansion (the AutomatonTermsEnum analog) ------------
+    def expand_terms(self, query: MultiTermQuery) -> list:
+        """Expand a MultiTermQuery against the term dictionary. The scan
+        is a pushed-down predicate over the (small) termstats table —
+        the Spark analog of an automaton intersecting the term dict
+        (core:index/AutomatonTermsEnum.java). Expansion order: term asc,
+        capped at max_expansions (BooleanQuery clause-cap analog)."""
+        ts = (self.spark.read.parquet(self.termstats_path)
+              .select("term"))
+        kind, pat = query.kind, query.pattern
+        if kind == "prefix":
+            ts = ts.filter(F.col("term").startswith(pat))
+        elif kind == "wildcard":
+            rx = "^" + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".") + "$"
+            ts = ts.filter(F.col("term").rlike(rx))
+        elif kind == "regexp":
+            ts = ts.filter(F.col("term").rlike("^" + pat + "$"))
+        elif kind == "fuzzy":
+            ts = ts.filter(F.levenshtein(F.col("term"), F.lit(pat))
+                           <= query.max_edits)
+        elif kind == "range":
+            lo, hi = pat
+            if lo is not None:
+                ts = ts.filter(F.col("term") >= lo)
+            if hi is not None:
+                ts = ts.filter(F.col("term") < hi)
+        elif kind == "set":
+            ts = ts.filter(F.col("term").isin(list(pat)))
+        else:
+            raise ValueError(f"unknown multi-term kind {kind}")
+        rows = ts.orderBy("term").limit(query.max_expansions).collect()
+        return [r["term"] for r in rows]
+
     # ---- search ----------------------------------------------------------
     def search_df(self, query, k: int = 10, pruned: bool = True) -> DataFrame:
         """Returns the top-k DataFrame (doc_id, score), globally ordered."""
         spark = self.spark
+        if isinstance(query, MultiTermQuery):
+            expanded = self.expand_terms(query)
+            if not expanded:
+                return spark.createDataFrame([], RESULT_SCHEMA)
+            if query.rewrite == "scoring_boolean":
+                return self.search_df(
+                    OrQuery(tuple(expanded), field=query.field,
+                            boost=query.boost), k, pruned)
+            return self._constant_score_df(expanded, query, k)
         terms = query.terms
         qtype = _qtype(query)
         tstats = self.term_stats(terms)
@@ -131,9 +191,7 @@ class IndexSearcher:
         msm = query.min_should_match if qtype == "boolean" else 0
         tie = query.tie_breaker if qtype == "dismax" else 0.0
 
-        chunks_df = (spark.read.parquet(self.postings_path)
-                     .filter((F.col("field") == query.field) &
-                             F.col("term").isin(present))
+        chunks_df = (self._postings_for(present, query.field)
                      .select("term", "bucket_id", "block_max_scores", "blocks"))
         norms_df = (spark.read.parquet(self.norms_path)
                     .select("bucket_id", "base_doc", "norms"))
@@ -179,6 +237,35 @@ class IndexSearcher:
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
+    def _constant_score_df(self, expanded: list, query: MultiTermQuery,
+                           k: int) -> DataFrame:
+        """CONSTANT_SCORE rewrite: union of expanded postings, fixed
+        score, ties by doc_id (no norms/stats needed)."""
+        spark = self.spark
+        boost = float(query.boost)
+        chunks_df = (self._postings_for(expanded, query.field)
+                     .select("term", "bucket_id", "block_max_scores", "blocks"))
+        norms_df = (spark.read.parquet(self.norms_path)
+                    .select("bucket_id", "base_doc", "norms"))
+        joined = chunks_df.join(norms_df, "bucket_id")
+
+        def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
+            if not len(chunk_pdf):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "score": pd.Series(dtype="float32")})
+            base = int(chunk_pdf["base_doc"].iloc[0])
+            chunks = [TermChunk(b, bm) for b, bm in
+                      zip(chunk_pdf["blocks"], chunk_pdf["block_max_scores"])]
+            docs, scores = constant_or_topk(chunks, boost, None, base, k)
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "score": scores.astype(np.float32)})
+
+        per_bucket = (joined.groupBy("bucket_id")
+                      .applyInPandas(run, schema=RESULT_SCHEMA))
+        return (per_bucket
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
     def search(self, query, k: int = 10, pruned: bool = True) -> list:
         """Returns [(doc_id, float32 score)] — the TopDocs."""
         return [(int(r["doc_id"]), np.float32(r["score"]))
@@ -199,8 +286,7 @@ class IndexSearcher:
         The postings scan is pushed down on (field, term) — parquet
         min/max stats prune chunks the way the term dictionary seeks
         (core:search/TermQuery.java:120-164's postings() iteration)."""
-        chunks_df = (self.spark.read.parquet(self.postings_path)
-                     .filter((F.col("field") == field) & (F.col("term") == term))
+        chunks_df = (self._postings_for([term], field)
                      .select("bucket_id", "blocks"))
 
         def run(batches):
@@ -221,8 +307,7 @@ class IndexSearcher:
         tstats = self.term_stats(terms)
         if any(t not in tstats for t in terms):
             return spark.createDataFrame([], PHRASE_SCHEMA)
-        chunks_df = (spark.read.parquet(self.postings_path)
-                     .filter((F.col("field") == field) & F.col("term").isin(list(terms)))
+        chunks_df = (self._postings_for(list(terms), field)
                      .select("term", "bucket_id", "blocks"))
         term_order = list(terms)
 
