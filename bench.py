@@ -59,8 +59,13 @@ def main():
         docs_build = time.time() - t0
 
         # --- north-rule corpus: transcripts indexing throughput -------
+        # input is a stored table (Iceberg analog): materialize the
+        # fixture untimed, time the build reading parquet
         n_convs = int(os.environ.get("SPARK_GRAFT_BENCH_CONVS", "3000"))
-        tr = transcripts_df(spark, n_convs=n_convs, seed=42)
+        src = os.path.join(tmp, "tr_src")
+        (transcripts_df(spark, n_convs=n_convs, seed=42)
+         .write.mode("overwrite").parquet(src))
+        tr = spark.read.parquet(src)
         n_turns = tr.count()
         t0 = time.time()
         build_index(spark, tr, os.path.join(tmp, "tr_idx"),

@@ -65,6 +65,27 @@ class IndexCatalog:
         os.rename(tmp, path)  # atomic publish
         return gen
 
+    def drop_tables(self, names) -> int:
+        """Publish a commit point without the named tables (their data
+        dirs stay on disk until vacuumed — snapshot semantics)."""
+        prev = self.latest_commit() or {"gen": 0, "tables": {}}
+        tables = {k: v for k, v in prev["tables"].items() if k not in set(names)}
+        gen = prev["gen"] + 1
+        manifest = {
+            "gen": gen,
+            "tables": tables,
+            "extra": {**(prev.get("extra") or {})},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        path = os.path.join(self.root, "commits", f"segments_{gen}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
+        return gen
+
     # ---- table paths ---------------------------------------------------
     def table_path(self, name: str, commit: dict | None = None) -> str | None:
         c = commit or self.latest_commit()

@@ -83,6 +83,12 @@ class IndexSearcher:
         self.field = st["field"]
         self.doc_count = int(st["doc_count"])
         self.sum_ttf = int(st["sum_ttf"])
+        # NRT appends leave baked block-max floats stale (global df and
+        # avgdl moved); when dirty, bounds are re-derived from the stored
+        # (freq, norm) impacts per query — Lucene's MaxScoreCache design
+        # (core:search/MaxScoreCache.java:19-159). compact() clears it.
+        self.nrt_dirty = bool((self.catalog.latest_commit().get("extra") or {})
+                              .get("nrt_dirty", False))
 
     @staticmethod
     def _term_hs(terms) -> list:
@@ -201,6 +207,10 @@ class IndexSearcher:
         joined = chunks_df.join(norms_df, "bucket_id")
 
         term_order = list(terms)
+        # per-term scorers for query-time bound recomputation (only the
+        # term/or kernels consume block maxima)
+        dirty_scorers = (dict(zip(term_order, scorers))
+                         if self.nrt_dirty and qtype in ("term", "or") else None)
 
         def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(chunk_pdf):
@@ -211,6 +221,11 @@ class IndexSearcher:
             by_term = {}
             for t, bms, blocks in zip(chunk_pdf["term"], chunk_pdf["block_max_scores"],
                                       chunk_pdf["blocks"]):
+                if dirty_scorers is not None and dirty_scorers.get(t) is not None:
+                    sc = dirty_scorers[t]
+                    bms = [float(sc.max_score_for_impacts(
+                        np.asarray(b["imp_freqs"]), np.asarray(b["imp_norms"])))
+                        for b in blocks]
                 by_term[t] = TermChunk(blocks, bms)
             chunks = [by_term.get(t) for t in term_order]
             if qtype == "boolean":

@@ -1,0 +1,216 @@
+"""Near-real-time indexing: Structured Streaming appends + compaction.
+
+Lucene's NRT loop (SURVEY.md §2.9) is: the writer keeps ingesting and
+flushing small segments; ``SearcherManager.maybeRefresh`` opens cheap
+point-in-time readers over them (core:search/SearcherManager.java:45-53,
+DirectoryReader.open(IndexWriter), core:index/DirectoryReader.java:90);
+background merges compact small segments (ConcurrentMergeScheduler).
+
+Spark mapping — the same log-structured-merge shape:
+
+- each micro-batch (``foreachBatch``) becomes one or more fresh
+  *buckets*: contiguous global doc_id ranges appended to the docstore,
+  segment postings, norms, and stats tables, published atomically by an
+  IndexCatalog commit (≙ flush + segments_N);
+- searchers see every commit immediately (≙ maybeRefresh);
+- appended chunks carry impacts but the global stats (df, avgdl) have
+  moved, so the catalog is marked ``nrt_dirty`` and searchers recompute
+  block-max bounds from the stored (freq, norm) impacts at query time —
+  exactly Lucene's design, where impacts are stored raw and
+  MaxScoreCache derives float bounds per query
+  (core:search/MaxScoreCache.java:19-159);
+- ``compact()`` re-merges everything into a fresh hash-partitioned term
+  dictionary with baked float bounds and clears the flag
+  (≙ TieredMergePolicy forceMerge).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..index.builder import (DOCSTORE_SCHEMA, NORMS_SCHEMA, POSTINGS_SCHEMA,
+                             SEGMENTS_SCHEMA, IndexBuilder, _invert_bucket)
+from ..index.catalog import IndexCatalog
+from ..kernels.smallfloat import int_to_byte4
+from ..kernels.tokenizer import tokenize_series
+
+
+class NRTIndexWriter:
+    """Appends transcript micro-batches to an existing index."""
+
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 rows_per_bucket: int = 100_000, field: str = "text"):
+        self.spark = spark
+        self.catalog = IndexCatalog(index_dir)
+        self.rows_per_bucket = rows_per_bucket
+        self.field = field
+
+    def _state(self):
+        c = self.catalog.latest_commit()
+        if not c or "postings" not in c["tables"]:
+            raise ValueError("NRT append requires an existing committed index")
+        st = self.spark.read.parquet(self.catalog.table_path("stats")).collect()[0]
+        extra = c.get("extra") or {}
+        max_bucket = int(extra.get("max_bucket",
+                                   int(extra.get("num_buckets", 1)) - 1))
+        return int(st["doc_count"]), int(st["sum_ttf"]), max_bucket
+
+    def append_batch(self, batch: DataFrame, batch_id: int = 0) -> int:
+        """One micro-batch -> new bucket(s) appended + catalog commit.
+        Returns the number of rows appended. Batch rows are sorted by
+        (conv_id, turn_idx) for doc_id assignment; doc_ids continue
+        after the current maxDoc (append-only, like segment docBase)."""
+        spark = self.spark
+        doc_count, sum_ttf, max_bucket = self._state()
+        field = self.field
+
+        # micro-batches are bounded (Lucene RAM-buffer analog), so the
+        # batch is ordered globally via a single range partitioning
+        n_rows = batch.count()
+        if n_rows == 0:
+            return 0
+        n_new = max(1, int(np.ceil(n_rows / self.rows_per_bucket)))
+        base0 = doc_count
+        b0 = max_bucket + 1
+        sorted_b = (batch.repartitionByRange(n_new, "conv_id", "turn_idx")
+                    .sortWithinPartitions("conv_id", "turn_idx")
+                    .withColumn("_pid", F.spark_partition_id())
+                    .persist())
+        counts = {r["_pid"]: r["c"] for r in
+                  sorted_b.groupBy("_pid").agg(F.count("*").alias("c")).collect()}
+        offs, acc = {}, 0
+        for pid in range(n_new):
+            offs[pid] = acc
+            acc += counts.get(pid, 0)
+        boff = spark.sparkContext.broadcast(offs)
+
+        def assign(batches):
+            local = 0
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                pid = int(pdf["_pid"].iloc[0])
+                doc_ids = (base0 + boff.value[pid] + local
+                           + np.arange(len(pdf), dtype=np.int64))
+                local += len(pdf)
+                counts_ = tokenize_series(pdf[field]).str.len().to_numpy(np.int64)
+                yield pd.DataFrame({
+                    "doc_id": doc_ids,
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "role": pdf["role"].to_numpy(),
+                    "tool": pdf["tool"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "text": pdf[field].to_numpy(),
+                    "token_count": counts_.astype(np.int32),
+                    "norm": np.asarray(int_to_byte4(counts_), dtype=np.int32),
+                    "bucket_id": np.full(len(pdf), b0 + pid, dtype=np.int32),
+                })
+
+        ds_new = sorted_b.mapInPandas(assign, DOCSTORE_SCHEMA)
+        ds_path = self.catalog.table_path("docstore")
+        ds_new.write.mode("append").partitionBy("bucket_id").parquet(ds_path)
+        sorted_b.unpersist()
+
+        new_buckets = list(range(b0, b0 + n_new))
+        ds_appended = (spark.read.parquet(ds_path)
+                       .filter(F.col("bucket_id").isin(new_buckets)))
+
+        # segment postings for the new buckets
+        seg_path = self.catalog.table_path("segments")
+        seg_new = (ds_appended.select("doc_id", "norm", "bucket_id", field)
+                   .groupBy("bucket_id")
+                   .applyInPandas(lambda p: _invert_bucket(p, field),
+                                  schema=SEGMENTS_SCHEMA))
+        seg_new.write.mode("append").partitionBy("bucket_id").parquet(seg_path)
+
+        # norms for the new buckets
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            return pd.DataFrame({
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "base_doc": [int(pdf["doc_id"].iloc[0])],
+                "num_docs": [len(pdf)],
+                "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()],
+            })
+
+        (ds_appended.select("doc_id", "norm", "bucket_id")
+         .groupBy("bucket_id").applyInPandas(pack, schema=NORMS_SCHEMA)
+         .write.mode("append").parquet(self.catalog.table_path("norms")))
+
+        # postings: append the new chunks into the hash-partitioned term
+        # dict (stale-stats caveat handled by nrt_dirty; see module doc)
+        add = (spark.read.parquet(seg_path)
+               .filter(F.col("bucket_id").isin(new_buckets))
+               .withColumn("max_score", F.lit(0.0).cast("float"))
+               .withColumn("block_max_scores",
+                           F.expr("transform(blocks, b -> cast(0.0 as float))"))
+               .withColumn("term_h", F.substring(F.md5("term"), 1, 2))
+               .select("field", "term", "bucket_id", "df", "ttf",
+                       "max_score", "block_max_scores", "blocks", "term_h"))
+        add.write.mode("append").partitionBy("term_h").parquet(
+            self.catalog.table_path("postings"))
+
+        # refresh stats + termstats (cheap aggregates)
+        agg = ds_appended.agg(F.count("*").alias("n"),
+                              F.sum("token_count").alias("s")).collect()[0]
+        new_count = doc_count + int(agg["n"])
+        new_sttf = sum_ttf + int(agg["s"])
+        st_path, st_rel = self.catalog.new_table_dir("stats")
+        spark.createDataFrame(
+            [(self.field, new_count, new_sttf, new_sttf / new_count)],
+            "field string, doc_count bigint, sum_ttf bigint, avgdl double"
+        ).coalesce(1).write.mode("overwrite").parquet(st_path)
+        ts_path, ts_rel = self.catalog.new_table_dir("termstats")
+        (spark.read.parquet(seg_path)
+         .groupBy("field", "term")
+         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+              F.lit(0.0).cast("float").alias("max_score"))
+         .write.mode("overwrite").parquet(ts_path))
+        self.catalog.commit({"stats": st_rel, "termstats": ts_rel},
+                            extra={"max_bucket": b0 + n_new - 1,
+                                   "nrt_dirty": True,
+                                   "last_batch_id": int(batch_id),
+                                   "appended_at_ms": int(time.time() * 1000)})
+        return int(agg["n"])
+
+    def compact(self) -> None:
+        """Full re-merge of all segments into a fresh term dictionary
+        with baked float bounds; clears nrt_dirty (forceMerge analog)."""
+        c = self.catalog.latest_commit()
+        nb = int((c.get("extra") or {}).get("max_bucket", 0)) + 1
+        b = IndexBuilder(self.spark, self.catalog.root, num_buckets=nb)
+        # drop the merged tables from the manifest so merge() rebuilds
+        # them from all segments (old data dirs stay for open readers)
+        self.catalog.drop_tables(["postings", "termstats"])
+        b.merge(self.catalog.table_path("segments"))
+        self.catalog.commit({}, extra={"nrt_dirty": False})
+
+
+def index_stream(stream_df: DataFrame, index_dir: str, checkpoint: str,
+                 rows_per_bucket: int = 100_000, trigger: dict | None = None):
+    """Wire a streaming transcripts DataFrame into NRT appends.
+
+    Returns the StreamingQuery. Each micro-batch is one atomic index
+    commit; the checkpoint gives exactly-once batch replay (combined
+    with the catalog's idempotent bucket allocation per batch_id).
+    """
+    spark = stream_df.sparkSession
+
+    def sink(bdf: DataFrame, batch_id: int):
+        NRTIndexWriter(spark, index_dir,
+                       rows_per_bucket=rows_per_bucket).append_batch(bdf, batch_id)
+
+    writer = (stream_df.writeStream
+              .foreachBatch(sink)
+              .option("checkpointLocation", checkpoint))
+    if trigger:
+        writer = writer.trigger(**trigger)
+    else:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

