@@ -224,6 +224,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_chars"))
     q["ft_sort_by_field"] = ft_sort_by_field
 
+    def ft_filtered_topk(sp, sf):
+        # BooleanQuery FILTER on native metadata (lang -> role column)
+        s = _searcher(sp, sf)
+        res = s.search_df(TermQuery("vector"), k=10, doc_filter="role = 'en'")
+        return res.select("doc_id", F.round(F.col("score").cast("double"), 3)
+                          .alias("score_r"))
+    q["ft_filtered_topk"] = ft_filtered_topk
+
     def pc_percolate(sp, sf):
         # Monitor/percolator: documents matched against stored queries
         queries_df = PC.stored_queries(sp, [
@@ -492,6 +500,14 @@ SELECT f.doc_id, d.n_chars
 FROM tf f JOIN documents d USING (doc_id)
 WHERE f.term = 'vector'
 ORDER BY d.n_chars DESC, f.doc_id LIMIT 10
+"""
+
+    o["ft_filtered_topk"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        JOIN documents d ON d.doc_id = f.doc_id
+        WHERE f.term = 'vector' AND d.lang = 'en')
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
     o["pc_percolate"] = P + """

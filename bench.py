@@ -67,9 +67,10 @@ def main():
          .write.mode("overwrite").parquet(src))
         tr = spark.read.parquet(src)
         n_turns = tr.count()
+        from lucene_spark.index.builder import suggest_buckets
         t0 = time.time()
         build_index(spark, tr, os.path.join(tmp, "tr_idx"),
-                    num_buckets=min(cpus, 16))
+                    num_buckets=suggest_buckets(n_turns))
         tr_build = time.time() - t0
 
         # --- headline queries over the documents index ----------------

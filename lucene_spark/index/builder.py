@@ -301,8 +301,12 @@ class IndexBuilder:
                 })
 
         path, rel = self.catalog.new_table_dir("docstore")
+        # range-partition by conv_id: buckets ARE conversation ranges, so
+        # each task writes 1-2 bucket dirs AND tasks are row-balanced —
+        # hashing on bucket_id instead puts 2-3 whole buckets on one
+        # task by birthday collision (observed 4x stragglers)
         (transcripts.join(bases, "conv_id")
-         .repartition(n, "bucket_id")
+         .repartitionByRange(n, "conv_id")
          .mapInPandas(assign, schema=DOCSTORE_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket_id").parquet(path))
         counts.unpersist()
@@ -487,13 +491,41 @@ class IndexBuilder:
     # ---- orchestrator -------------------------------------------------------
     def build(self, transcripts: DataFrame) -> IndexCatalog:
         t0 = time.time()
-        ds = self.build_docstore(transcripts)
-        seg = self.build_segments(ds)
-        self.build_stats(ds)
-        self.build_norms(ds)
-        self.merge(seg)
+        # AQE partition coalescing targets shuffle BYTES; our kernel
+        # stages are CPU-bound per bucket, so coalescing below bucket
+        # count serializes kernels into straggler tasks (observed: 8
+        # buckets coalesced to 5 tasks, one 200 s task). Disable for the
+        # build, restore after.
+        conf = self.spark.conf
+        prev = conf.get("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        # groupBy(bucket_id) hash-routes ~num_buckets keys; with exactly
+        # num_buckets shuffle partitions, birthday collisions serialize
+        # 2-3 kernels on one task. 4x partitions makes collisions rare
+        # (empty partitions are ~free with codegen).
+        prev_sp = conf.get("spark.sql.shuffle.partitions")
+        conf.set("spark.sql.shuffle.partitions",
+                 str(max(int(prev_sp), 4 * self.num_buckets)))
+        try:
+            ds = self.build_docstore(transcripts)
+            seg = self.build_segments(ds)
+            self.build_stats(ds)
+            self.build_norms(ds)
+            self.merge(seg)
+        finally:
+            conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)
+            conf.set("spark.sql.shuffle.partitions", prev_sp)
         self.catalog.commit({}, extra={"build_wall_ms": int((time.time() - t0) * 1000)})
         return self.catalog
+
+
+TARGET_TURNS_PER_BUCKET = 40_000  # FlushByRamOrCountsPolicy analog:
+# bounds one invert kernel's working set (~2-3M tokens), independent of
+# cluster size — more data means more buckets, not bigger ones
+
+
+def suggest_buckets(n_turns: int, min_buckets: int = 16) -> int:
+    return max(min_buckets, int(np.ceil(n_turns / TARGET_TURNS_PER_BUCKET)))
 
 
 def build_index(spark: SparkSession, transcripts: DataFrame, out_dir: str,

@@ -162,6 +162,8 @@ def _conj_candidates(chunks, pruned):
     if not cand_parts:
         return np.zeros(0, np.int64)
     cand = np.concatenate(cand_parts)
+    if cand.size == 0:
+        return cand
     for c in order[1:]:
         # decode only blocks overlapping the candidate span
         keep_docs = []
@@ -361,6 +363,100 @@ def dismax_topk(chunks, scorers, norms_arr, base_doc, k, tie_breaker=0.0,
     else:
         scores = mx
     return topk_select(udocs, scores, k)
+
+
+class DocSetChunk:
+    """A TermChunk-compatible doc-id set (no tf, no positions): the
+    kernel-side face of a pushed-down metadata filter (role/ts/numeric
+    predicates on native columns — IndexOrDocValuesQuery's doc-values
+    side, core:search/IndexOrDocValuesQuery.java). Built from a packed
+    bitmap over the bucket's contiguous doc range."""
+
+    def __init__(self, bitmap: bytes, base_doc: int, num_docs: int):
+        bits = np.unpackbits(np.frombuffer(bitmap, dtype=np.uint8),
+                             count=num_docs)
+        self._docs = np.flatnonzero(bits).astype(np.int64) + base_doc
+        n = self._docs.size
+        self.blocks = [{"num_docs": int(n)}] if n else []
+        self.firsts = self._docs[:1]
+        self.lasts = self._docs[-1:]
+        self.block_max = np.zeros(1 if n else 0, dtype=np.float32)
+
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def decode(self, i):
+        return self._docs, np.ones(self._docs.size, dtype=np.int64)
+
+    def decode_all(self):
+        return self._docs, np.ones(self._docs.size, dtype=np.int64)
+
+    def blocks_overlapping(self, lo, hi):
+        if not self.blocks or self._docs[-1] < lo or self._docs[0] > hi:
+            return range(0, 0)
+        return range(0, 1)
+
+    def tf_at(self, doc_ids):
+        idx = np.searchsorted(self._docs, doc_ids)
+        idx_c = np.minimum(idx, max(self._docs.size - 1, 0))
+        hit = (self._docs.size > 0) & (self._docs[idx_c] == doc_ids)
+        return hit.astype(np.int64)
+
+
+def pack_docset(doc_ids: np.ndarray, base_doc: int, num_docs: int) -> bytes:
+    """Inverse of DocSetChunk: sorted global doc_ids -> packed bitmap."""
+    bits = np.zeros(num_docs, dtype=np.uint8)
+    bits[np.asarray(doc_ids, dtype=np.int64) - base_doc] = 1
+    return np.packbits(bits).tobytes()
+
+
+class MaskedChunk:
+    """A TermChunk filtered through a DocSetChunk: decode/positions/tf
+    see only allowed docs. Block metadata (ranges, maxima) passes
+    through unchanged — still valid upper bounds, so every pruning path
+    stays rank-safe. This is how a metadata FILTER clause composes with
+    any scoring kernel (ReqExcl/semi-join shape, BooleanQuery FILTER)."""
+
+    def __init__(self, inner, docset: DocSetChunk):
+        self.inner, self.ds = inner, docset
+        self.blocks = inner.blocks
+        self.firsts, self.lasts = inner.firsts, inner.lasts
+        self.block_max = inner.block_max
+        self._dec = {}
+        self._pos = {}
+
+    def n_blocks(self):
+        return self.inner.n_blocks()
+
+    def decode(self, i):
+        d = self._dec.get(i)
+        if d is None:
+            docs, tfs = self.inner.decode(i)
+            keep = self.ds.tf_at(docs) > 0
+            d = self._dec[i] = (docs[keep], tfs[keep], keep)
+        return d[0], d[1]
+
+    def positions(self, i):
+        p = self._pos.get(i)
+        if p is None:
+            self.decode(i)
+            keep = self._dec[i][2]
+            pos = self.inner.positions(i)
+            p = self._pos[i] = [q for q, k in zip(pos, keep) if k]
+        return p
+
+    def decode_all(self):
+        parts = [self.decode(i) for i in range(self.n_blocks())]
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def blocks_overlapping(self, lo, hi):
+        return self.inner.blocks_overlapping(lo, hi)
+
+    def tf_at(self, doc_ids):
+        return self.inner.tf_at(doc_ids) * self.ds.tf_at(doc_ids)
 
 
 def constant_or_topk(chunks, boost, norms_arr, base_doc, k):

@@ -30,8 +30,9 @@ from pyspark.sql import functions as F
 
 from ..index.catalog import IndexCatalog
 from ..kernels.bm25 import BM25Scorer, sum_idf
-from .kernels import (TermChunk, boolean_topk, constant_or_topk, dismax_topk,
-                      phrase_freqs, score_bucket)
+from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
+                      constant_or_topk, dismax_topk, pack_docset, phrase_freqs,
+                      score_bucket)
 from .query import (AndQuery, BooleanQuery, DisMaxQuery, MultiTermQuery,
                     OrQuery, PhraseQuery, SynonymQuery, TermQuery)
 
@@ -162,9 +163,38 @@ class IndexSearcher:
         rows = ts.orderBy("term").limit(query.max_expansions).collect()
         return [r["term"] for r in rows]
 
+    def _doc_filter_bitmaps(self, doc_filter: str) -> DataFrame:
+        """Pushed-down metadata predicate -> per-bucket doc bitmaps.
+
+        The filter runs on the docstore's NATIVE columns (role, tool,
+        ts, token_count, ...) so Catalyst pushes it to the parquet scan
+        (the doc-values execution of IndexOrDocValuesQuery); the result
+        is compacted to one bitmap per bucket (num_docs/8 bytes)."""
+        nm = (self.spark.read.parquet(self.norms_path)
+              .select("bucket_id", "base_doc", "num_docs"))
+        filtered = (self.spark.read.parquet(self.docstore_path)
+                    .filter(doc_filter)
+                    .select("bucket_id", "doc_id")
+                    .join(F.broadcast(nm), "bucket_id"))
+
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            base = int(pdf["base_doc"].iloc[0])
+            nd = int(pdf["num_docs"].iloc[0])
+            bm = pack_docset(np.sort(pdf["doc_id"].to_numpy(np.int64)), base, nd)
+            return pd.DataFrame({"bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                                 "doc_bitmap": [bm]})
+
+        return (filtered.groupBy("bucket_id")
+                .applyInPandas(pack, "bucket_id int, doc_bitmap binary"))
+
     # ---- search ----------------------------------------------------------
-    def search_df(self, query, k: int = 10, pruned: bool = True) -> DataFrame:
-        """Returns the top-k DataFrame (doc_id, score), globally ordered."""
+    def search_df(self, query, k: int = 10, pruned: bool = True,
+                  doc_filter: str | None = None) -> DataFrame:
+        """Returns the top-k DataFrame (doc_id, score), globally ordered.
+
+        doc_filter: optional SQL predicate over docstore metadata
+        columns (BooleanQuery FILTER ≙ semi-join; scores unchanged for
+        surviving docs)."""
         spark = self.spark
         if isinstance(query, MultiTermQuery):
             expanded = self.expand_terms(query)
@@ -173,7 +203,7 @@ class IndexSearcher:
             if query.rewrite == "scoring_boolean":
                 return self.search_df(
                     OrQuery(tuple(expanded), field=query.field,
-                            boost=query.boost), k, pruned)
+                            boost=query.boost), k, pruned, doc_filter)
             return self._constant_score_df(expanded, query, k)
         terms = query.terms
         qtype = _qtype(query)
@@ -205,6 +235,12 @@ class IndexSearcher:
         # on bucket_id (norms rows are small; only buckets that actually
         # contain a query term produce kernel tasks).
         joined = chunks_df.join(norms_df, "bucket_id")
+        has_filter = doc_filter is not None
+        if has_filter:
+            # inner join: buckets with zero allowed docs drop out before
+            # any kernel runs (pushed-down metadata pruning)
+            joined = joined.join(self._doc_filter_bitmaps(doc_filter),
+                                 "bucket_id")
 
         term_order = list(terms)
         # per-term scorers for query-time bound recomputation (only the
@@ -218,6 +254,13 @@ class IndexSearcher:
                                      "score": pd.Series(dtype="float32")})
             norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]), dtype=np.uint8)
             base = int(chunk_pdf["base_doc"].iloc[0])
+            docset = None
+            if has_filter:
+                docset = DocSetChunk(bytes(chunk_pdf["doc_bitmap"].iloc[0]),
+                                     base, norms_arr.size)
+                if docset.n_blocks() == 0:
+                    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                         "score": pd.Series(dtype="float32")})
             by_term = {}
             for t, bms, blocks in zip(chunk_pdf["term"], chunk_pdf["block_max_scores"],
                                       chunk_pdf["blocks"]):
@@ -226,7 +269,8 @@ class IndexSearcher:
                     bms = [float(sc.max_score_for_impacts(
                         np.asarray(b["imp_freqs"]), np.asarray(b["imp_norms"])))
                         for b in blocks]
-                by_term[t] = TermChunk(blocks, bms)
+                ch = TermChunk(blocks, bms)
+                by_term[t] = MaskedChunk(ch, docset) if docset is not None else ch
             chunks = [by_term.get(t) for t in term_order]
             if qtype == "boolean":
                 n_m, n_s, n_n = groups
@@ -281,10 +325,48 @@ class IndexSearcher:
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
-    def search(self, query, k: int = 10, pruned: bool = True) -> list:
+    def search(self, query, k: int = 10, pruned: bool = True,
+               doc_filter: str | None = None) -> list:
         """Returns [(doc_id, float32 score)] — the TopDocs."""
         return [(int(r["doc_id"]), np.float32(r["score"]))
-                for r in self.search_df(query, k, pruned).collect()]
+                for r in self.search_df(query, k, pruned, doc_filter).collect()]
+
+    def explain(self, query, doc_id: int) -> dict:
+        """Score explanation for one (query, doc) — the Weight.explain
+        analog (core:search/TermQuery.java explain path): per-term tf,
+        norm code, decoded length, idf, weight and sub-score, plus the
+        combined score. Debug API (several tiny jobs; not a hot path)."""
+        terms = query.terms
+        tstats = self.term_stats(terms)
+        row = (self.spark.read.parquet(self.docstore_path)
+               .filter(F.col("doc_id") == doc_id)
+               .select("norm", "token_count").collect())
+        if not row:
+            return {"doc_id": doc_id, "matches": False, "reason": "no such doc"}
+        norm = int(row[0]["norm"])
+        out = {"doc_id": doc_id, "matches": False, "norm": norm,
+               "token_count": int(row[0]["token_count"]),
+               "doc_count": self.doc_count, "avgdl": float(
+                   np.float64(self.sum_ttf) / self.doc_count), "terms": {}}
+        total = np.float64(0.0)
+        for t in terms:
+            if t not in tstats:
+                out["terms"][t] = {"df": 0, "tf": 0, "score": 0.0}
+                continue
+            tf_rows = (self.term_postings(t)
+                       .filter(F.col("doc_id") == doc_id).collect())
+            tf = int(tf_rows[0]["tf"]) if tf_rows else 0
+            sc = BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf,
+                            boost=query.boost)
+            s = float(sc.score(np.array([tf]), np.array([norm]))[0]) if tf else 0.0
+            out["terms"][t] = {"df": tstats[t][0], "tf": tf,
+                               "idf": float(sc.idf), "weight": float(sc.weight),
+                               "score": s}
+            if tf:
+                total += np.float64(np.float32(s))
+        out["matches"] = any(v["tf"] > 0 for v in out["terms"].values())
+        out["score"] = float(np.float32(total))
+        return out
 
     def count(self, query) -> int:
         """TotalHitCountCollector analog. Single term uses the df shortcut

@@ -45,6 +45,9 @@ if not os.path.exists(src):
      .write.mode("overwrite").parquet(src))
 tr = spark.read.parquet(src)
 n_turns = tr.count()
+from lucene_spark.index.builder import suggest_buckets
+buckets = max(buckets, suggest_buckets(n_turns))
+spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
 tmp = tempfile.mkdtemp(prefix=f"scale_{{cpus}}_")
 t0 = time.time()
 build_index(spark, tr, tmp, num_buckets=buckets)
