@@ -224,6 +224,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_chars"))
     q["ft_sort_by_field"] = ft_sort_by_field
 
+    def ft_sloppy_matches(sp, sf):
+        # ordered sloppy phrase "slow ... fast" within slop=2
+        return (_searcher(sp, sf).phrase_matches(["slow", "fast"], slop=2)
+                .select("doc_id", "freq"))
+    q["ft_sloppy_matches"] = ft_sloppy_matches
+
     def ft_filtered_topk(sp, sf):
         # BooleanQuery FILTER on native metadata (lang -> role column)
         s = _searcher(sp, sf)
@@ -500,6 +506,16 @@ SELECT f.doc_id, d.n_chars
 FROM tf f JOIN documents d USING (doc_id)
 WHERE f.term = 'vector'
 ORDER BY d.n_chars DESC, f.doc_id LIMIT 10
+"""
+
+    o["ft_sloppy_matches"] = P + """
+SELECT p1.doc_id, count(*)::INT AS freq
+FROM pos p1
+WHERE p1.term = 'slow' AND EXISTS (
+  SELECT 1 FROM pos p2
+  WHERE p2.doc_id = p1.doc_id AND p2.term = 'fast'
+    AND p2.pos > p1.pos AND p2.pos - p1.pos - 1 <= 2)
+GROUP BY p1.doc_id
 """
 
     o["ft_filtered_topk"] = P + f"""

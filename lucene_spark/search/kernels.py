@@ -272,41 +272,69 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
     return topk_select(np.concatenate(got_d), np.concatenate(got_s), k)
 
 
-def phrase_freqs(chunks, pruned=True):
-    """Docs containing the exact phrase + per-doc occurrence count.
+def phrase_freqs(chunks, pruned=True, slop=0):
+    """Docs containing the phrase + per-doc occurrence count.
 
-    Conjunction candidates first, then consecutive-position verification
-    by intersecting shifted position lists (ExactPhraseMatcher.java:37).
+    slop == 0: exact phrase — conjunction candidates, then
+    consecutive-position verification by intersecting shifted position
+    lists (ExactPhraseMatcher.java:37).
+
+    slop > 0: ORDERED sloppy phrase — an occurrence is an in-order
+    chain of positions built greedily (each term takes its smallest
+    position after the previous term) whose stretch
+    ``last - first - (m-1)`` is <= slop; freq = number of start
+    positions admitting such a chain. NOTE: this is a deliberate,
+    documented simplification of the reference's SloppyPhraseMatcher
+    (which permits reordering and weights freq by 1/(1+matchLength),
+    core:search/SloppyPhraseMatcher.java) — ordered-window semantics
+    are exact for slop=0 and deterministic/SQL-checkable for slop>0.
+
     Returns (doc_ids, freqs) with freqs > 0 only.
     """
     cand = _conj_candidates(chunks, pruned)
     if cand.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    m = len(chunks)
     freqs = np.zeros(cand.size, dtype=np.int64)
     # per-term, per-candidate block positions
     for ci, d in enumerate(np.asarray(cand, dtype=np.int64)):
-        cur = None
-        for off, c in enumerate(chunks):
+        plists = []
+        for c in chunks:
             bi = int(np.searchsorted(c.lasts, d, side="left"))
             docs, _ = c.decode(bi)
             j = int(np.searchsorted(docs, d))
-            pos = c.positions(bi)[j]
-            cur = pos - off if cur is None else np.intersect1d(cur, pos - off, assume_unique=True)
-            if cur.size == 0:
-                break
-        freqs[ci] = cur.size if cur is not None else 0
+            plists.append(c.positions(bi)[j])
+        if slop == 0:
+            cur = None
+            for off, pos in enumerate(plists):
+                cur = pos - off if cur is None else np.intersect1d(
+                    cur, pos - off, assume_unique=True)
+                if cur.size == 0:
+                    break
+            freqs[ci] = cur.size if cur is not None else 0
+        else:
+            # greedy minimal chain from every start position (vectorized
+            # across starts: one searchsorted per later term)
+            starts = np.asarray(plists[0], dtype=np.int64)
+            chain = starts
+            ok = np.ones(starts.size, dtype=bool)
+            for pos in plists[1:]:
+                pos = np.asarray(pos, dtype=np.int64)
+                idx = np.searchsorted(pos, chain, side="right")
+                ok &= idx < pos.size
+                chain = pos[np.minimum(idx, pos.size - 1)]
+            stretch = chain - starts - (m - 1)
+            freqs[ci] = int(np.count_nonzero(ok & (stretch <= slop)))
     hit = freqs > 0
     return cand[hit], freqs[hit]
 
 
 def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
                 slop=0):
-    """Exact phrase: conjunction + consecutive-position verification;
-    freq = number of phrase occurrences, weight = Σ term idf
-    (PhraseQuery.java:71-143, ExactPhraseMatcher.java:37)."""
-    if slop != 0:
-        raise NotImplementedError("sloppy phrase not implemented (v2)")
-    cand, freqs = phrase_freqs(chunks, pruned)
+    """Phrase top-k: conjunction + position verification (exact or
+    ordered-sloppy, see phrase_freqs); freq = occurrence count, weight =
+    Σ term idf (PhraseQuery.java:71-143, ExactPhraseMatcher.java:37)."""
+    cand, freqs = phrase_freqs(chunks, pruned, slop)
     if cand.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     scores = phrase_scorer.score(freqs, _norms_at(norms_arr, base_doc, cand))

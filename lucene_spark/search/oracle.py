@@ -66,8 +66,13 @@ class BruteForceOracle:
                 tot += sx.astype(np.float64)
             s = tot.astype(np.float32)
         elif t == "phrase":
-            freqs = np.array([self._phrase_freq(toks, terms)
-                              for toks in self.tokens], dtype=np.int64)
+            slop = qdict.get("slop", 0)
+            if slop:
+                freqs = np.array([self._phrase_freq_sloppy(toks, terms, slop)
+                                  for toks in self.tokens], dtype=np.int64)
+            else:
+                freqs = np.array([self._phrase_freq(toks, terms)
+                                  for toks in self.tokens], dtype=np.int64)
             mask = freqs > 0
             idfs = [self._scorer(x).idf for x in terms]
             sc = BM25Scorer(1, self.doc_count, self.sum_ttf)
@@ -129,3 +134,25 @@ class BruteForceOracle:
         n = len(phrase)
         return sum(1 for i in range(len(tokens) - n + 1)
                    if tokens[i:i + n] == phrase)
+
+    @staticmethod
+    def _phrase_freq_sloppy(tokens: list, phrase: list, slop: int) -> int:
+        """Ordered-sloppy: greedy minimal chain per start position,
+        counted when stretch <= slop (mirrors kernels.phrase_freqs)."""
+        import bisect
+        pls = [[i for i, t in enumerate(tokens) if t == term]
+               for term in phrase]
+        if any(not p for p in pls):
+            return 0
+        count = 0
+        for p0 in pls[0]:
+            cur, ok = p0, True
+            for pl in pls[1:]:
+                j = bisect.bisect_right(pl, cur)
+                if j >= len(pl):
+                    ok = False
+                    break
+                cur = pl[j]
+            if ok and cur - p0 - (len(phrase) - 1) <= slop:
+                count += 1
+        return count

@@ -41,6 +41,25 @@ POSTING_SCHEMA = "doc_id bigint, tf int"
 PHRASE_SCHEMA = "doc_id bigint, freq int"
 
 
+def _levenshtein_le(a: str, b: str, k: int) -> bool:
+    """Banded Levenshtein: distance(a, b) <= k (FuzzyQuery's bounded
+    edit-distance acceptance, core:search/FuzzyQuery.java)."""
+    if abs(len(a) - len(b)) > k:
+        return False
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        lo = len(b) + 1
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (ca != cb))
+            lo = min(lo, cur[j])
+        if lo > k:
+            return False
+        prev = cur
+    return prev[-1] <= k
+
+
 def _qtype(query) -> str:
     if isinstance(query, TermQuery):
         return "term"
@@ -107,8 +126,28 @@ class IndexSearcher:
                         (F.col("field") == field) &
                         F.col("term").isin(list(terms))))
 
+    # term dictionaries up to this many entries are cached driver-side:
+    # term_stats becomes a dict lookup and a search is ONE Spark job.
+    # Bigger dictionaries (web-scale corpora) keep the pushed-down scan.
+    TERMSTATS_CACHE_MAX = 1_000_000
+
     # ---- stats / weights -------------------------------------------------
+    def _termstats_cache(self):
+        if not hasattr(self, "_ts_cache"):
+            ts = self.spark.read.parquet(self.termstats_path)
+            if ts.count() <= self.TERMSTATS_CACHE_MAX:
+                self._ts_cache = {
+                    r["term"]: (int(r["df"]), int(r["ttf"]),
+                                float(r["max_score"]))
+                    for r in ts.collect()}
+            else:
+                self._ts_cache = None
+        return self._ts_cache
+
     def term_stats(self, terms: list) -> dict:
+        cache = self._termstats_cache()
+        if cache is not None:
+            return {t: cache[t] for t in set(terms) if t in cache}
         rows = (self.spark.read.parquet(self.termstats_path)
                 .filter(F.col("term").isin(list(set(terms))))
                 .collect())
@@ -137,9 +176,33 @@ class IndexSearcher:
         the Spark analog of an automaton intersecting the term dict
         (core:index/AutomatonTermsEnum.java). Expansion order: term asc,
         capped at max_expansions (BooleanQuery clause-cap analog)."""
+        kind, pat = query.kind, query.pattern
+        cache = self._termstats_cache()
+        if cache is not None:
+            terms = sorted(cache)
+            if kind == "prefix":
+                sel = [t for t in terms if t.startswith(pat)]
+            elif kind == "wildcard":
+                rx = re.compile("^" + re.escape(pat).replace(r"\*", ".*")
+                                .replace(r"\?", ".") + "$")
+                sel = [t for t in terms if rx.match(t)]
+            elif kind == "regexp":
+                rx = re.compile("^" + pat + "$")
+                sel = [t for t in terms if rx.match(t)]
+            elif kind == "fuzzy":
+                sel = [t for t in terms
+                       if _levenshtein_le(t, pat, query.max_edits)]
+            elif kind == "range":
+                lo, hi = pat
+                sel = [t for t in terms if (lo is None or t >= lo)
+                       and (hi is None or t < hi)]
+            elif kind == "set":
+                sel = [t for t in sorted(set(pat)) if t in cache]
+            else:
+                raise ValueError(f"unknown multi-term kind {kind}")
+            return sel[:query.max_expansions]
         ts = (self.spark.read.parquet(self.termstats_path)
               .select("term"))
-        kind, pat = query.kind, query.pattern
         if kind == "prefix":
             ts = ts.filter(F.col("term").startswith(pat))
         elif kind == "wildcard":
@@ -397,9 +460,11 @@ class IndexSearcher:
 
         return chunks_df.mapInPandas(run, schema=POSTING_SCHEMA)
 
-    def phrase_matches(self, terms: list, field: str = "text") -> DataFrame:
-        """All docs containing the exact phrase -> (doc_id, freq);
-        freq = occurrence count (ExactPhraseMatcher semantics)."""
+    def phrase_matches(self, terms: list, field: str = "text",
+                       slop: int = 0) -> DataFrame:
+        """All docs containing the phrase -> (doc_id, freq); slop=0 is
+        exact (ExactPhraseMatcher semantics), slop>0 is ordered-sloppy
+        (see kernels.phrase_freqs)."""
         spark = self.spark
         tstats = self.term_stats(terms)
         if any(t not in tstats for t in terms):
@@ -415,7 +480,7 @@ class IndexSearcher:
             if any(c is None for c in chunks):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "freq": pd.Series(dtype="int32")})
-            docs, freqs = phrase_freqs(chunks, pruned=True)
+            docs, freqs = phrase_freqs(chunks, pruned=True, slop=slop)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "freq": freqs.astype(np.int32)})
 
