@@ -267,6 +267,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash(_docs(sp, sf), bits=32)
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_cosine_pairs(sp, sf):
+        # embedding-cosine near-duplicate detection (exact verify path)
+        return (SIM.cosine_pairs(_embeddings(sp, sf), threshold=0.4)
+                .select("a", "b", F.round("cos", 4).alias("cos_r")))
+    q["dedup_cosine_pairs"] = dedup_cosine_pairs
+
     def ann_cosine_topk(sp, sf):
         emb = _embeddings(sp, sf)
         qs = (emb.filter(F.col("vec_id") < 5)
@@ -580,6 +586,16 @@ SELECT a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.8
            FROM tfh, unnest(range(0, 32)) rj(j) GROUP BY doc_id, j)
 SELECT doc_id, sum(CASE WHEN sgn > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
 FROM bits GROUP BY doc_id
+"""
+
+    o["dedup_cosine_pairs"] = """
+WITH c AS (
+  SELECT x.vec_id AS a, y.vec_id AS b,
+    list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+    / (sqrt(list_sum(list_transform(range(1, 65), i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) AS cos
+  FROM embeddings x JOIN embeddings y ON x.vec_id < y.vec_id)
+SELECT a, b, round(cos, 4) AS cos_r FROM c WHERE cos >= 0.4
 """
 
     o["ann_cosine_topk"] = """

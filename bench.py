@@ -110,12 +110,15 @@ def main():
         SIM.cosine_topk(emb, qs, k=10).count()
         queries["op_ann"] = round(time.time() - t0, 3)
 
+        ft_lat = sorted(v for k, v in queries.items() if k.startswith("q_"))
+        p50 = ft_lat[len(ft_lat) // 2] if ft_lat else None
         total = round(docs_build + tr_build + sum(queries.values()), 3)
         out = {
             "metric": "e2e_sec",
             "value": total,
             "unit": "sec",
             "queries": queries,
+            "p50_query_sec": p50,
             "sf": sf,
             "build": {
                 "docs_corpus": {"rows": n_docs,

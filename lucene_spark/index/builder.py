@@ -521,7 +521,12 @@ class IndexBuilder:
 
 TARGET_TURNS_PER_BUCKET = 40_000  # FlushByRamOrCountsPolicy analog:
 # bounds one invert kernel's working set (~2-3M tokens), independent of
-# cluster size — more data means more buckets, not bigger ones
+# cluster size — more data means more buckets, not bigger ones.
+# Scale note: this default targets the sandbox (small executors, fast
+# feedback). On a 1000-executor cluster at 10^12 turns, raise it to
+# ~2-10M turns/bucket (a few GB per kernel) so bucket count stays in
+# the 10^5-10^6 task range; the kernel is O(n log n) in bucket tokens
+# and fully vectorized, so bigger buckets amortize task overhead.
 
 
 def suggest_buckets(n_turns: int, min_buckets: int = 16) -> int:

@@ -50,6 +50,24 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             .drop("_rk"))
 
 
+def cosine_pairs(vectors: DataFrame, threshold: float = 0.9,
+                 id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b, cos) with a < b and
+    cos >= threshold. Exact all-pairs verification — the oracle path.
+
+    Scale path: feed `lsh_cosine_topk`-style band buckets as candidates
+    instead of the full self-join; this exact form is for corpora where
+    one side fits in broadcast (or as the per-bucket verify stage).
+    """
+    a = vectors.select(F.col(id_col).alias("a"), F.col(vec_col).alias("_va"))
+    b = vectors.select(F.col(id_col).alias("b"), F.col(vec_col).alias("_vb"))
+    dot = _DOT.format(a="_va", b="_vb")
+    cos = F.expr(f"{dot} / ({_norm_sql('_va')} * {_norm_sql('_vb')})")
+    return (a.join(b, F.col("a") < F.col("b"))
+            .select("a", "b", cos.alias("cos"))
+            .filter(F.col("cos") >= threshold))
+
+
 def _hyperplanes_sql(dim: int, n_planes: int) -> str:
     """Deterministic pseudo-random hyperplanes: component (p, i) derived
     from md5(p:i) mapped to [-1, 1). Pure SQL, engine-independent."""
