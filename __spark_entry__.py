@@ -249,6 +249,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return PC.percolate(_docs(sp, sf), queries_df)
     q["pc_percolate"] = pc_percolate
 
+    def ev_window_agg(sp, sf):
+        # event-time tumbling-window aggregation (the Structured
+        # Streaming windowed-agg shape, run in batch for the oracle)
+        ev = sp.read.parquet(os.path.join(sf, "events.parquet"))
+        return (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+                .agg(F.count("*").alias("n"),
+                     F.round(F.sum("value"), 2).alias("sum_v"))
+                .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
+                        .alias("w_start"), "event_type", "n", "sum_v"))
+    q["ev_window_agg"] = ev_window_agg
+
     # --- training-data ops ---
     def dedup_exact(sp, sf):
         return D.exact_duplicates(_docs(sp, sf))
@@ -543,6 +554,12 @@ SELECT 'q2', doc_id FROM (SELECT DISTINCT doc_id FROM tf
 UNION ALL
 SELECT 'q3', doc_id FROM tf WHERE term IN ('scan', 'sort', 'merge')
 GROUP BY doc_id HAVING count(*) = 3
+"""
+
+    o["ev_window_agg"] = """
+SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
+       event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_v
+FROM events GROUP BY 1, 2
 """
 
     o["dedup_exact"] = P + """

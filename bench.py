@@ -96,6 +96,11 @@ def main():
             searcher.search(qq, k=10)
             queries[name] = round(time.time() - t0, 3)
 
+        # batch mode: all headline queries in ONE Spark job (throughput)
+        t0 = time.time()
+        searcher.search_batch(dict(headline), k=10).count()
+        queries["batch_headline"] = round(time.time() - t0, 3)
+
         # training-data ops at bench scale
         from lucene_spark.ops import dedup as D
         from lucene_spark.ops import similarity as SIM

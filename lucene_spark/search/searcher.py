@@ -388,6 +388,100 @@ class IndexSearcher:
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
+    BATCH_SCHEMA = "query_id string, doc_id bigint, score float"
+
+    def search_batch(self, queries: dict, k: int = 10,
+                     pruned: bool = True) -> DataFrame:
+        """Run MANY queries in ONE Spark job -> (query_id, doc_id, score).
+
+        Amortizes job-scheduling and scan cost across the batch: one
+        postings scan over the union of all query terms, one kernel pass
+        per bucket evaluating every query against its chunk dict, one
+        windowed top-k per query. This is the query-throughput mode —
+        per-query latency collapses to scan_time/|batch| (Lucene's
+        analog is concurrent searchers over a shared reader).
+
+        queries: {query_id: Query} (term/and/or/phrase/synonym/dismax/
+        boolean shapes).
+        """
+        from pyspark.sql.window import Window
+        spark = self.spark
+        all_terms = sorted({t for q in queries.values() for t in q.terms})
+        tstats = self.term_stats(all_terms)
+        plans = {}
+        for qid, q in queries.items():
+            qt = _qtype(q)
+            if qt in ("and", "phrase") and any(t not in tstats for t in q.terms):
+                continue
+            if qt == "boolean" and any(
+                    t not in tstats for t in list(q.must) + list(q.filter_)):
+                continue
+            if not any(t in tstats for t in q.terms):
+                continue
+            plans[qid] = (qt, list(q.terms), self._scorers(q, tstats),
+                          getattr(q, "slop", 0),
+                          ((len(q.must), len(q.should), len(q.must_not))
+                           if qt == "boolean" else None),
+                          q.min_should_match if qt == "boolean" else 0,
+                          q.tie_breaker if qt == "dismax" else 0.0)
+        if not plans:
+            return spark.createDataFrame([], self.BATCH_SCHEMA)
+        need = sorted({t for p in plans.values() for t in p[1] if t in tstats})
+        chunks_df = (self._postings_for(need, self.field)
+                     .select("term", "bucket_id", "block_max_scores", "blocks"))
+        norms_df = (spark.read.parquet(self.norms_path)
+                    .select("bucket_id", "base_doc", "norms"))
+        joined = chunks_df.join(norms_df, "bucket_id")
+
+        def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
+            empty = pd.DataFrame({"query_id": pd.Series(dtype="object"),
+                                  "doc_id": pd.Series(dtype="int64"),
+                                  "score": pd.Series(dtype="float32")})
+            if not len(chunk_pdf):
+                return empty
+            norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]),
+                                      dtype=np.uint8)
+            base = int(chunk_pdf["base_doc"].iloc[0])
+            by_term = {t: TermChunk(b, bms) for t, bms, b in
+                       zip(chunk_pdf["term"], chunk_pdf["block_max_scores"],
+                           chunk_pdf["blocks"])}
+            out = []
+            for qid, (qt, terms, scorers, slop, groups, msm, tie) in plans.items():
+                chunks = [by_term.get(t) for t in terms]
+                if qt == "boolean":
+                    n_m, n_s, n_n = groups
+                    docs, scores = boolean_topk(
+                        chunks[:n_m], chunks[n_m:n_m + n_s],
+                        chunks[n_m + n_s:n_m + n_s + n_n],
+                        chunks[n_m + n_s + n_n:],
+                        scorers[:n_m], scorers[n_m:n_m + n_s],
+                        norms_arr, base, k, min_should_match=msm,
+                        pruned=pruned)
+                elif qt == "dismax":
+                    docs, scores = dismax_topk(chunks, scorers, norms_arr,
+                                               base, k, tie_breaker=tie,
+                                               pruned=pruned)
+                else:
+                    if qt in ("and", "phrase") and any(c is None for c in chunks):
+                        continue
+                    sc = scorers if qt not in ("phrase", "synonym") else [scorers[0]]
+                    docs, scores = score_bucket(qt, chunks, sc, norms_arr,
+                                                base, k, pruned=pruned,
+                                                slop=slop)
+                if docs.size:
+                    out.append(pd.DataFrame({
+                        "query_id": qid,
+                        "doc_id": docs.astype(np.int64),
+                        "score": scores.astype(np.float32)}))
+            return pd.concat(out) if out else empty
+
+        per_bucket = (joined.groupBy("bucket_id")
+                      .applyInPandas(run, schema=self.BATCH_SCHEMA))
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc())
+        return (per_bucket.withColumn("_rk", F.row_number().over(w))
+                .filter(F.col("_rk") <= k).drop("_rk"))
+
     def search(self, query, k: int = 10, pruned: bool = True,
                doc_filter: str | None = None) -> list:
         """Returns [(doc_id, float32 score)] — the TopDocs."""
