@@ -230,6 +230,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "freq"))
     q["ft_sloppy_matches"] = ft_sloppy_matches
 
+    def ft_interval_matches(sp, sf):
+        # unordered interval: slow & fast within <=2 intervening tokens
+        return (_searcher(sp, sf).interval_matches(["slow", "fast"], max_gaps=2)
+                .select("doc_id", "span"))
+    q["ft_interval_matches"] = ft_interval_matches
+
     def ft_filtered_topk(sp, sf):
         # BooleanQuery FILTER on native metadata (lang -> role column)
         s = _searcher(sp, sf)
@@ -533,6 +539,14 @@ WHERE p1.term = 'slow' AND EXISTS (
   WHERE p2.doc_id = p1.doc_id AND p2.term = 'fast'
     AND p2.pos > p1.pos AND p2.pos - p1.pos - 1 <= 2)
 GROUP BY p1.doc_id
+"""
+
+    o["ft_interval_matches"] = P + """
+SELECT p1.doc_id, (min(abs(p1.pos - p2.pos)) - 1)::INT AS span
+FROM pos p1 JOIN pos p2
+  ON p1.doc_id = p2.doc_id AND p1.term = 'slow' AND p2.term = 'fast'
+GROUP BY p1.doc_id
+HAVING min(abs(p1.pos - p2.pos)) - 1 <= 2
 """
 
     o["ft_filtered_topk"] = P + f"""

@@ -329,6 +329,39 @@ def phrase_freqs(chunks, pruned=True, slop=0):
     return cand[hit], freqs[hit]
 
 
+def min_span_freqs(chunks, pruned=True):
+    """Unordered interval matching (queries/intervals Intervals.unordered
+    analog): for docs containing ALL terms, the minimal window span =
+    max(pos) - min(pos) - (m-1) over one occurrence of each term.
+    Returns (doc_ids, min_spans) for all conjunction candidates.
+
+    Classic k-list minimal-window sweep per candidate doc.
+    """
+    cand = _conj_candidates(chunks, pruned)
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    m = len(chunks)
+    spans = np.zeros(cand.size, dtype=np.int64)
+    for ci, d in enumerate(np.asarray(cand, dtype=np.int64)):
+        plists = []
+        for c in chunks:
+            bi = int(np.searchsorted(c.lasts, d, side="left"))
+            docs, _ = c.decode(bi)
+            j = int(np.searchsorted(docs, d))
+            plists.append(np.asarray(c.positions(bi)[j], dtype=np.int64))
+        ptr = [0] * m
+        best = np.iinfo(np.int64).max
+        while True:
+            vals = [plists[i][ptr[i]] for i in range(m)]
+            lo_i = int(np.argmin(vals))
+            best = min(best, max(vals) - vals[lo_i] - (m - 1))
+            ptr[lo_i] += 1
+            if ptr[lo_i] >= plists[lo_i].size:
+                break
+        spans[ci] = best
+    return cand, spans
+
+
 def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
                 slop=0):
     """Phrase top-k: conjunction + position verification (exact or

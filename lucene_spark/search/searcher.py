@@ -581,6 +581,36 @@ class IndexSearcher:
         return (chunks_df.groupBy("bucket_id")
                 .applyInPandas(run, schema=PHRASE_SCHEMA))
 
+    def interval_matches(self, terms: list, max_gaps: int,
+                         field: str = "text") -> DataFrame:
+        """Unordered interval query (queries/intervals Intervals.unordered
+        + maxgaps analog): docs where one occurrence of EVERY term fits
+        in a window with at most max_gaps intervening positions.
+        Returns (doc_id, span) with span = minimal window gap count."""
+        spark = self.spark
+        tstats = self.term_stats(terms)
+        if any(t not in tstats for t in terms):
+            return spark.createDataFrame([], "doc_id bigint, span int")
+        chunks_df = (self._postings_for(list(terms), field)
+                     .select("term", "bucket_id", "blocks"))
+        term_order = list(terms)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .kernels import min_span_freqs
+            by_term = {t: TermChunk(b, [0.0] * len(b))
+                       for t, b in zip(pdf["term"], pdf["blocks"])}
+            chunks = [by_term.get(t) for t in term_order]
+            if any(c is None for c in chunks):
+                return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                     "span": pd.Series(dtype="int32")})
+            docs, spans = min_span_freqs(chunks, pruned=True)
+            keep = spans <= max_gaps
+            return pd.DataFrame({"doc_id": docs[keep].astype(np.int64),
+                                 "span": spans[keep].astype(np.int32)})
+
+        return (chunks_df.groupBy("bucket_id")
+                .applyInPandas(run, "doc_id bigint, span int"))
+
     def retrieve(self, topk_df: DataFrame) -> DataFrame:
         """Stored-fields retrieval: join top-k doc_ids back to the docstore
         (broadcast the tiny top-k side, not the corpus)."""
