@@ -109,6 +109,9 @@ class IndexSearcher:
         # (core:search/MaxScoreCache.java:19-159). compact() clears it.
         self.nrt_dirty = bool((self.catalog.latest_commit().get("extra") or {})
                               .get("nrt_dirty", False))
+        # live-docs bitmaps (deletes); scorers skip dead docs, stats keep
+        # counting them until compaction — Lucene's delete semantics
+        self.livedocs_path = self.catalog.table_path("livedocs")
 
     @staticmethod
     def _term_hs(terms) -> list:
@@ -304,6 +307,11 @@ class IndexSearcher:
             # any kernel runs (pushed-down metadata pruning)
             joined = joined.join(self._doc_filter_bitmaps(doc_filter),
                                  "bucket_id")
+        has_live = self.livedocs_path is not None
+        if has_live:
+            live_df = (spark.read.parquet(self.livedocs_path)
+                       .select("bucket_id", "live"))
+            joined = joined.join(live_df, "bucket_id", "left")
 
         term_order = list(terms)
         # per-term scorers for query-time bound recomputation (only the
@@ -324,6 +332,15 @@ class IndexSearcher:
                 if docset.n_blocks() == 0:
                     return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                          "score": pd.Series(dtype="float32")})
+            live_ds = None
+            if has_live:
+                lb = chunk_pdf["live"].iloc[0]
+                if lb is not None:
+                    live_ds = DocSetChunk(bytes(lb), base, norms_arr.size)
+                    if live_ds.n_blocks() == 0:
+                        return pd.DataFrame(
+                            {"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float32")})
             by_term = {}
             for t, bms, blocks in zip(chunk_pdf["term"], chunk_pdf["block_max_scores"],
                                       chunk_pdf["blocks"]):
@@ -333,7 +350,11 @@ class IndexSearcher:
                         np.asarray(b["imp_freqs"]), np.asarray(b["imp_norms"])))
                         for b in blocks]
                 ch = TermChunk(blocks, bms)
-                by_term[t] = MaskedChunk(ch, docset) if docset is not None else ch
+                if docset is not None:
+                    ch = MaskedChunk(ch, docset)
+                if live_ds is not None:
+                    ch = MaskedChunk(ch, live_ds)
+                by_term[t] = ch
             chunks = [by_term.get(t) for t in term_order]
             if qtype == "boolean":
                 n_m, n_s, n_n = groups
@@ -527,10 +548,14 @@ class IndexSearcher:
 
     def count(self, query) -> int:
         """TotalHitCountCollector analog. Single term uses the df shortcut
-        (Weight#count, core:search/TermQuery.java:260) — no postings read."""
+        (Weight#count, core:search/TermQuery.java:260) — no postings read.
+        The shortcut is disabled when deletes exist, exactly like the
+        reference (count() falls back when liveDocs != null)."""
         if isinstance(query, TermQuery):
-            ts = self.term_stats([query.term])
-            return ts.get(query.term, (0,))[0]
+            if self.livedocs_path is None:
+                ts = self.term_stats([query.term])
+                return ts.get(query.term, (0,))[0]
+            return self.term_postings(query.term, query.field).count()
         big = self.search_df(query, k=2**31 - 1, pruned=False)
         return big.count()
 
@@ -542,12 +567,20 @@ class IndexSearcher:
         (core:search/TermQuery.java:120-164's postings() iteration)."""
         chunks_df = (self._postings_for([term], field)
                      .select("bucket_id", "blocks"))
+        has_live = self.livedocs_path is not None
+        if has_live:
+            live_df = (self.spark.read.parquet(self.livedocs_path)
+                       .select("bucket_id", "base_doc", "num_docs", "live"))
+            chunks_df = chunks_df.join(live_df, "bucket_id", "left")
 
         def run(batches):
-            from ..kernels import codec
             for pdf in batches:
-                for blocks in pdf["blocks"]:
-                    ch = TermChunk(blocks, [0.0] * len(blocks))
+                for row in pdf.itertuples(index=False):
+                    ch = TermChunk(row.blocks, [0.0] * len(row.blocks))
+                    if has_live and getattr(row, "live", None) is not None:
+                        ch = MaskedChunk(ch, DocSetChunk(
+                            bytes(row.live), int(row.base_doc),
+                            int(row.num_docs)))
                     docs, tfs = ch.decode_all()
                     yield pd.DataFrame({"doc_id": docs.astype(np.int64),
                                         "tf": tfs.astype(np.int32)})
