@@ -90,6 +90,34 @@ def bm25_score(freqs, norm_codes, weight: np.float32, cache: np.ndarray) -> np.n
     return (w - w / (one + f * ni)).astype(np.float32)
 
 
+class ClassicScorer:
+    """TF-IDF (ClassicSimilarity) scorer — demonstrates the pluggable
+    Similarity extension point (core:search/similarities/
+    ClassicSimilarity.java / TFIDFSimilarity): tf = sqrt(freq),
+    idf = 1 + ln((docCount+1)/(docFreq+1)), lengthNorm = 1/sqrt(length)
+    with the decoded SmallFloat length. Same float32 discipline as the
+    BM25 kernel; same (scorer.score(freqs, norm_codes)) interface, so
+    every query kernel accepts it unchanged.
+    """
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int = 0,
+                 boost: float = 1.0):
+        idf_d = 1.0 + np.log((doc_count + 1.0) / (doc_freq + 1.0))
+        self.idf = np.float32(idf_d)
+        self.weight = np.float32(np.float32(boost) * self.idf * self.idf)
+        inv_sqrt = 1.0 / np.sqrt(np.maximum(LENGTH_TABLE.astype(np.float64), 1.0))
+        self.norm_table = inv_sqrt.astype(np.float32)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        tf = np.sqrt(np.asarray(freqs).astype(np.float32))
+        ln = self.norm_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        return (self.weight * tf * ln).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
 class BM25Scorer:
     """Per-(field, term-set) scorer bound to collection stats, mirroring
     Lucene's Weight/SimScorer binding (TermQuery.java:64-82).

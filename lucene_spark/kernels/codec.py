@@ -51,7 +51,7 @@ def pack_ints(arr: np.ndarray) -> bytes:
     for width in (1, 2, 4, 8):
         if mx < (1 << (8 * width)):
             break
-    packed = a.astype(_WIDTH_DTYPES[width]).astype(_WIDTH_DTYPES[width]).tobytes()
+    packed = a.astype(_WIDTH_DTYPES[width]).tobytes()
     return bytes([width]) + packed
 
 

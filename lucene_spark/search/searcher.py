@@ -89,8 +89,15 @@ class _PhraseScorer(BM25Scorer):
 
 
 class IndexSearcher:
-    def __init__(self, spark: SparkSession, index_dir: str):
+    def __init__(self, spark: SparkSession, index_dir: str,
+                 similarity=BM25Scorer):
+        """similarity: a scorer factory (df, doc_count, sum_ttf, boost=…)
+        with .score(freqs, norm_codes) / .max_score_for_impacts — the
+        Similarity extension point (core:search/similarities/
+        Similarity.java:93). Non-default similarities trigger query-time
+        bound recomputation from impacts (baked floats are BM25)."""
         self.spark = spark
+        self.similarity = similarity
         self.catalog = IndexCatalog(index_dir)
         c = self.catalog.latest_commit()
         if not c or "postings" not in c["tables"]:
@@ -167,9 +174,10 @@ class IndexSearcher:
             # blended pseudo-term stats: df = max member df
             # (SynonymQuery.java builds one TermStatistics with max docFreq)
             df = max(tstats[t][0] for t in terms if t in tstats)
-            return [BM25Scorer(df, self.doc_count, self.sum_ttf, boost=query.boost)]
-        return [BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf,
-                           boost=query.boost)
+            return [self.similarity(df, self.doc_count, self.sum_ttf,
+                                    boost=query.boost)]
+        return [self.similarity(tstats[t][0], self.doc_count, self.sum_ttf,
+                                boost=query.boost)
                 if t in tstats else None for t in terms]
 
     # ---- multi-term expansion (the AutomatonTermsEnum analog) ------------
@@ -315,9 +323,11 @@ class IndexSearcher:
 
         term_order = list(terms)
         # per-term scorers for query-time bound recomputation (only the
-        # term/or kernels consume block maxima)
+        # term/or kernels consume block maxima); needed when NRT appends
+        # moved the stats OR a non-BM25 similarity is plugged in
+        recompute = self.nrt_dirty or self.similarity is not BM25Scorer
         dirty_scorers = (dict(zip(term_order, scorers))
-                         if self.nrt_dirty and qtype in ("term", "or") else None)
+                         if recompute and qtype in ("term", "or") else None)
 
         def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(chunk_pdf):
