@@ -101,6 +101,19 @@ def main():
         searcher.search_batch(dict(headline), k=10).count()
         queries["batch_headline"] = round(time.time() - t0, 3)
 
+        # reference query set over the north-rule transcripts index:
+        # 40 mixed queries (term/and/or/phrase across the df spectrum)
+        # in one batched job -> queries/sec
+        from lucene_spark.fixtures.queryset import generate_queries
+        from lucene_spark.search.query import from_dict
+        tr_searcher = IndexSearcher(spark, os.path.join(tmp, "tr_idx"))
+        ref_qs = {q["qid"]: from_dict(q)
+                  for q in generate_queries(n_queries=40, seed=4242)}
+        t0 = time.time()
+        tr_searcher.search_batch(ref_qs, k=10).count()
+        ref_wall = time.time() - t0
+        queries["ref_set_40"] = round(ref_wall, 3)
+
         # training-data ops at bench scale
         from lucene_spark.ops import dedup as D
         from lucene_spark.ops import similarity as SIM
@@ -124,6 +137,7 @@ def main():
             "unit": "sec",
             "queries": queries,
             "p50_query_sec": p50,
+            "ref_queries_per_sec": round(40.0 / ref_wall, 1),
             "sf": sf,
             "build": {
                 "docs_corpus": {"rows": n_docs,
