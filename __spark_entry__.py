@@ -257,7 +257,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ev_window_agg(sp, sf):
         # event-time tumbling-window aggregation (the Structured
-        # Streaming windowed-agg shape, run in batch for the oracle)
+        # Streaming windowed-agg shape, run in batch for the oracle);
+        # session TZ pinned to UTC so windows match DuckDB's naive ts
+        sp.conf.set("spark.sql.session.timeZone", "UTC")
         ev = sp.read.parquet(os.path.join(sf, "events.parquet"))
         return (ev.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
                 .agg(F.count("*").alias("n"),
@@ -265,6 +267,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select(F.date_format("w.start", "yyyy-MM-dd HH:mm:ss")
                         .alias("w_start"), "event_type", "n", "sum_v"))
     q["ev_window_agg"] = ev_window_agg
+
+    def ev_sessionize(sp, sf):
+        # gap-based sessionization (30-min inactivity): lag + cumsum on
+        # gap>threshold — the batch shape of session_window
+        from pyspark.sql import Window
+        ev = sp.read.parquet(os.path.join(sf, "events.parquet"))
+        w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        secs = F.col("ts").cast("timestamp").cast("long")  # NTZ-safe; the
+        # lag difference cancels any session-TZ offset
+        gap = secs - F.lag(secs).over(w)
+        return (ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1)
+                              .otherwise(0))
+                .groupBy("user_id")
+                .agg(F.sum("_new").alias("n_sessions"),
+                     F.count("*").alias("n_events")))
+    q["ev_sessionize"] = ev_sessionize
 
     # --- training-data ops ---
     def dedup_exact(sp, sf):
@@ -574,6 +592,19 @@ GROUP BY doc_id HAVING count(*) = 3
 SELECT strftime(time_bucket(INTERVAL '5 minutes', ts), '%Y-%m-%d %H:%M:%S') AS w_start,
        event_type, count(*)::BIGINT AS n, round(sum(value), 2) AS sum_v
 FROM events GROUP BY 1, 2
+"""
+
+    o["ev_sessionize"] = """
+WITH g AS (
+  SELECT user_id,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)) > 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM events)
+SELECT user_id, sum(new_s)::BIGINT AS n_sessions, count(*)::BIGINT AS n_events
+FROM g GROUP BY user_id
 """
 
     o["dedup_exact"] = P + """
