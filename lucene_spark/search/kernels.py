@@ -101,10 +101,14 @@ def _norms_at(norms_arr, base_doc, doc_ids):
 
 
 def term_topk(chunk: TermChunk, scorer: BM25Scorer, norms_arr, base_doc,
-              k, pruned=True):
+              k, pruned=True, theta0=-np.inf):
     """Single-term top-k. Pruned mode visits blocks in descending
     block-max order and stops at the first block whose upper bound can't
-    beat the running k-th score (ImpactsDISI capability)."""
+    beat the running k-th score (ImpactsDISI capability). theta0 is an
+    optional GLOBAL minimum-competitive score (cross-partition
+    MaxScoreAccumulator analog): blocks bounded below it can be skipped
+    even before k local hits, because such docs cannot enter the global
+    top-k."""
     if chunk is None:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     if not pruned:
@@ -114,9 +118,10 @@ def term_topk(chunk: TermChunk, scorer: BM25Scorer, norms_arr, base_doc,
     order = np.argsort(-chunk.block_max, kind="stable")
     all_docs, all_scores = [], []
     count = 0
-    theta = -np.inf
+    theta = theta0
     for bi in order:
-        if count >= k and chunk.block_max[bi] < theta:
+        if chunk.block_max[bi] < theta and (count >= k
+                                            or chunk.block_max[bi] < theta0):
             break
         docs, tfs = chunk.decode(int(bi))
         scores = scorer.score(tfs, _norms_at(norms_arr, base_doc, docs))
@@ -126,7 +131,7 @@ def term_topk(chunk: TermChunk, scorer: BM25Scorer, norms_arr, base_doc,
         if count >= k:
             merged = np.concatenate(all_scores)
             if merged.size >= k:
-                theta = np.partition(merged, -k)[-k]
+                theta = max(theta0, np.partition(merged, -k)[-k])
     if not all_docs:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     return topk_select(np.concatenate(all_docs), np.concatenate(all_scores), k)
@@ -191,7 +196,8 @@ def and_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
     return topk_select(cand, total.astype(np.float32), k)
 
 
-def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
+def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
+            theta0=-np.inf):
     """Disjunction: score = Σ over matching terms (DisjunctionSumScorer).
 
     Pruned mode is block-max WAND at window granularity: window
@@ -235,11 +241,11 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
     # accumulate candidate scores doc->float32 (dict of arrays per window)
     got_d, got_s = [], []
     count = 0
-    theta = -np.inf
+    theta = theta0
     for wi in worder:
         if ub[wi] <= 0:
             break
-        if count >= k and ub[wi] < theta:
+        if ub[wi] < theta and (count >= k or ub[wi] < theta0):
             break
         lo, hi = windows[wi]
         parts_d, parts_s = [], []
@@ -266,7 +272,7 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True):
         if count >= k:
             merged = np.concatenate(got_s)
             if merged.size >= k:
-                theta = np.partition(merged, -k)[-k]
+                theta = max(theta0, np.partition(merged, -k)[-k])
     if not got_d:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     return topk_select(np.concatenate(got_d), np.concatenate(got_s), k)
@@ -589,21 +595,24 @@ def boolean_topk(must, should, must_not, filters, scorers_must, scorers_should,
 
 
 def score_bucket(qtype, chunks, scorers, norms_arr, base_doc, k,
-                 pruned=True, slop=0):
+                 pruned=True, slop=0, theta0=-np.inf):
     """Dispatch one (query, bucket) evaluation.
 
     chunks: list aligned with query terms; None where the term has no
     postings in this bucket. scorers: BM25Scorer per term, or a single
-    scorer for phrase (sum-idf weight).
+    scorer for phrase (sum-idf weight). theta0: optional global
+    minimum-competitive score for term/or pruning.
     """
     if qtype == "term":
-        return term_topk(chunks[0], scorers[0], norms_arr, base_doc, k, pruned)
+        return term_topk(chunks[0], scorers[0], norms_arr, base_doc, k,
+                         pruned, theta0)
     if qtype == "and":
         if any(c is None for c in chunks):
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
         return and_topk(chunks, scorers, norms_arr, base_doc, k, pruned)
     if qtype == "or":
-        return or_topk(chunks, scorers, norms_arr, base_doc, k, pruned)
+        return or_topk(chunks, scorers, norms_arr, base_doc, k, pruned,
+                       theta0)
     if qtype == "phrase":
         if any(c is None for c in chunks):
             return np.zeros(0, np.int64), np.zeros(0, np.float32)

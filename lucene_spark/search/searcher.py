@@ -263,12 +263,21 @@ class IndexSearcher:
 
     # ---- search ----------------------------------------------------------
     def search_df(self, query, k: int = 10, pruned: bool = True,
-                  doc_filter: str | None = None) -> DataFrame:
+                  doc_filter: str | None = None,
+                  two_pass: bool = False) -> DataFrame:
         """Returns the top-k DataFrame (doc_id, score), globally ordered.
 
         doc_filter: optional SQL predicate over docstore metadata
         columns (BooleanQuery FILTER ≙ semi-join; scores unchanged for
-        surviving docs)."""
+        surviving docs).
+
+        two_pass: cross-partition minCompetitiveScore (the distributed
+        MaxScoreAccumulator, core:search/MaxScoreAccumulator.java): a
+        cheap first pass scores only the most-promising bucket; its
+        k-th score — a true lower bound on the global k-th — is
+        broadcast as θ₀ so every other bucket can skip blocks bounded
+        below it even before k local hits. Provably rank-safe;
+        term/or shapes only."""
         spark = self.spark
         if isinstance(query, MultiTermQuery):
             expanded = self.expand_terms(query)
@@ -302,7 +311,8 @@ class IndexSearcher:
         tie = query.tie_breaker if qtype == "dismax" else 0.0
 
         chunks_df = (self._postings_for(present, query.field)
-                     .select("term", "bucket_id", "block_max_scores", "blocks"))
+                     .select("term", "bucket_id", "max_score",
+                             "block_max_scores", "blocks"))
         norms_df = (spark.read.parquet(self.norms_path)
                     .select("bucket_id", "base_doc", "norms"))
         # Attach the bucket's packed norms to each chunk row: an equi-join
@@ -329,7 +339,8 @@ class IndexSearcher:
         dirty_scorers = (dict(zip(term_order, scorers))
                          if recompute and qtype in ("term", "or") else None)
 
-        def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
+        def make_run(theta0: float):
+          def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(chunk_pdf):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float32")})
@@ -380,12 +391,32 @@ class IndexSearcher:
             else:
                 sc = scorers if qtype not in ("phrase", "synonym") else [scorers[0]]
                 docs, scores = score_bucket(qtype, chunks, sc, norms_arr, base,
-                                            k, pruned=pruned, slop=slop)
+                                            k, pruned=pruned, slop=slop,
+                                            theta0=theta0)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": scores.astype(np.float32)})
+          return run
+
+        theta0 = float("-inf")
+        if two_pass and pruned and qtype in ("term", "or"):
+            # pass A: score only the most-promising bucket (highest sum
+            # of chunk maxima); its k-th score lower-bounds the global
+            # k-th, so it is a safe cross-partition θ₀
+            best = (chunks_df.groupBy("bucket_id")
+                    .agg(F.sum("max_score").alias("s"))
+                    .orderBy(F.col("s").desc()).limit(1).collect())
+            if best:
+                b0 = int(best[0]["bucket_id"])
+                rows = (joined.filter(F.col("bucket_id") == b0)
+                        .groupBy("bucket_id")
+                        .applyInPandas(make_run(float("-inf")), RESULT_SCHEMA)
+                        .orderBy(F.col("score").desc(), F.col("doc_id"))
+                        .limit(k).collect())
+                if len(rows) >= k:
+                    theta0 = float(rows[-1]["score"])
 
         per_bucket = (joined.groupBy("bucket_id")
-                      .applyInPandas(run, schema=RESULT_SCHEMA))
+                      .applyInPandas(make_run(theta0), schema=RESULT_SCHEMA))
         return (per_bucket
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
@@ -514,10 +545,11 @@ class IndexSearcher:
                 .filter(F.col("_rk") <= k).drop("_rk"))
 
     def search(self, query, k: int = 10, pruned: bool = True,
-               doc_filter: str | None = None) -> list:
+               doc_filter: str | None = None, two_pass: bool = False) -> list:
         """Returns [(doc_id, float32 score)] — the TopDocs."""
         return [(int(r["doc_id"]), np.float32(r["score"]))
-                for r in self.search_df(query, k, pruned, doc_filter).collect()]
+                for r in self.search_df(query, k, pruned, doc_filter,
+                                        two_pass).collect()]
 
     def explain(self, query, doc_id: int) -> dict:
         """Score explanation for one (query, doc) — the Weight.explain
