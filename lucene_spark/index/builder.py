@@ -387,7 +387,7 @@ class IndexBuilder:
         st.coalesce(1).write.mode("overwrite").parquet(path)
         self.catalog.commit({"stats": rel})
 
-    def merge(self, seg_path: str) -> str:
+    def merge(self, seg_path: str, force: bool = False) -> str:
         """The shuffle-merge: segments -> term dictionary partitioned by
         a term-hash prefix.
 
@@ -407,7 +407,8 @@ class IndexBuilder:
         no block re-encoding (cf. SegmentMerger.java:114-189 which must
         remap docIDs).
         """
-        if self.catalog.has_table("postings") and self.catalog.has_table("termstats"):
+        if (not force and self.catalog.has_table("postings")
+                and self.catalog.has_table("termstats")):
             return self.catalog.table_path("postings")
         spark = self.spark
         seg = spark.read.parquet(seg_path)

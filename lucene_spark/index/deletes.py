@@ -31,14 +31,16 @@ LIVEDOCS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, live binary"
 
 def delete_docs(spark: SparkSession, index_dir: str, predicate: str) -> int:
     """Mark docs matching the SQL predicate as deleted. Returns the
-    number of newly deleted docs. Publishes a new commit point."""
+    number of NEWLY deleted docs (docs already dead are not recounted).
+    Publishes a new commit point."""
     cat = IndexCatalog(index_dir)
     nm = (spark.read.parquet(cat.table_path("norms"))
           .select("bucket_id", "base_doc", "num_docs"))
     dead = (spark.read.parquet(cat.table_path("docstore"))
             .filter(predicate)
             .select("bucket_id", "doc_id")
-            .join(F.broadcast(nm), "bucket_id"))
+            .join(F.broadcast(nm), "bucket_id")
+            .persist())
 
     prev_path = cat.table_path("livedocs")
     prev = {}
@@ -47,6 +49,8 @@ def delete_docs(spark: SparkSession, index_dir: str, predicate: str) -> int:
             prev[int(r["bucket_id"])] = (int(r["base_doc"]),
                                          int(r["num_docs"]),
                                          bytes(r["live"]))
+
+    MARK_SCHEMA = LIVEDOCS_SCHEMA + ", n_new_dead bigint"
 
     def mark(pdf: pd.DataFrame) -> pd.DataFrame:
         b = int(pdf["bucket_id"].iloc[0])
@@ -59,26 +63,33 @@ def delete_docs(spark: SparkSession, index_dir: str, predicate: str) -> int:
             live = np.unpackbits(np.frombuffer(prev[b][2], np.uint8), count=nd)
         else:
             live = np.ones(nd, dtype=np.uint8)
+        newly = int((live & dead_bm).sum())
         live = live & (1 - dead_bm)
         return pd.DataFrame({"bucket_id": [b], "base_doc": [base],
                              "num_docs": [nd],
-                             "live": [np.packbits(live).tobytes()]})
+                             "live": [np.packbits(live).tobytes()],
+                             "n_new_dead": [newly]})
 
     updated = (dead.groupBy("bucket_id")
-               .applyInPandas(mark, LIVEDOCS_SCHEMA))
+               .applyInPandas(mark, MARK_SCHEMA)
+               .persist())
+    n_deleted = int(updated.agg(F.sum("n_new_dead")).collect()[0][0] or 0)
     # carry forward untouched buckets' previous bitmaps
     touched = {r["bucket_id"] for r in
                updated.select("bucket_id").distinct().collect()}
     rows = [(b, base, nd, live) for b, (base, nd, live) in prev.items()
             if b not in touched]
     carry = spark.createDataFrame(rows, LIVEDOCS_SCHEMA) if rows else None
-    out = updated if carry is None else updated.unionByName(carry)
+    out = updated.drop("n_new_dead")
+    if carry is not None:
+        out = out.unionByName(carry)
     path, rel = cat.new_table_dir("livedocs")
     out.write.mode("overwrite").parquet(path)
+    updated.unpersist()
+    dead.unpersist()
 
-    n_deleted = dead.count()
     cat.commit({"livedocs": rel}, extra={"has_deletes": True})
-    return int(n_deleted)
+    return n_deleted
 
 
 def live_count(spark: SparkSession, index_dir: str) -> int:

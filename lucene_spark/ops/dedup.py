@@ -11,6 +11,12 @@ hash keys are uniform by construction so no skew — and (b) the
 candidate-pair self-join, whose input is already reduced to colliding
 buckets. Pair verification (exact Jaccard) touches only candidates that
 share a bucket, never the full cross product.
+
+Caching: minhash_pairs / jaccard_pairs persist() their signature /
+shingle frames so the self-join does not duplicate the md5 expression
+chains (Catalyst inlines them into both sides otherwise). The cache
+lives until Spark evicts it; pipelines iterating many shards in one
+session should spark.catalog.clearCache() between shards.
 """
 
 from __future__ import annotations
@@ -84,6 +90,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     Returns (id_col, sig: array<bigint>) with -1 sentinel for docs with
     no shingles.
     """
+    if num_hashes > 14:
+        # (MINHASH_P-1) * (s+2) must stay inside int64: s+2 <= 16
+        raise ValueError("num_hashes must be <= 14 (int64 overflow in the "
+                         "seed-mix hash family beyond s+2 = 16)")
     sh = shingles_expr("toks", shingle_n)
     seeds = ", ".join(str(s) for s in range(num_hashes))
     hs = F.expr(f"transform(sh, x -> {_hash64_sql('x')} % {MINHASH_P})")

@@ -237,6 +237,25 @@ class IndexSearcher:
         rows = ts.orderBy("term").limit(query.max_expansions).collect()
         return [r["term"] for r in rows]
 
+    def _attach_live(self, df: DataFrame):
+        """Left-join the live-doc bitmaps (with their own base/size) to a
+        per-bucket chunk frame; returns (df, has_live)."""
+        if self.livedocs_path is None:
+            return df, False
+        live_df = (self.spark.read.parquet(self.livedocs_path)
+                   .select("bucket_id",
+                           F.col("base_doc").alias("_lv_base"),
+                           F.col("num_docs").alias("_lv_n"), "live"))
+        return df.join(live_df, "bucket_id", "left"), True
+
+    @staticmethod
+    def _live_docset(pdf: pd.DataFrame):
+        lb = pdf["live"].iloc[0]
+        if lb is None:
+            return None
+        return DocSetChunk(bytes(lb), int(pdf["_lv_base"].iloc[0]),
+                           int(pdf["_lv_n"].iloc[0]))
+
     def _doc_filter_bitmaps(self, doc_filter: str) -> DataFrame:
         """Pushed-down metadata predicate -> per-bucket doc bitmaps.
 
@@ -432,14 +451,19 @@ class IndexSearcher:
         norms_df = (spark.read.parquet(self.norms_path)
                     .select("bucket_id", "base_doc", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
+        joined, has_live = self._attach_live(joined)
+        live_docset = IndexSearcher._live_docset  # avoid capturing self
 
         def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(chunk_pdf):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float32")})
             base = int(chunk_pdf["base_doc"].iloc[0])
+            live_ds = live_docset(chunk_pdf) if has_live else None
             chunks = [TermChunk(b, bm) for b, bm in
                       zip(chunk_pdf["blocks"], chunk_pdf["block_max_scores"])]
+            if live_ds is not None:
+                chunks = [MaskedChunk(c, live_ds) for c in chunks]
             docs, scores = constant_or_topk(chunks, boost, None, base, k)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": scores.astype(np.float32)})
@@ -468,6 +492,11 @@ class IndexSearcher:
         """
         from pyspark.sql.window import Window
         spark = self.spark
+        for qid, q in queries.items():
+            if getattr(q, "field", self.field) != self.field:
+                raise ValueError(
+                    f"search_batch: query {qid!r} targets field "
+                    f"{q.field!r}, index field is {self.field!r}")
         all_terms = sorted({t for q in queries.values() for t in q.terms})
         tstats = self.term_stats(all_terms)
         plans = {}
@@ -494,6 +523,8 @@ class IndexSearcher:
         norms_df = (spark.read.parquet(self.norms_path)
                     .select("bucket_id", "base_doc", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
+        joined, has_live = self._attach_live(joined)
+        live_docset = IndexSearcher._live_docset
 
         def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"query_id": pd.Series(dtype="object"),
@@ -504,9 +535,14 @@ class IndexSearcher:
             norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]),
                                       dtype=np.uint8)
             base = int(chunk_pdf["base_doc"].iloc[0])
-            by_term = {t: TermChunk(b, bms) for t, bms, b in
-                       zip(chunk_pdf["term"], chunk_pdf["block_max_scores"],
-                           chunk_pdf["blocks"])}
+            live_ds = live_docset(chunk_pdf) if has_live else None
+            by_term = {}
+            for t, bms, b in zip(chunk_pdf["term"],
+                                 chunk_pdf["block_max_scores"],
+                                 chunk_pdf["blocks"]):
+                ch = TermChunk(b, bms)
+                by_term[t] = (MaskedChunk(ch, live_ds)
+                              if live_ds is not None else ch)
             out = []
             for qid, (qt, terms, scorers, slop, groups, msm, tie) in plans.items():
                 chunks = [by_term.get(t) for t in terms]
@@ -640,7 +676,9 @@ class IndexSearcher:
             return spark.createDataFrame([], PHRASE_SCHEMA)
         chunks_df = (self._postings_for(list(terms), field)
                      .select("term", "bucket_id", "blocks"))
+        chunks_df, has_live = self._attach_live(chunks_df)
         term_order = list(terms)
+        live_docset = IndexSearcher._live_docset
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             by_term = {t: TermChunk(b, [0.0] * len(b))
@@ -649,6 +687,9 @@ class IndexSearcher:
             if any(c is None for c in chunks):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "freq": pd.Series(dtype="int32")})
+            live_ds = live_docset(pdf) if has_live else None
+            if live_ds is not None:
+                chunks = [MaskedChunk(c, live_ds) for c in chunks]
             docs, freqs = phrase_freqs(chunks, pruned=True, slop=slop)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "freq": freqs.astype(np.int32)})
@@ -668,7 +709,9 @@ class IndexSearcher:
             return spark.createDataFrame([], "doc_id bigint, span int")
         chunks_df = (self._postings_for(list(terms), field)
                      .select("term", "bucket_id", "blocks"))
+        chunks_df, has_live = self._attach_live(chunks_df)
         term_order = list(terms)
+        live_docset = IndexSearcher._live_docset
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
             from .kernels import min_span_freqs
@@ -678,6 +721,9 @@ class IndexSearcher:
             if any(c is None for c in chunks):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "span": pd.Series(dtype="int32")})
+            live_ds = live_docset(pdf) if has_live else None
+            if live_ds is not None:
+                chunks = [MaskedChunk(c, live_ds) for c in chunks]
             docs, spans = min_span_freqs(chunks, pruned=True)
             keep = spans <= max_gaps
             return pd.DataFrame({"doc_id": docs[keep].astype(np.int64),

@@ -60,12 +60,60 @@ class NRTIndexWriter:
                                    int(extra.get("num_buckets", 1)) - 1))
         return int(st["doc_count"]), int(st["sum_ttf"]), max_bucket
 
+    def _recover_pending(self, pending: list) -> None:
+        """Clean up a mid-append crash: drop the partially written
+        buckets' files and rewrite norms/postings without their rows,
+        then clear the marker. Rare path — correctness over speed."""
+        import glob
+        import os
+        import shutil
+        spark = self.spark
+        cat = self.catalog
+        for table in ("docstore", "segments"):
+            root = cat.table_path(table)
+            for b in pending:
+                shutil.rmtree(os.path.join(root, f"bucket_id={b}"),
+                              ignore_errors=True)
+        # norms: rebuild from the (now clean) docstore
+        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("doc_id")
+            return pd.DataFrame({
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "base_doc": [int(pdf["doc_id"].iloc[0])],
+                "num_docs": [len(pdf)],
+                "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()]})
+        n_path, n_rel = cat.new_table_dir("norms")
+        (spark.read.parquet(cat.table_path("docstore"))
+         .select("doc_id", "norm", "bucket_id")
+         .groupBy("bucket_id")
+         .applyInPandas(pack, "bucket_id int, base_doc bigint, "
+                              "num_docs int, norms binary")
+         .write.mode("overwrite").parquet(n_path))
+        # postings: rewrite without the pending buckets' chunks
+        p_path, p_rel = cat.new_table_dir("postings")
+        (spark.read.parquet(cat.table_path("postings"))
+         .filter(~F.col("bucket_id").isin(list(pending)))
+         .write.mode("overwrite").partitionBy("term_h").parquet(p_path))
+        cat.commit({"norms": n_rel, "postings": p_rel},
+                   extra={"pending_buckets": None})
+
     def append_batch(self, batch: DataFrame, batch_id: int = 0) -> int:
         """One micro-batch -> new bucket(s) appended + catalog commit.
         Returns the number of rows appended. Batch rows are sorted by
         (conv_id, turn_idx) for doc_id assignment; doc_ids continue
-        after the current maxDoc (append-only, like segment docBase)."""
+        after the current maxDoc (append-only, like segment docBase).
+
+        Exactly-once: a replayed batch_id (foreachBatch retry after a
+        successful commit) is a no-op; a crash mid-append leaves a
+        pending-buckets marker that the next append (or the retry)
+        cleans up before ingesting."""
         spark = self.spark
+        extra = (self.catalog.latest_commit().get("extra") or {})
+        if batch_id and int(extra.get("last_batch_id", -1)) >= int(batch_id):
+            return 0  # replayed micro-batch, already committed
+        pending = extra.get("pending_buckets")
+        if pending:
+            self._recover_pending(pending)
         doc_count, sum_ttf, max_bucket = self._state()
         field = self.field
 
@@ -112,6 +160,10 @@ class NRTIndexWriter:
                     "bucket_id": np.full(len(pdf), b0 + pid, dtype=np.int32),
                 })
 
+        # publish the pending marker BEFORE any data write so a crash
+        # anywhere below is recoverable (recovery drops these buckets)
+        self.catalog.commit({}, extra={"pending_buckets":
+                                       list(range(b0, b0 + n_new))})
         ds_new = sorted_b.mapInPandas(assign, DOCSTORE_SCHEMA)
         ds_path = self.catalog.table_path("docstore")
         ds_new.write.mode("append").partitionBy("bucket_id").parquet(ds_path)
@@ -143,20 +195,44 @@ class NRTIndexWriter:
          .groupBy("bucket_id").applyInPandas(pack, schema=NORMS_SCHEMA)
          .write.mode("append").parquet(self.catalog.table_path("norms")))
 
-        # postings: append the new chunks into the hash-partitioned term
-        # dict (stale-stats caveat handled by nrt_dirty; see module doc)
+        # postings: append the new chunks with block maxima computed
+        # under the PRE-APPEND stats. For a pre-append searcher (old
+        # scorers bound to the same stats) these are exact upper bounds;
+        # a post-append searcher sees nrt_dirty and re-derives bounds
+        # from the impacts (see module doc) — both rank-safe.
+        def add_max_scores(batches):
+            scorer_cache = {}
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                maxs, block_maxs = [], []
+                for df_, blocks in zip(pdf["df"], pdf["blocks"]):
+                    key = int(df_)
+                    sc = scorer_cache.get(key)
+                    if sc is None:
+                        from ..kernels.bm25 import BM25Scorer
+                        sc = scorer_cache[key] = BM25Scorer(
+                            key, doc_count, sum_ttf)
+                    bm = [float(sc.max_score_for_impacts(
+                        b["imp_freqs"], b["imp_norms"])) for b in blocks]
+                    block_maxs.append(bm)
+                    maxs.append(max(bm) if bm else 0.0)
+                out = pdf.copy()
+                out["max_score"] = np.array(maxs, dtype=np.float32)
+                out["block_max_scores"] = block_maxs
+                yield out[["field", "term", "bucket_id", "df", "ttf",
+                           "max_score", "block_max_scores", "blocks",
+                           "term_h"]]
+
         add = (spark.read.parquet(seg_path)
                .filter(F.col("bucket_id").isin(new_buckets))
-               .withColumn("max_score", F.lit(0.0).cast("float"))
-               .withColumn("block_max_scores",
-                           F.expr("transform(blocks, b -> cast(0.0 as float))"))
                .withColumn("term_h", F.substring(F.md5("term"), 1, 2))
-               .select("field", "term", "bucket_id", "df", "ttf",
-                       "max_score", "block_max_scores", "blocks", "term_h"))
+               .mapInPandas(add_max_scores, POSTINGS_SCHEMA))
         add.write.mode("append").partitionBy("term_h").parquet(
             self.catalog.table_path("postings"))
 
-        # refresh stats + termstats (cheap aggregates)
+        # refresh stats + termstats: O(batch) incremental merge, not a
+        # full-corpus re-aggregation
         agg = ds_appended.agg(F.count("*").alias("n"),
                               F.sum("token_count").alias("s")).collect()[0]
         new_count = doc_count + int(agg["n"])
@@ -166,15 +242,27 @@ class NRTIndexWriter:
             [(self.field, new_count, new_sttf, new_sttf / new_count)],
             "field string, doc_count bigint, sum_ttf bigint, avgdl double"
         ).coalesce(1).write.mode("overwrite").parquet(st_path)
+        delta = (spark.read.parquet(seg_path)
+                 .filter(F.col("bucket_id").isin(new_buckets))
+                 .groupBy("field", "term")
+                 .agg(F.sum("df").alias("d_df"), F.sum("ttf").alias("d_ttf")))
+        old_ts = (spark.read.parquet(self.catalog.table_path("termstats"))
+                  .select("field", "term", "df", "ttf", "max_score"))
+        merged_ts = (old_ts.join(delta, ["field", "term"], "full_outer")
+                     .select("field", "term",
+                             (F.coalesce("df", F.lit(0))
+                              + F.coalesce("d_df", F.lit(0))).alias("df"),
+                             (F.coalesce("ttf", F.lit(0))
+                              + F.coalesce("d_ttf", F.lit(0))).alias("ttf"),
+                             F.coalesce("max_score",
+                                        F.lit(0.0).cast("float"))
+                             .alias("max_score")))
         ts_path, ts_rel = self.catalog.new_table_dir("termstats")
-        (spark.read.parquet(seg_path)
-         .groupBy("field", "term")
-         .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
-              F.lit(0.0).cast("float").alias("max_score"))
-         .write.mode("overwrite").parquet(ts_path))
+        merged_ts.write.mode("overwrite").parquet(ts_path)
         self.catalog.commit({"stats": st_rel, "termstats": ts_rel},
                             extra={"max_bucket": b0 + n_new - 1,
                                    "nrt_dirty": True,
+                                   "pending_buckets": None,
                                    "last_batch_id": int(batch_id),
                                    "appended_at_ms": int(time.time() * 1000)})
         return int(agg["n"])
@@ -185,10 +273,10 @@ class NRTIndexWriter:
         c = self.catalog.latest_commit()
         nb = int((c.get("extra") or {}).get("max_bucket", 0)) + 1
         b = IndexBuilder(self.spark, self.catalog.root, num_buckets=nb)
-        # drop the merged tables from the manifest so merge() rebuilds
-        # them from all segments (old data dirs stay for open readers)
-        self.catalog.drop_tables(["postings", "termstats"])
-        b.merge(self.catalog.table_path("segments"))
+        # force=True: the re-merge writes NEW table dirs and publishes
+        # them in one commit — readers see either the old or the new
+        # fully-built dictionary, never a window without one
+        b.merge(self.catalog.table_path("segments"), force=True)
         self.catalog.commit({}, extra={"nrt_dirty": False})
 
 

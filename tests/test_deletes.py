@@ -56,6 +56,36 @@ def test_count_respects_deletes(spark, del_index):
     assert got == exact
 
 
+def test_deletes_cover_all_search_paths(spark, del_index):
+    """search_batch, constant-score, phrase_matches and interval_matches
+    must honor live-docs too."""
+    from lucene_spark.search.query import MultiTermQuery
+    cat = IndexCatalog(del_index)
+    dead = {r["doc_id"] for r in
+            spark.read.parquet(cat.table_path("docstore"))
+            .filter("role = 'tool'").select("doc_id").collect()}
+    s = IndexSearcher(spark, del_index)
+    # batch path
+    batch = s.search_batch({"a": OrQuery((T[1], T[4])),
+                            "b": TermQuery(T[2])}, k=500).collect()
+    assert not any(int(r["doc_id"]) in dead for r in batch)
+    # constant-score multi-term path
+    cs = s.search_df(MultiTermQuery("set", (T[1], T[2]),
+                                    rewrite="constant_score"), k=10**6)
+    assert not any(int(r["doc_id"]) in dead for r in cs.collect())
+    # phrase + interval paths
+    ph = s.phrase_matches([T[0], T[1]])
+    assert not any(int(r["doc_id"]) in dead for r in ph.collect())
+    iv = s.interval_matches([T[1], T[4]], max_gaps=5)
+    assert not any(int(r["doc_id"]) in dead for r in iv.collect())
+
+
+def test_delete_count_not_double_counted(spark, del_index):
+    # re-deleting the same predicate must report 0 newly deleted
+    n = delete_docs(spark, del_index, "role = 'tool'")
+    assert n == 0
+
+
 def test_live_count_and_cumulative_deletes(spark, del_index):
     total = int(spark.read.parquet(
         IndexCatalog(del_index).table_path("stats")).collect()[0]["doc_count"])

@@ -81,6 +81,50 @@ def test_compact_clears_dirty_and_preserves_results(spark, nrt_setup):
     assert before == after
 
 
+def test_append_replay_is_noop(spark, nrt_setup):
+    """Replaying an already-committed micro-batch id must not ingest."""
+    nrt_dir, _ = nrt_setup
+    before = IndexSearcher(spark, nrt_dir).doc_count
+    batch = (transcripts_df(spark, n_convs=120, seed=42, partitions=4)
+             .filter(F.col("conv_id") >= "conv00000100"))
+    n = NRTIndexWriter(spark, nrt_dir).append_batch(batch, batch_id=1)
+    assert n == 0
+    assert IndexSearcher(spark, nrt_dir).doc_count == before
+
+
+def test_append_recovers_from_partial_crash(spark, tmp_path_factory):
+    """A pending-buckets marker with partially written files must be
+    cleaned before the next ingest; results equal a clean append."""
+    import glob
+    import os
+    import shutil
+    root = tmp_path_factory.mktemp("crash")
+    idx = str(root / "idx")
+    base = transcripts_df(spark, n_convs=60, seed=42, partitions=2)
+    build_index(spark, base, idx, num_buckets=2)
+    cat = IndexCatalog(idx)
+    before_count = IndexSearcher(spark, idx).doc_count
+    # simulate a crash: marker committed, docstore dir partially written
+    ds_root = cat.table_path("docstore")
+    junk = os.path.join(ds_root, "bucket_id=2")
+    os.makedirs(junk, exist_ok=True)
+    src_file = glob.glob(os.path.join(ds_root, "bucket_id=0", "*.parquet"))[0]
+    shutil.copy(src_file, os.path.join(junk, "part-junk.parquet"))
+    cat.commit({}, extra={"pending_buckets": [2]})
+    # next append must recover, then ingest cleanly
+    batch = (transcripts_df(spark, n_convs=70, seed=42, partitions=2)
+             .filter(F.col("conv_id") >= "conv00000060"))
+    n = NRTIndexWriter(spark, idx).append_batch(batch, batch_id=1)
+    assert n > 0
+    s = IndexSearcher(spark, idx)
+    truth = transcripts_df(spark, n_convs=70, seed=42, partitions=2).count()
+    assert s.doc_count == truth
+    assert before_count < truth
+    # docstore has no duplicate doc_ids
+    ds = spark.read.parquet(cat.table_path("docstore"))
+    assert ds.count() == ds.select("doc_id").distinct().count() == truth
+
+
 def test_streaming_foreachbatch(spark, tmp_path_factory):
     root = tmp_path_factory.mktemp("nrt_stream")
     idx = str(root / "idx")
