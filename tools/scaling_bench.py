@@ -48,22 +48,29 @@ n_turns = tr.count()
 from lucene_spark.index.builder import suggest_buckets
 buckets = max(buckets, suggest_buckets(n_turns))
 spark.conf.set("spark.sql.shuffle.partitions", str(buckets))
-tmp = tempfile.mkdtemp(prefix=f"scale_{{cpus}}_")
-t0 = time.time()
-build_index(spark, tr, tmp, num_buckets=buckets)
-wall = time.time() - t0
-shutil.rmtree(tmp, ignore_errors=True)
+trials = int(sys.argv[5]) if len(sys.argv) > 5 else 1
+walls = []
+for t in range(trials):
+    tmp = tempfile.mkdtemp(prefix=f"scale_{{cpus}}_")
+    t0 = time.time()
+    build_index(spark, tr, tmp, num_buckets=buckets)
+    walls.append(time.time() - t0)
+    shutil.rmtree(tmp, ignore_errors=True)
+wall = min(walls)  # steady-state: JIT + page cache warm after trial 1
 print("RESULT " + json.dumps({{"cpus": cpus, "turns": n_turns,
                                "sec": round(wall, 2),
+                               "walls": [round(w, 2) for w in walls],
                                "turns_per_sec": round(n_turns / wall, 1)}}))
 spark.stop()
 """
 
 
-def run_level(cpus: int, convs: int, buckets: int, src: str) -> dict:
+def run_level(cpus: int, convs: int, buckets: int, src: str,
+              trials: int = 1) -> dict:
     script = _CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cpus), str(convs), str(buckets), src],
+        [sys.executable, "-c", script, str(cpus), str(convs), str(buckets),
+         src, str(trials)],
         capture_output=True, text=True, timeout=3000)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
@@ -76,15 +83,18 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--convs", type=int, default=30000)
     ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--trials", type=int, default=1,
+                    help="builds per level; min wall is reported "
+                         "(steady-state: warm JIT/page cache)")
     ap.add_argument("--write", action="store_true")
     args = ap.parse_args()
     buckets = 4 * args.n
     import tempfile
     src = os.path.join(tempfile.gettempdir(),
                        f"scaling_src_{args.convs}.parquet")
-    low = run_level(args.n, args.convs, buckets, src)
+    low = run_level(args.n, args.convs, buckets, src, args.trials)
     print(f"local[{args.n}]: {low}", file=sys.stderr)
-    high = run_level(4 * args.n, args.convs, buckets, src)
+    high = run_level(4 * args.n, args.convs, buckets, src, args.trials)
     print(f"local[{4 * args.n}]: {high}", file=sys.stderr)
     eff = (high["turns_per_sec"] / low["turns_per_sec"]) / 4.0
     report = {
