@@ -34,7 +34,7 @@ from lucene_spark.search.query import (AndQuery, BooleanQuery, DisMaxQuery,
                                        SynonymQuery, TermQuery)
 from lucene_spark.search.searcher import IndexSearcher
 
-_FORMAT_VERSION = "v4"
+_FORMAT_VERSION = "v5"  # v5: 'h'-prefixed term_h partition values
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".idxcache")
 

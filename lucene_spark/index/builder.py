@@ -450,7 +450,8 @@ class IndexBuilder:
         merged = (seg.join(F.broadcast(ts.select("field", "term",
                                                  F.col("df").alias("g_df"))),
                            ["field", "term"])
-                  .withColumn("term_h", F.substring(F.md5("term"), 1, 2))
+                  .withColumn("term_h", F.concat(F.lit("h"),
+                                                 F.substring(F.md5("term"), 1, 2)))
                   .repartition(self.merge_partitions, "term_h")
                   .sortWithinPartitions("field", "term", "bucket_id")
                   .mapInPandas(add_max_scores, schema=POSTINGS_SCHEMA))

@@ -49,6 +49,25 @@ class TermChunk:
     def n_blocks(self):
         return len(self.blocks)
 
+    def rebound(self, block_max_scores):
+        """View of this chunk with different block-max bounds (query-time
+        recompute from impacts, MaxScoreCache analog) sharing the decode
+        caches — used when baked BM25 floats are not valid upper bounds
+        (NRT-dirty stats, non-BM25 similarity, boosted query)."""
+        c = TermChunk.__new__(TermChunk)
+        c.blocks = self.blocks
+        c.block_max = np.asarray(block_max_scores, dtype=np.float32)
+        c.firsts, c.lasts = self.firsts, self.lasts
+        c._decoded, c._positions = self._decoded, self._positions
+        return c
+
+    def recompute_bounds(self, scorer):
+        """Per-block upper bounds from the stored (freq, norm) impact
+        skylines under the given scorer."""
+        return [float(scorer.max_score_for_impacts(
+            np.asarray(b["imp_freqs"]), np.asarray(b["imp_norms"])))
+            for b in self.blocks]
+
     def decode(self, i):
         d = self._decoded.get(i)
         if d is None:
@@ -77,10 +96,12 @@ class TermChunk:
     def tf_at(self, doc_ids):
         """tf for given sorted candidate docs; 0 where absent."""
         docs, tfs = self.decode_all()
-        idx = np.searchsorted(docs, doc_ids)
-        idx_c = np.minimum(idx, max(docs.size - 1, 0))
-        hit = (docs.size > 0) & (docs[idx_c] == doc_ids)
         out = np.zeros(len(doc_ids), dtype=np.int64)
+        if docs.size == 0:
+            return out
+        idx = np.searchsorted(docs, doc_ids)
+        idx_c = np.minimum(idx, docs.size - 1)
+        hit = docs[idx_c] == doc_ids
         out[hit] = tfs[idx_c[hit]]
         return out
 
@@ -464,9 +485,13 @@ class DocSetChunk:
         return range(0, 1)
 
     def tf_at(self, doc_ids):
+        if self._docs.size == 0:
+            # all-deleted / empty-filter bucket: nothing matches (indexing
+            # an empty array with idx_c would raise)
+            return np.zeros(len(doc_ids), dtype=np.int64)
         idx = np.searchsorted(self._docs, doc_ids)
-        idx_c = np.minimum(idx, max(self._docs.size - 1, 0))
-        hit = (self._docs.size > 0) & (self._docs[idx_c] == doc_ids)
+        idx_c = np.minimum(idx, self._docs.size - 1)
+        hit = self._docs[idx_c] == doc_ids
         return hit.astype(np.int64)
 
 

@@ -123,9 +123,13 @@ class IndexSearcher:
     @staticmethod
     def _term_hs(terms) -> list:
         """Partition keys for the hash-partitioned term dictionary
-        (md5 prefix, mirrors the build's term_h column)."""
+        ('h' + md5 prefix, mirrors the build's term_h column; the 'h'
+        prefix keeps Spark's partition-column type inference from
+        reading all-numeric hex values like '07' back as ints, which
+        would make the string isin() silently match nothing)."""
         import hashlib
-        return sorted({hashlib.md5(t.encode()).hexdigest()[:2] for t in terms})
+        return sorted({"h" + hashlib.md5(t.encode()).hexdigest()[:2]
+                       for t in terms})
 
     def _postings_for(self, terms, field: str) -> DataFrame:
         """Postings scan with directory-level pruning (term_h partition
@@ -306,7 +310,7 @@ class IndexSearcher:
                 return self.search_df(
                     OrQuery(tuple(expanded), field=query.field,
                             boost=query.boost), k, pruned, doc_filter)
-            return self._constant_score_df(expanded, query, k)
+            return self._constant_score_df(expanded, query, k, doc_filter)
         terms = query.terms
         qtype = _qtype(query)
         tstats = self.term_stats(terms)
@@ -353,8 +357,11 @@ class IndexSearcher:
         term_order = list(terms)
         # per-term scorers for query-time bound recomputation (only the
         # term/or kernels consume block maxima); needed when NRT appends
-        # moved the stats OR a non-BM25 similarity is plugged in
-        recompute = self.nrt_dirty or self.similarity is not BM25Scorer
+        # moved the stats, a non-BM25 similarity is plugged in, OR the
+        # query carries a boost (baked floats are boost-1.0 BM25 — a
+        # boosted score can exceed them, breaking prune rank-safety)
+        recompute = (self.nrt_dirty or self.similarity is not BM25Scorer
+                     or float(getattr(query, "boost", 1.0)) != 1.0)
         dirty_scorers = (dict(zip(term_order, scorers))
                          if recompute and qtype in ("term", "or") else None)
 
@@ -441,16 +448,22 @@ class IndexSearcher:
                 .limit(k))
 
     def _constant_score_df(self, expanded: list, query: MultiTermQuery,
-                           k: int) -> DataFrame:
+                           k: int, doc_filter: str | None = None) -> DataFrame:
         """CONSTANT_SCORE rewrite: union of expanded postings, fixed
-        score, ties by doc_id (no norms/stats needed)."""
+        score, ties by doc_id (no norms/stats needed). doc_filter
+        composes exactly like the scored path: per-bucket bitmaps,
+        MaskedChunk semi-join."""
         spark = self.spark
         boost = float(query.boost)
         chunks_df = (self._postings_for(expanded, query.field)
                      .select("term", "bucket_id", "block_max_scores", "blocks"))
         norms_df = (spark.read.parquet(self.norms_path)
-                    .select("bucket_id", "base_doc", "norms"))
+                    .select("bucket_id", "base_doc", "num_docs", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
+        has_filter = doc_filter is not None
+        if has_filter:
+            joined = joined.join(self._doc_filter_bitmaps(doc_filter),
+                                 "bucket_id")
         joined, has_live = self._attach_live(joined)
         live_docset = IndexSearcher._live_docset  # avoid capturing self
 
@@ -462,6 +475,10 @@ class IndexSearcher:
             live_ds = live_docset(chunk_pdf) if has_live else None
             chunks = [TermChunk(b, bm) for b, bm in
                       zip(chunk_pdf["blocks"], chunk_pdf["block_max_scores"])]
+            if has_filter:
+                fds = DocSetChunk(bytes(chunk_pdf["doc_bitmap"].iloc[0]),
+                                  base, int(chunk_pdf["num_docs"].iloc[0]))
+                chunks = [MaskedChunk(c, fds) for c in chunks]
             if live_ds is not None:
                 chunks = [MaskedChunk(c, live_ds) for c in chunks]
             docs, scores = constant_or_topk(chunks, boost, None, base, k)
@@ -509,12 +526,22 @@ class IndexSearcher:
                 continue
             if not any(t in tstats for t in q.terms):
                 continue
+            # term/or pruning consumes block maxima: recompute them from
+            # impacts when the baked boost-1.0 BM25 floats are stale
+            # (NRT append moved df/avgdl) or don't bound this query's
+            # scorer (non-BM25 similarity, boost != 1) — same rank-safety
+            # rule as search_df
+            rebind = (qt in ("term", "or")
+                      and (self.nrt_dirty
+                           or self.similarity is not BM25Scorer
+                           or float(getattr(q, "boost", 1.0)) != 1.0))
             plans[qid] = (qt, list(q.terms), self._scorers(q, tstats),
                           getattr(q, "slop", 0),
                           ((len(q.must), len(q.should), len(q.must_not))
                            if qt == "boolean" else None),
                           q.min_should_match if qt == "boolean" else 0,
-                          q.tie_breaker if qt == "dismax" else 0.0)
+                          q.tie_breaker if qt == "dismax" else 0.0,
+                          rebind)
         if not plans:
             return spark.createDataFrame([], self.BATCH_SCHEMA)
         need = sorted({t for p in plans.values() for t in p[1] if t in tstats})
@@ -536,16 +563,35 @@ class IndexSearcher:
                                       dtype=np.uint8)
             base = int(chunk_pdf["base_doc"].iloc[0])
             live_ds = live_docset(chunk_pdf) if has_live else None
-            by_term = {}
-            for t, bms, b in zip(chunk_pdf["term"],
-                                 chunk_pdf["block_max_scores"],
-                                 chunk_pdf["blocks"]):
-                ch = TermChunk(b, bms)
-                by_term[t] = (MaskedChunk(ch, live_ds)
-                              if live_ds is not None else ch)
+            by_term_raw = {t: TermChunk(b, bms)
+                           for t, bms, b in zip(chunk_pdf["term"],
+                                                chunk_pdf["block_max_scores"],
+                                                chunk_pdf["blocks"])}
+
+            masked_cache = {}
+
+            def chunk_for(t, scorer=None):
+                ch = by_term_raw.get(t)
+                if ch is None:
+                    return None
+                if scorer is not None:
+                    ch = ch.rebound(ch.recompute_bounds(scorer))
+                    return (MaskedChunk(ch, live_ds)
+                            if live_ds is not None else ch)
+                got = masked_cache.get(t)
+                if got is None:
+                    got = masked_cache[t] = (MaskedChunk(ch, live_ds)
+                                             if live_ds is not None else ch)
+                return got
+
             out = []
-            for qid, (qt, terms, scorers, slop, groups, msm, tie) in plans.items():
-                chunks = [by_term.get(t) for t in terms]
+            for qid, (qt, terms, scorers, slop, groups, msm, tie,
+                      rebind) in plans.items():
+                if rebind:
+                    chunks = [chunk_for(t, sc)
+                              for t, sc in zip(terms, scorers)]
+                else:
+                    chunks = [chunk_for(t) for t in terms]
                 if qt == "boolean":
                     n_m, n_s, n_n = groups
                     docs, scores = boolean_topk(
@@ -612,8 +658,10 @@ class IndexSearcher:
             tf_rows = (self.term_postings(t)
                        .filter(F.col("doc_id") == doc_id).collect())
             tf = int(tf_rows[0]["tf"]) if tf_rows else 0
-            sc = BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf,
-                            boost=query.boost)
+            # the searcher's pluggable similarity, not hardcoded BM25 —
+            # explanations must agree with actual scores
+            sc = self.similarity(tstats[t][0], self.doc_count, self.sum_ttf,
+                                 boost=query.boost)
             s = float(sc.score(np.array([tf]), np.array([norm]))[0]) if tf else 0.0
             out["terms"][t] = {"df": tstats[t][0], "tf": tf,
                                "idf": float(sc.idf), "weight": float(sc.weight),

@@ -97,7 +97,7 @@ class NRTIndexWriter:
         cat.commit({"norms": n_rel, "postings": p_rel},
                    extra={"pending_buckets": None})
 
-    def append_batch(self, batch: DataFrame, batch_id: int = 0) -> int:
+    def append_batch(self, batch: DataFrame, batch_id: int | None = None) -> int:
         """One micro-batch -> new bucket(s) appended + catalog commit.
         Returns the number of rows appended. Batch rows are sorted by
         (conv_id, turn_idx) for doc_id assignment; doc_ids continue
@@ -109,7 +109,11 @@ class NRTIndexWriter:
         cleans up before ingesting."""
         spark = self.spark
         extra = (self.catalog.latest_commit().get("extra") or {})
-        if batch_id and int(extra.get("last_batch_id", -1)) >= int(batch_id):
+        # batch_id may legitimately be 0 (Spark numbers the first
+        # micro-batch 0) — dedup on `is not None`, not truthiness, or a
+        # retry of batch 0 after a successful commit double-ingests
+        if (batch_id is not None
+                and int(extra.get("last_batch_id", -1)) >= int(batch_id)):
             return 0  # replayed micro-batch, already committed
         pending = extra.get("pending_buckets")
         if pending:
@@ -226,7 +230,8 @@ class NRTIndexWriter:
 
         add = (spark.read.parquet(seg_path)
                .filter(F.col("bucket_id").isin(new_buckets))
-               .withColumn("term_h", F.substring(F.md5("term"), 1, 2))
+               .withColumn("term_h", F.concat(F.lit("h"),
+                                              F.substring(F.md5("term"), 1, 2)))
                .mapInPandas(add_max_scores, POSTINGS_SCHEMA))
         add.write.mode("append").partitionBy("term_h").parquet(
             self.catalog.table_path("postings"))
@@ -259,12 +264,14 @@ class NRTIndexWriter:
                              .alias("max_score")))
         ts_path, ts_rel = self.catalog.new_table_dir("termstats")
         merged_ts.write.mode("overwrite").parquet(ts_path)
+        final_extra = {"max_bucket": b0 + n_new - 1,
+                       "nrt_dirty": True,
+                       "pending_buckets": None,
+                       "appended_at_ms": int(time.time() * 1000)}
+        if batch_id is not None:  # manual appends don't regress the marker
+            final_extra["last_batch_id"] = int(batch_id)
         self.catalog.commit({"stats": st_rel, "termstats": ts_rel},
-                            extra={"max_bucket": b0 + n_new - 1,
-                                   "nrt_dirty": True,
-                                   "pending_buckets": None,
-                                   "last_batch_id": int(batch_id),
-                                   "appended_at_ms": int(time.time() * 1000)})
+                            extra=final_extra)
         return int(agg["n"])
 
     def compact(self) -> None:
