@@ -34,7 +34,7 @@ from lucene_spark.search.query import (AndQuery, BooleanQuery, DisMaxQuery,
                                        SynonymQuery, TermQuery)
 from lucene_spark.search.searcher import IndexSearcher
 
-_FORMAT_VERSION = "v5"  # v5: 'h'-prefixed term_h partition values
+_FORMAT_VERSION = "v6"  # v6: keyword fields (role/tool) indexed
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".idxcache")
 
@@ -70,7 +70,7 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     out = os.path.join(_CACHE_ROOT, key)
     if not IndexCatalog(out).has_table("postings"):
         build_index(spark, _as_transcripts(_docs(spark, sf_dir)), out,
-                    num_buckets=4)
+                    num_buckets=4, keyword_fields=("role", "tool"))
     return IndexSearcher(spark, out)
 
 
@@ -135,6 +135,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def ft_term_dict(sp, sf):
         s = _searcher(sp, sf)
         return (sp.read.parquet(s.termstats_path)
+                .filter(F.col("field") == "text")
                 .select("term", "df", "ttf"))
     q["ft_term_dict"] = ft_term_dict
 
@@ -142,7 +143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # MultiTermQuery / PrefixQuery: term-dictionary range scan
         s = _searcher(sp, sf)
         return (sp.read.parquet(s.termstats_path)
-                .filter(F.col("term").startswith("c"))
+                .filter((F.col("field") == "text")
+                        & F.col("term").startswith("c"))
                 .select("term", "df"))
     q["ft_prefix_df"] = ft_prefix_df
 
@@ -150,7 +152,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # suggest module analog: weighted prefix completion by ttf
         s = _searcher(sp, sf)
         return (sp.read.parquet(s.termstats_path)
-                .filter(F.col("term").startswith("s"))
+                .filter((F.col("field") == "text")
+                        & F.col("term").startswith("s"))
                 .select("term", "ttf")
                 .orderBy(F.col("ttf").desc(), "term")
                 .limit(5))
@@ -209,7 +212,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TermRangeQuery over the term dictionary
         s = _searcher(sp, sf)
         return (sp.read.parquet(s.termstats_path)
-                .filter((F.col("term") >= "query") & (F.col("term") < "sort"))
+                .filter((F.col("field") == "text")
+                        & (F.col("term") >= "query") & (F.col("term") < "sort"))
                 .select("term", "df"))
     q["ft_term_range_dict"] = ft_term_range_dict
 
@@ -243,6 +247,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return res.select("doc_id", F.round(F.col("score").cast("double"), 3)
                           .alias("score_r"))
     q["ft_filtered_topk"] = ft_filtered_topk
+
+    def ft_field_term(sp, sf):
+        # TermQuery on an untokenized keyword field (StringField analog):
+        # lang maps to the indexed 'role' keyword field; every match
+        # scores BM25 with tf=1, omitted norms (length 1), per-field stats
+        return _topk_df(sp, sf, TermQuery("en", field="role"), 100000)
+    q["ft_field_term"] = ft_field_term
 
     def pc_percolate(sp, sf):
         # Monitor/percolator: documents matched against stored queries
@@ -573,6 +584,18 @@ HAVING min(abs(p1.pos - p2.pos)) - 1 <= 2
         JOIN documents d ON d.doc_id = f.doc_id
         WHERE f.term = 'vector' AND d.lang = 'en')
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # keyword field: tf=1, omitted norms => length 1, per-field stats
+    # (docCount = docs with the field = all docs here, avgdl = 1), so
+    # score = idf / (1 + k1*( (1-b) + b*1/1 )) = idf / 2.2
+    o["ft_field_term"] = """
+WITH st AS (SELECT count(*)::DOUBLE AS n FROM documents),
+dfq AS (SELECT count(*)::DOUBLE AS d FROM documents WHERE lang = 'en'),
+i AS (SELECT ln(1 + ((SELECT n FROM st) - d + 0.5) / (d + 0.5)) AS idf FROM dfq)
+SELECT doc_id, round((SELECT idf FROM i) * 1.0 / (1.0 + 1.2 * (0.25 + 0.75)), 3)
+       AS score_r
+FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 100000
 """
 
     o["pc_percolate"] = P + """

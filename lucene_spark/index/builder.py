@@ -69,7 +69,37 @@ LINEAGE_SCHEMA = "stage string, bucket_id int, rows bigint, postings bigint, wal
 NORMS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, norms binary"
 
 
-def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
+def _invert_keyword_field(pdf: pd.DataFrame, field: str) -> pd.DataFrame:
+    """Keyword-field inversion (StringField/KeywordField analog,
+    core:document/KeywordField.java): the raw value is ONE untokenized
+    term per doc — DOCS-style postings (tf=1, no positions, norms
+    omitted => norm code 1, decoded length 1, like Lucene's omitNorms).
+    Nulls are unindexed (the doc simply lacks the field)."""
+    empty = pd.DataFrame(columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+    bucket_id = int(pdf["bucket_id"].iloc[0])
+    vals = pdf[field]
+    mask = vals.notna()
+    if not mask.any():
+        return empty
+    doc_ids = pdf.loc[mask, "doc_id"].to_numpy(dtype=np.int64)
+    codes, uniques = pd.factorize(vals[mask].astype(str), sort=True)
+    order = np.lexsort((doc_ids, codes))
+    dc, tc = doc_ids[order], codes[order]
+    rows = []
+    # keyword vocabularies are small (roles/tools/status enums) — the
+    # per-term loop is over unique values, not postings
+    for j, term in enumerate(uniques):
+        docs = dc[tc == j]
+        ones = np.ones(docs.size, dtype=np.int64)
+        blocks = codec.encode_chunk(docs, ones, ones, positions=None)
+        rows.append((field, str(term), int(docs.size), int(docs.size),
+                     blocks, bucket_id))
+    return pd.DataFrame(rows, columns=["field", "term", "df", "ttf",
+                                       "blocks", "bucket_id"])
+
+
+def _invert_bucket(pdf: pd.DataFrame, field: str = "text",
+                   keyword_fields: tuple = ()) -> pd.DataFrame:
     """The indexing-chain kernel: one bucket's rows -> posting chunk rows.
 
     Fully vectorized: every quantity (posting boundaries, tf, doc/pos
@@ -78,8 +108,14 @@ def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
     final assembly over blocks and terms (cheap slicing — no per-posting
     or per-token Python). Mirrors IndexingChain.processDocument/invert +
     FreqProx sort + Lucene104 block encode (SURVEY.md §3.2) in one pass.
+
+    keyword_fields are indexed alongside as untokenized single-term
+    fields (per-field analyzers, core:index/FieldInfos.java per-field
+    options; the multi-field chain of IndexingChain.processField).
     """
     empty = pd.DataFrame(columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+    kw_parts = [_invert_keyword_field(pdf.sort_values("doc_id"), kf)
+                for kf in keyword_fields]
     pdf = pdf.sort_values("doc_id")
     bucket_id = int(pdf["bucket_id"].iloc[0])
     doc_ids = pdf["doc_id"].to_numpy()
@@ -89,7 +125,8 @@ def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
-        return empty
+        return (pd.concat([empty] + kw_parts, ignore_index=True)
+                if kw_parts else empty)
     flat_terms = np.concatenate([np.asarray(t, dtype=object) if t else np.empty(0, object)
                                  for t in toks])
     flat_docs = np.repeat(doc_ids, lens)
@@ -206,18 +243,26 @@ def _invert_bucket(pdf: pd.DataFrame, field: str = "text") -> pd.DataFrame:
     rows = [(field, str(term_strs[j]), int(df_t[j]), int(ttf_t[j]),
              blocks_rows[tstarts_b[j]:tends_b[j]], bucket_id)
             for j in range(n_terms)]
-    return pd.DataFrame(rows, columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+    out = pd.DataFrame(rows, columns=["field", "term", "df", "ttf", "blocks", "bucket_id"])
+    return (pd.concat([out] + kw_parts, ignore_index=True)
+            if kw_parts else out)
 
 
 class IndexBuilder:
     def __init__(self, spark: SparkSession, out_dir: str, num_buckets: int = 16,
-                 field: str = "text", wave_size: int = 64, merge_partitions: int | None = None):
+                 field: str = "text", wave_size: int = 64,
+                 merge_partitions: int | None = None,
+                 keyword_fields: tuple = ()):
+        """keyword_fields: docstore columns indexed as untokenized
+        keyword fields alongside the analyzed text field (per-field
+        index options, core:index/FieldInfos.java)."""
         self.spark = spark
         self.catalog = IndexCatalog(out_dir)
         self.num_buckets = num_buckets
         self.field = field
         self.wave_size = wave_size
         self.merge_partitions = merge_partitions or num_buckets
+        self.keyword_fields = tuple(keyword_fields)
 
     # ---- stage 1: docstore (doc_id assignment + norms) -------------------
     def build_docstore(self, transcripts: DataFrame) -> str:
@@ -311,8 +356,10 @@ class IndexBuilder:
          .write.mode("overwrite").partitionBy("bucket_id").parquet(path))
         counts.unpersist()
         csorted.unpersist()
-        self.catalog.commit({"docstore": rel}, extra={"num_buckets": self.num_buckets,
-                                                      "field": self.field})
+        self.catalog.commit({"docstore": rel},
+                            extra={"num_buckets": self.num_buckets,
+                                   "field": self.field,
+                                   "keyword_fields": list(self.keyword_fields)})
         return path
 
     # ---- stage 2: per-bucket segments, wave-checkpointed ------------------
@@ -348,15 +395,17 @@ class IndexBuilder:
         done = self._done_buckets()
         todo = [b for b in range(self.num_buckets) if b not in done]
         field = self.field
+        kw = self.keyword_fields
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         for w in range(0, len(todo), self.wave_size):
             wave = todo[w:w + self.wave_size]
             t0 = time.time()
             ds = (spark.read.parquet(docstore_path)
                   .filter(F.col("bucket_id").isin(wave))
-                  .select("doc_id", "norm", "bucket_id", field))
+                  .select("doc_id", "norm", "bucket_id", field, *kw))
             seg = ds.groupBy("bucket_id").applyInPandas(
-                lambda pdf: _invert_bucket(pdf, field), schema=SEGMENTS_SCHEMA)
+                lambda pdf: _invert_bucket(pdf, field, kw),
+                schema=SEGMENTS_SCHEMA)
             (seg.write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path))
             wall = int((time.time() - t0) * 1000)
             stats = (spark.read.parquet(seg_path)
@@ -374,15 +423,26 @@ class IndexBuilder:
 
     # ---- stage 3: stats + termstats + merged postings ---------------------
     def build_stats(self, docstore_path: str) -> None:
+        """Per-field collection stats (CollectionStatistics,
+        core:search/CollectionStatistics.java): one row per indexed
+        field. Keyword fields carry one 1-token 'posting' per non-null
+        doc (docCount = docs with the field, avgdl = 1 — Lucene's
+        omitNorms length)."""
         if self.catalog.has_table("stats"):
             return
         spark = self.spark
-        st = (spark.read.parquet(docstore_path)
-              .agg(F.count("*").alias("doc_count"),
-                   F.sum("token_count").alias("sum_ttf"))
-              .withColumn("field", F.lit(self.field))
-              .withColumn("avgdl", F.col("sum_ttf") / F.col("doc_count"))
-              .select("field", "doc_count", "sum_ttf", "avgdl"))
+        aggs = [F.count("*").alias("_n"),
+                F.sum("token_count").alias("_s")]
+        for kf in self.keyword_fields:
+            aggs.append(F.count(F.col(kf)).alias(f"_n_{kf}"))
+        row = spark.read.parquet(docstore_path).agg(*aggs).collect()[0]
+        rows = [(self.field, int(row["_n"]), int(row["_s"]),
+                 float(row["_s"]) / max(int(row["_n"]), 1))]
+        for kf in self.keyword_fields:
+            n = int(row[f"_n_{kf}"])
+            rows.append((kf, n, n, 1.0))
+        st = spark.createDataFrame(
+            rows, "field string, doc_count bigint, sum_ttf bigint, avgdl double")
         path, rel = self.catalog.new_table_dir("stats")
         st.coalesce(1).write.mode("overwrite").parquet(path)
         self.catalog.commit({"stats": rel})
@@ -417,8 +477,9 @@ class IndexBuilder:
             F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
         ts_path, ts_rel = self.catalog.new_table_dir("termstats")
 
-        stats_row = spark.read.parquet(self.catalog.table_path("stats")).collect()[0]
-        doc_count, sum_ttf = int(stats_row["doc_count"]), int(stats_row["sum_ttf"])
+        fstats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
+                  for r in spark.read.parquet(
+                      self.catalog.table_path("stats")).collect()}
 
         # Materialize per-term/per-block BM25 upper bounds from the impact
         # skylines now that global stats exist (Lucene computes these at
@@ -431,11 +492,13 @@ class IndexBuilder:
                 if not len(pdf):
                     continue
                 maxs, block_maxs = [], []
-                for df_, blocks in zip(pdf["g_df"], pdf["blocks"]):
-                    key = int(df_)
+                for fld, df_, blocks in zip(pdf["field"], pdf["g_df"],
+                                            pdf["blocks"]):
+                    key = (fld, int(df_))
                     sc = scorer_cache.get(key)
                     if sc is None:
-                        sc = scorer_cache[key] = BM25Scorer(key, doc_count, sum_ttf)
+                        dc, sttf = fstats[fld]
+                        sc = scorer_cache[key] = BM25Scorer(int(df_), dc, sttf)
                     bm = [float(sc.max_score_for_impacts(b["imp_freqs"], b["imp_norms"]))
                           for b in blocks]
                     block_maxs.append(bm)

@@ -106,10 +106,15 @@ class IndexSearcher:
         self.termstats_path = self.catalog.table_path("termstats")
         self.norms_path = self.catalog.table_path("norms")
         self.docstore_path = self.catalog.table_path("docstore")
-        st = spark.read.parquet(self.catalog.table_path("stats")).collect()[0]
-        self.field = st["field"]
-        self.doc_count = int(st["doc_count"])
-        self.sum_ttf = int(st["sum_ttf"])
+        # per-field collection stats (CollectionStatistics rows) — one
+        # per indexed field; keyword fields have avgdl 1 / omitted norms
+        self.field_stats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
+                            for r in spark.read.parquet(
+                                self.catalog.table_path("stats")).collect()}
+        extra0 = c.get("extra") or {}
+        self.field = extra0.get("field") or next(iter(self.field_stats))
+        self.keyword_fields = set(extra0.get("keyword_fields") or ())
+        self.doc_count, self.sum_ttf = self.field_stats[self.field]
         # NRT appends leave baked block-max floats stale (global df and
         # avgdl moved); when dirty, bounds are re-derived from the stored
         # (freq, norm) impacts per query — Lucene's MaxScoreCache design
@@ -140,6 +145,18 @@ class IndexSearcher:
                         (F.col("field") == field) &
                         F.col("term").isin(list(terms))))
 
+    def _postings_for_pairs(self, pairs) -> DataFrame:
+        """Postings scan for (field, term) pairs spanning multiple
+        fields. The pushed-down predicate is the rectangular superset
+        (field IN fields AND term IN terms) — same pruning as
+        _postings_for; kernels key chunks by the exact (field, term)."""
+        fields = sorted({f for f, _ in pairs})
+        terms = sorted({t for _, t in pairs})
+        return (self.spark.read.parquet(self.postings_path)
+                .filter(F.col("term_h").isin(self._term_hs(terms)) &
+                        F.col("field").isin(fields) &
+                        F.col("term").isin(terms)))
+
     # term dictionaries up to this many entries are cached driver-side:
     # term_stats becomes a dict lookup and a search is ONE Spark job.
     # Bigger dictionaries (web-scale corpora) keep the pushed-down scan.
@@ -151,36 +168,49 @@ class IndexSearcher:
             ts = self.spark.read.parquet(self.termstats_path)
             if ts.count() <= self.TERMSTATS_CACHE_MAX:
                 self._ts_cache = {
-                    r["term"]: (int(r["df"]), int(r["ttf"]),
-                                float(r["max_score"]))
+                    (r["field"], r["term"]): (int(r["df"]), int(r["ttf"]),
+                                              float(r["max_score"]))
                     for r in ts.collect()}
             else:
                 self._ts_cache = None
         return self._ts_cache
 
-    def term_stats(self, terms: list) -> dict:
+    def term_stats(self, terms: list, field: str | None = None) -> dict:
+        """TermStatistics for the given terms in one field -> {term:
+        (df, ttf, max_score)} (the term-dictionary seek)."""
+        field = field or self.field
         cache = self._termstats_cache()
         if cache is not None:
-            return {t: cache[t] for t in set(terms) if t in cache}
+            return {t: cache[(field, t)] for t in set(terms)
+                    if (field, t) in cache}
         rows = (self.spark.read.parquet(self.termstats_path)
-                .filter(F.col("term").isin(list(set(terms))))
+                .filter((F.col("field") == field)
+                        & F.col("term").isin(list(set(terms))))
                 .collect())
         return {r["term"]: (int(r["df"]), int(r["ttf"]), float(r["max_score"]))
                 for r in rows}
 
+    def _field_stats(self, field: str):
+        try:
+            return self.field_stats[field]
+        except KeyError:
+            raise ValueError(f"field {field!r} is not indexed "
+                             f"(indexed: {sorted(self.field_stats)})")
+
     def _scorers(self, query, tstats):
         terms = query.terms
+        doc_count, sum_ttf = self._field_stats(query.field)
         if isinstance(query, PhraseQuery):
-            idfs = [BM25Scorer(tstats[t][0], self.doc_count, self.sum_ttf).idf
+            idfs = [BM25Scorer(tstats[t][0], doc_count, sum_ttf).idf
                     for t in terms]
-            return [_PhraseScorer(idfs, self.doc_count, self.sum_ttf, query.boost)]
+            return [_PhraseScorer(idfs, doc_count, sum_ttf, query.boost)]
         if isinstance(query, SynonymQuery):
             # blended pseudo-term stats: df = max member df
             # (SynonymQuery.java builds one TermStatistics with max docFreq)
             df = max(tstats[t][0] for t in terms if t in tstats)
-            return [self.similarity(df, self.doc_count, self.sum_ttf,
+            return [self.similarity(df, doc_count, sum_ttf,
                                     boost=query.boost)]
-        return [self.similarity(tstats[t][0], self.doc_count, self.sum_ttf,
+        return [self.similarity(tstats[t][0], doc_count, sum_ttf,
                                 boost=query.boost)
                 if t in tstats else None for t in terms]
 
@@ -194,7 +224,7 @@ class IndexSearcher:
         kind, pat = query.kind, query.pattern
         cache = self._termstats_cache()
         if cache is not None:
-            terms = sorted(cache)
+            terms = sorted(t for f, t in cache if f == query.field)
             if kind == "prefix":
                 sel = [t for t in terms if t.startswith(pat)]
             elif kind == "wildcard":
@@ -212,11 +242,13 @@ class IndexSearcher:
                 sel = [t for t in terms if (lo is None or t >= lo)
                        and (hi is None or t < hi)]
             elif kind == "set":
-                sel = [t for t in sorted(set(pat)) if t in cache]
+                sel = [t for t in sorted(set(pat))
+                       if (query.field, t) in cache]
             else:
                 raise ValueError(f"unknown multi-term kind {kind}")
             return sel[:query.max_expansions]
         ts = (self.spark.read.parquet(self.termstats_path)
+              .filter(F.col("field") == query.field)
               .select("term"))
         if kind == "prefix":
             ts = ts.filter(F.col("term").startswith(pat))
@@ -313,7 +345,7 @@ class IndexSearcher:
             return self._constant_score_df(expanded, query, k, doc_filter)
         terms = query.terms
         qtype = _qtype(query)
-        tstats = self.term_stats(terms)
+        tstats = self.term_stats(terms, query.field)
         empty = spark.createDataFrame([], RESULT_SCHEMA)
         if qtype in ("and", "phrase") and any(t not in tstats for t in terms):
             return empty  # a required term is absent from the corpus
@@ -365,12 +397,18 @@ class IndexSearcher:
         dirty_scorers = (dict(zip(term_order, scorers))
                          if recompute and qtype in ("term", "or") else None)
 
+        # keyword fields omit norms (Lucene StringField omitNorms):
+        # every doc scores at length 1 => norm code 1
+        const_norm = query.field in self.keyword_fields
+
         def make_run(theta0: float):
           def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             if not len(chunk_pdf):
                 return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                                      "score": pd.Series(dtype="float32")})
             norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]), dtype=np.uint8)
+            if const_norm:
+                norms_arr = np.ones(norms_arr.size, dtype=np.uint8)
             base = int(chunk_pdf["base_doc"].iloc[0])
             docset = None
             if has_filter:
@@ -509,16 +547,20 @@ class IndexSearcher:
         """
         from pyspark.sql.window import Window
         spark = self.spark
-        for qid, q in queries.items():
-            if getattr(q, "field", self.field) != self.field:
-                raise ValueError(
-                    f"search_batch: query {qid!r} targets field "
-                    f"{q.field!r}, index field is {self.field!r}")
-        all_terms = sorted({t for q in queries.values() for t in q.terms})
-        tstats = self.term_stats(all_terms)
+        # per-field term stats (queries may mix the analyzed text field
+        # and keyword fields)
+        terms_by_field: dict[str, set] = {}
+        for q in queries.values():
+            f = getattr(q, "field", self.field)
+            self._field_stats(f)  # raises on unindexed fields
+            terms_by_field.setdefault(f, set()).update(q.terms)
+        tstats_by_field = {f: self.term_stats(sorted(ts), f)
+                           for f, ts in terms_by_field.items()}
         plans = {}
         for qid, q in queries.items():
             qt = _qtype(q)
+            fld = getattr(q, "field", self.field)
+            tstats = tstats_by_field[fld]
             if qt in ("and", "phrase") and any(t not in tstats for t in q.terms):
                 continue
             if qt == "boolean" and any(
@@ -535,18 +577,21 @@ class IndexSearcher:
                       and (self.nrt_dirty
                            or self.similarity is not BM25Scorer
                            or float(getattr(q, "boost", 1.0)) != 1.0))
-            plans[qid] = (qt, list(q.terms), self._scorers(q, tstats),
+            plans[qid] = (qt, fld, list(q.terms), self._scorers(q, tstats),
                           getattr(q, "slop", 0),
                           ((len(q.must), len(q.should), len(q.must_not))
                            if qt == "boolean" else None),
                           q.min_should_match if qt == "boolean" else 0,
                           q.tie_breaker if qt == "dismax" else 0.0,
-                          rebind)
+                          rebind,
+                          fld in self.keyword_fields)
         if not plans:
             return spark.createDataFrame([], self.BATCH_SCHEMA)
-        need = sorted({t for p in plans.values() for t in p[1] if t in tstats})
-        chunks_df = (self._postings_for(need, self.field)
-                     .select("term", "bucket_id", "block_max_scores", "blocks"))
+        need = sorted({(p[1], t) for p in plans.values() for t in p[2]
+                       if t in tstats_by_field[p[1]]})
+        chunks_df = (self._postings_for_pairs(need)
+                     .select("field", "term", "bucket_id",
+                             "block_max_scores", "blocks"))
         norms_df = (spark.read.parquet(self.norms_path)
                     .select("bucket_id", "base_doc", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
@@ -561,37 +606,46 @@ class IndexSearcher:
                 return empty
             norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]),
                                       dtype=np.uint8)
+            ones_arr = None
             base = int(chunk_pdf["base_doc"].iloc[0])
             live_ds = live_docset(chunk_pdf) if has_live else None
-            by_term_raw = {t: TermChunk(b, bms)
-                           for t, bms, b in zip(chunk_pdf["term"],
-                                                chunk_pdf["block_max_scores"],
-                                                chunk_pdf["blocks"])}
+            by_term_raw = {(f, t): TermChunk(b, bms)
+                           for f, t, bms, b in zip(chunk_pdf["field"],
+                                                   chunk_pdf["term"],
+                                                   chunk_pdf["block_max_scores"],
+                                                   chunk_pdf["blocks"])}
 
             masked_cache = {}
 
-            def chunk_for(t, scorer=None):
-                ch = by_term_raw.get(t)
+            def chunk_for(fld, t, scorer=None):
+                ch = by_term_raw.get((fld, t))
                 if ch is None:
                     return None
                 if scorer is not None:
                     ch = ch.rebound(ch.recompute_bounds(scorer))
                     return (MaskedChunk(ch, live_ds)
                             if live_ds is not None else ch)
-                got = masked_cache.get(t)
+                got = masked_cache.get((fld, t))
                 if got is None:
-                    got = masked_cache[t] = (MaskedChunk(ch, live_ds)
-                                             if live_ds is not None else ch)
+                    got = masked_cache[(fld, t)] = (
+                        MaskedChunk(ch, live_ds)
+                        if live_ds is not None else ch)
                 return got
 
             out = []
-            for qid, (qt, terms, scorers, slop, groups, msm, tie,
-                      rebind) in plans.items():
+            for qid, (qt, fld, terms, scorers, slop, groups, msm, tie,
+                      rebind, const_norm) in plans.items():
                 if rebind:
-                    chunks = [chunk_for(t, sc)
+                    chunks = [chunk_for(fld, t, sc)
                               for t, sc in zip(terms, scorers)]
                 else:
-                    chunks = [chunk_for(t) for t in terms]
+                    chunks = [chunk_for(fld, t) for t in terms]
+                if const_norm:  # keyword field: omitted norms => length 1
+                    if ones_arr is None:
+                        ones_arr = np.ones(norms_arr.size, dtype=np.uint8)
+                    narr = ones_arr
+                else:
+                    narr = norms_arr
                 if qt == "boolean":
                     n_m, n_s, n_n = groups
                     docs, scores = boolean_topk(
@@ -599,17 +653,17 @@ class IndexSearcher:
                         chunks[n_m + n_s:n_m + n_s + n_n],
                         chunks[n_m + n_s + n_n:],
                         scorers[:n_m], scorers[n_m:n_m + n_s],
-                        norms_arr, base, k, min_should_match=msm,
+                        narr, base, k, min_should_match=msm,
                         pruned=pruned)
                 elif qt == "dismax":
-                    docs, scores = dismax_topk(chunks, scorers, norms_arr,
+                    docs, scores = dismax_topk(chunks, scorers, narr,
                                                base, k, tie_breaker=tie,
                                                pruned=pruned)
                 else:
                     if qt in ("and", "phrase") and any(c is None for c in chunks):
                         continue
                     sc = scorers if qt not in ("phrase", "synonym") else [scorers[0]]
-                    docs, scores = score_bucket(qt, chunks, sc, norms_arr,
+                    docs, scores = score_bucket(qt, chunks, sc, narr,
                                                 base, k, pruned=pruned,
                                                 slop=slop)
                 if docs.size:
@@ -639,28 +693,30 @@ class IndexSearcher:
         norm code, decoded length, idf, weight and sub-score, plus the
         combined score. Debug API (several tiny jobs; not a hot path)."""
         terms = query.terms
-        tstats = self.term_stats(terms)
+        field = getattr(query, "field", self.field)
+        tstats = self.term_stats(terms, field)
+        doc_count, sum_ttf = self._field_stats(field)
         row = (self.spark.read.parquet(self.docstore_path)
                .filter(F.col("doc_id") == doc_id)
                .select("norm", "token_count").collect())
         if not row:
             return {"doc_id": doc_id, "matches": False, "reason": "no such doc"}
-        norm = int(row[0]["norm"])
+        norm = 1 if field in self.keyword_fields else int(row[0]["norm"])
         out = {"doc_id": doc_id, "matches": False, "norm": norm,
                "token_count": int(row[0]["token_count"]),
-               "doc_count": self.doc_count, "avgdl": float(
-                   np.float64(self.sum_ttf) / self.doc_count), "terms": {}}
+               "doc_count": doc_count, "avgdl": float(
+                   np.float64(sum_ttf) / doc_count), "terms": {}}
         total = np.float64(0.0)
         for t in terms:
             if t not in tstats:
                 out["terms"][t] = {"df": 0, "tf": 0, "score": 0.0}
                 continue
-            tf_rows = (self.term_postings(t)
+            tf_rows = (self.term_postings(t, field)
                        .filter(F.col("doc_id") == doc_id).collect())
             tf = int(tf_rows[0]["tf"]) if tf_rows else 0
             # the searcher's pluggable similarity, not hardcoded BM25 —
             # explanations must agree with actual scores
-            sc = self.similarity(tstats[t][0], self.doc_count, self.sum_ttf,
+            sc = self.similarity(tstats[t][0], doc_count, sum_ttf,
                                  boost=query.boost)
             s = float(sc.score(np.array([tf]), np.array([norm]))[0]) if tf else 0.0
             out["terms"][t] = {"df": tstats[t][0], "tf": tf,
@@ -679,7 +735,7 @@ class IndexSearcher:
         reference (count() falls back when liveDocs != null)."""
         if isinstance(query, TermQuery):
             if self.livedocs_path is None:
-                ts = self.term_stats([query.term])
+                ts = self.term_stats([query.term], query.field)
                 return ts.get(query.term, (0,))[0]
             return self.term_postings(query.term, query.field).count()
         big = self.search_df(query, k=2**31 - 1, pruned=False)
@@ -719,7 +775,7 @@ class IndexSearcher:
         exact (ExactPhraseMatcher semantics), slop>0 is ordered-sloppy
         (see kernels.phrase_freqs)."""
         spark = self.spark
-        tstats = self.term_stats(terms)
+        tstats = self.term_stats(terms, field)
         if any(t not in tstats for t in terms):
             return spark.createDataFrame([], PHRASE_SCHEMA)
         chunks_df = (self._postings_for(list(terms), field)
@@ -752,7 +808,7 @@ class IndexSearcher:
         in a window with at most max_gaps intervening positions.
         Returns (doc_id, span) with span = minimal window gap count."""
         spark = self.spark
-        tstats = self.term_stats(terms)
+        tstats = self.term_stats(terms, field)
         if any(t not in tstats for t in terms):
             return spark.createDataFrame([], "doc_id bigint, span int")
         chunks_df = (self._postings_for(list(terms), field)

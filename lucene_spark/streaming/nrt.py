@@ -54,11 +54,14 @@ class NRTIndexWriter:
         c = self.catalog.latest_commit()
         if not c or "postings" not in c["tables"]:
             raise ValueError("NRT append requires an existing committed index")
-        st = self.spark.read.parquet(self.catalog.table_path("stats")).collect()[0]
+        fstats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
+                  for r in self.spark.read.parquet(
+                      self.catalog.table_path("stats")).collect()}
         extra = c.get("extra") or {}
         max_bucket = int(extra.get("max_bucket",
                                    int(extra.get("num_buckets", 1)) - 1))
-        return int(st["doc_count"]), int(st["sum_ttf"]), max_bucket
+        kw = tuple(extra.get("keyword_fields") or ())
+        return fstats, max_bucket, kw
 
     def _recover_pending(self, pending: list) -> None:
         """Clean up a mid-append crash: drop the partially written
@@ -118,7 +121,8 @@ class NRTIndexWriter:
         pending = extra.get("pending_buckets")
         if pending:
             self._recover_pending(pending)
-        doc_count, sum_ttf, max_bucket = self._state()
+        fstats, max_bucket, kw = self._state()
+        doc_count, sum_ttf = fstats[self.field]
         field = self.field
 
         # micro-batches are bounded (Lucene RAM-buffer analog), so the
@@ -177,11 +181,12 @@ class NRTIndexWriter:
         ds_appended = (spark.read.parquet(ds_path)
                        .filter(F.col("bucket_id").isin(new_buckets)))
 
-        # segment postings for the new buckets
+        # segment postings for the new buckets (same per-field config as
+        # the base build — keyword fields stay searchable across appends)
         seg_path = self.catalog.table_path("segments")
-        seg_new = (ds_appended.select("doc_id", "norm", "bucket_id", field)
+        seg_new = (ds_appended.select("doc_id", "norm", "bucket_id", field, *kw)
                    .groupBy("bucket_id")
-                   .applyInPandas(lambda p: _invert_bucket(p, field),
+                   .applyInPandas(lambda p: _invert_bucket(p, field, kw),
                                   schema=SEGMENTS_SCHEMA))
         seg_new.write.mode("append").partitionBy("bucket_id").parquet(seg_path)
 
@@ -210,13 +215,15 @@ class NRTIndexWriter:
                 if not len(pdf):
                     continue
                 maxs, block_maxs = [], []
-                for df_, blocks in zip(pdf["df"], pdf["blocks"]):
-                    key = int(df_)
+                for fld, df_, blocks in zip(pdf["field"], pdf["df"],
+                                            pdf["blocks"]):
+                    key = (fld, int(df_))
                     sc = scorer_cache.get(key)
                     if sc is None:
                         from ..kernels.bm25 import BM25Scorer
+                        dc, sttf = fstats.get(fld, (doc_count, sum_ttf))
                         sc = scorer_cache[key] = BM25Scorer(
-                            key, doc_count, sum_ttf)
+                            int(df_), dc, sttf)
                     bm = [float(sc.max_score_for_impacts(
                         b["imp_freqs"], b["imp_norms"])) for b in blocks]
                     block_maxs.append(bm)
@@ -237,14 +244,21 @@ class NRTIndexWriter:
             self.catalog.table_path("postings"))
 
         # refresh stats + termstats: O(batch) incremental merge, not a
-        # full-corpus re-aggregation
-        agg = ds_appended.agg(F.count("*").alias("n"),
-                              F.sum("token_count").alias("s")).collect()[0]
+        # full-corpus re-aggregation; every indexed field's row advances
+        aggs = [F.count("*").alias("n"), F.sum("token_count").alias("s")]
+        for kf in kw:
+            aggs.append(F.count(F.col(kf)).alias(f"n_{kf}"))
+        agg = ds_appended.agg(*aggs).collect()[0]
         new_count = doc_count + int(agg["n"])
         new_sttf = sum_ttf + int(agg["s"])
+        st_rows = [(self.field, new_count, new_sttf, new_sttf / new_count)]
+        for kf in kw:
+            kc, ks = fstats.get(kf, (0, 0))
+            kn = kc + int(agg[f"n_{kf}"])
+            st_rows.append((kf, kn, kn, 1.0))
         st_path, st_rel = self.catalog.new_table_dir("stats")
         spark.createDataFrame(
-            [(self.field, new_count, new_sttf, new_sttf / new_count)],
+            st_rows,
             "field string, doc_count bigint, sum_ttf bigint, avgdl double"
         ).coalesce(1).write.mode("overwrite").parquet(st_path)
         delta = (spark.read.parquet(seg_path)
