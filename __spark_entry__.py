@@ -248,6 +248,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("score_r"))
     q["ft_filtered_topk"] = ft_filtered_topk
 
+    def ft_nested_bool(sp, sf):
+        # nested clauses: exact phrase as MUST + prefix MultiTermQuery
+        # as SHOULD (BooleanQuery.Builder.add(Query, Occur) surface)
+        q = BooleanQuery(must=(PhraseQuery(("slow", "fast")),),
+                         should=(MultiTermQuery("prefix", "qu"),))
+        return _topk_df(sp, sf, q, 10)
+    q["ft_nested_bool"] = ft_nested_bool
+
+    def ft_bool_of_bool(sp, sf):
+        # boolean-of-boolean: (scan OR sort) AND (merge OR join)
+        qq = BooleanQuery(must=(BooleanQuery(should=("scan", "sort")),
+                                BooleanQuery(should=("merge", "join"))))
+        return _topk_df(sp, sf, qq, 10)
+    q["ft_bool_of_bool"] = ft_bool_of_bool
+
+    def ft_parsed_query(sp, sf):
+        # classic QueryParser subset v2 end-to-end:
+        # +"slow fast" batch -dup
+        from lucene_spark.search.query import parse_query
+        qq = parse_query('+"slow fast" batch -dup')
+        return _topk_df(sp, sf, qq, 10)
+    q["ft_parsed_query"] = ft_parsed_query
+
     def ft_field_term(sp, sf):
         # TermQuery on an untokenized keyword field (StringField analog):
         # lang maps to the indexed 'role' keyword field; every match
@@ -583,6 +606,45 @@ HAVING min(abs(p1.pos - p2.pos)) - 1 <= 2
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         JOIN documents d ON d.doc_id = f.doc_id
         WHERE f.term = 'vector' AND d.lang = 'en')
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_nested_bool"] = P + _phrase_cte("slow", "fast") + f"""
+, w AS (SELECT sum(idf) AS widf FROM idf WHERE term IN ('slow', 'fast'))
+, shd AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s_sh
+          FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+          WHERE f.term LIKE 'qu%' GROUP BY f.doc_id)
+, m AS (SELECT p.doc_id,
+        ({_score('p.freq', idf='(SELECT widf FROM w)')}
+         + coalesce(shd.s_sh, 0)) AS s
+        FROM ph p JOIN qdl q USING (doc_id)
+        LEFT JOIN shd ON shd.doc_id = p.doc_id)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_bool_of_bool"] = P + f"""
+, g1 AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term IN ('scan', 'sort') GROUP BY f.doc_id)
+, g2 AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term IN ('merge', 'join') GROUP BY f.doc_id)
+, m AS (SELECT g1.doc_id, g1.s + g2.s AS s FROM g1 JOIN g2 USING (doc_id))
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_parsed_query"] = P + _phrase_cte("slow", "fast") + f"""
+, w AS (SELECT sum(idf) AS widf FROM idf WHERE term IN ('slow', 'fast'))
+, shd AS (SELECT f.doc_id, {_score('f.tf')} AS s_sh
+          FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+          WHERE f.term = 'batch')
+, m AS (SELECT p.doc_id,
+        ({_score('p.freq', idf='(SELECT widf FROM w)')}
+         + coalesce(shd.s_sh, 0)) AS s
+        FROM ph p JOIN qdl q USING (doc_id)
+        LEFT JOIN shd ON shd.doc_id = p.doc_id
+        WHERE NOT EXISTS (SELECT 1 FROM tf x
+                          WHERE x.doc_id = p.doc_id AND x.term = 'dup'))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 

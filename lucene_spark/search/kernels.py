@@ -619,6 +619,193 @@ def boolean_topk(must, should, must_not, filters, scorers_must, scorers_should,
     return topk_select(cand, total.astype(np.float32), k)
 
 
+# ---------------------------------------------------------------------------
+# recursive nested-query evaluation (BooleanQuery with arbitrary
+# sub-query clauses, core:search/BooleanQuery.java:125-147)
+# ---------------------------------------------------------------------------
+#
+# A compiled plan node is a plain tuple (picklable, built driver-side
+# with scorers already bound to collection stats):
+#
+#   ("term",    field, term, scorer)
+#   ("phrase",  field, [terms], scorer, slop)
+#   ("synonym", field, [terms], scorer)
+#   ("and",     [children])                  sum of child scores
+#   ("or",      [children])                  sum over matching children
+#   ("dismax",  [children], tie_breaker)     max + tie * rest
+#   ("const",   child, boost)                matching docs score boost
+#   ("bool",    [musts], [shoulds], [must_nots], [filters], msm)
+#
+# eval_tree returns ALL matching (docs asc, float32 scores) for one
+# bucket; the caller takes the bucket-local top-k. Float discipline
+# matches the reference scorer tree: every node emits float32, every
+# combining node accumulates child float32 scores in double and casts
+# once (ConjunctionScorer.java:57-62, DisjunctionSumScorer.java:40-46,
+# ReqOptSumScorer) — so a nested sum rounds at each tree level exactly
+# like Lucene's scorer composition does.
+
+
+def _empty_hits():
+    return np.zeros(0, np.int64), np.zeros(0, np.float32)
+
+
+def _intersect_sum(parts):
+    """Fold sorted (docs, scores) parts: docs in ALL parts, scores
+    summed (double accumulate, float32 out)."""
+    docs, s0 = parts[0]
+    acc = s0.astype(np.float64)
+    for d2, s2 in parts[1:]:
+        if docs.size == 0:
+            break
+        docs, i1, i2 = np.intersect1d(docs, d2, assume_unique=True,
+                                      return_indices=True)
+        acc = acc[i1] + s2[i2].astype(np.float64)
+    if docs.size == 0:
+        return _empty_hits()
+    return docs, acc.astype(np.float32)
+
+
+def _union_sum(parts):
+    """Union of (docs, scores) parts, scores summed per doc."""
+    live = [p for p in parts if p[0].size]
+    if not live:
+        return _empty_hits()
+    alld = np.concatenate([p[0] for p in live])
+    alls = np.concatenate([p[1] for p in live])
+    udocs, inv = np.unique(alld, return_inverse=True)
+    sums = np.zeros(udocs.size, dtype=np.float64)
+    np.add.at(sums, inv, alls.astype(np.float64))
+    return udocs, sums.astype(np.float32)
+
+
+def _scores_at(docs, sd, ss):
+    """Scores of sorted (sd, ss) aligned to sorted docs; 0 + miss mask
+    where absent."""
+    out = np.zeros(docs.size, dtype=np.float32)
+    if sd.size == 0:
+        return out, np.zeros(docs.size, dtype=bool)
+    idx = np.searchsorted(sd, docs)
+    idx_c = np.minimum(idx, sd.size - 1)
+    hit = sd[idx_c] == docs
+    out[hit] = ss[idx_c[hit]]
+    return out, hit
+
+
+def eval_tree(node, get_chunk, norms_for, base_doc):
+    """Evaluate one compiled plan node against one bucket.
+
+    get_chunk(field, term) -> TermChunk/MaskedChunk or None;
+    norms_for(field) -> uint8 norm-code array for the bucket (ones for
+    keyword fields — omitted norms).
+    """
+    kind = node[0]
+    if kind == "term":
+        _, f, t, sc = node
+        ch = get_chunk(f, t)
+        if ch is None:
+            return _empty_hits()
+        docs, tfs = ch.decode_all()
+        if docs.size == 0:
+            return _empty_hits()
+        return docs, sc.score(tfs, norms_for(f)[docs - base_doc])
+    if kind == "phrase":
+        _, f, terms, sc, slop = node
+        chunks = [get_chunk(f, t) for t in terms]
+        if any(c is None for c in chunks):
+            return _empty_hits()
+        docs, freqs = phrase_freqs(chunks, pruned=True, slop=slop)
+        if docs.size == 0:
+            return _empty_hits()
+        return docs, sc.score(freqs, norms_for(f)[docs - base_doc])
+    if kind == "synonym":
+        _, f, terms, sc = node
+        udocs, tfm = _union_tfs([get_chunk(f, t) for t in terms])
+        if udocs.size == 0:
+            return _empty_hits()
+        return udocs, sc.score(tfm.sum(axis=0),
+                               norms_for(f)[udocs - base_doc])
+    if kind == "and":
+        parts = [eval_tree(c, get_chunk, norms_for, base_doc)
+                 for c in node[1]]
+        if any(p[0].size == 0 for p in parts):
+            return _empty_hits()
+        return _intersect_sum(parts)
+    if kind == "or":
+        return _union_sum([eval_tree(c, get_chunk, norms_for, base_doc)
+                           for c in node[1]])
+    if kind == "dismax":
+        _, children, tie = node
+        parts = [eval_tree(c, get_chunk, norms_for, base_doc)
+                 for c in children]
+        live = [p for p in parts if p[0].size]
+        if not live:
+            return _empty_hits()
+        udocs = np.unique(np.concatenate([p[0] for p in live]))
+        smat = np.zeros((len(live), udocs.size), dtype=np.float32)
+        for i, (sd, ss) in enumerate(live):
+            smat[i], _ = _scores_at(udocs, sd, ss)
+        mx = smat.max(axis=0)
+        if tie:
+            total = smat.astype(np.float64).sum(axis=0)
+            scores = (mx.astype(np.float64)
+                      + np.float64(tie) * (total - mx.astype(np.float64))
+                      ).astype(np.float32)
+        else:
+            scores = mx
+        return udocs, scores
+    if kind == "const":
+        _, child, boost = node
+        docs, _ = eval_tree(child, get_chunk, norms_for, base_doc)
+        return docs, np.full(docs.size, np.float32(boost), dtype=np.float32)
+    if kind == "bool":
+        _, musts, shoulds, must_nots, filters, msm = node
+        if musts:
+            mparts = [eval_tree(c, get_chunk, norms_for, base_doc)
+                      for c in musts]
+            if any(p[0].size == 0 for p in mparts):
+                return _empty_hits()
+            docs, mscore = _intersect_sum(mparts)
+            total = mscore.astype(np.float64)
+        else:
+            docs = None
+            total = None
+        sparts = [eval_tree(c, get_chunk, norms_for, base_doc)
+                  for c in shoulds]
+        if docs is None:
+            docs, _ = _union_sum(sparts)
+            total = np.zeros(docs.size, dtype=np.float64)
+        if docs.size == 0:
+            return _empty_hits()
+        for c in filters:
+            fd, _ = eval_tree(c, get_chunk, norms_for, base_doc)
+            keep = np.isin(docs, fd, assume_unique=True)
+            docs, total = docs[keep], total[keep]
+            if docs.size == 0:
+                return _empty_hits()
+        for c in must_nots:
+            nd, _ = eval_tree(c, get_chunk, norms_for, base_doc)
+            if nd.size == 0:
+                continue
+            keep = ~np.isin(docs, nd, assume_unique=True)
+            docs, total = docs[keep], total[keep]
+            if docs.size == 0:
+                return _empty_hits()
+        n_should = np.zeros(docs.size, dtype=np.int64)
+        for sd, ss in sparts:
+            svals, hit = _scores_at(docs, sd, ss)
+            total = total + svals.astype(np.float64)
+            n_should += hit
+        if musts and msm == 0:
+            keep = np.ones(docs.size, dtype=bool)
+        else:
+            keep = n_should >= max(msm, 0 if musts else 1)
+        docs, total = docs[keep], total[keep]
+        if docs.size == 0:
+            return _empty_hits()
+        return docs, total.astype(np.float32)
+    raise ValueError(f"unknown plan node {kind}")
+
+
 def score_bucket(qtype, chunks, scorers, norms_arr, base_doc, k,
                  pruned=True, slop=0, theta0=-np.inf):
     """Dispatch one (query, bucket) evaluation.

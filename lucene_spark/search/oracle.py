@@ -19,6 +19,30 @@ from ..kernels.smallfloat import int_to_byte4
 from ..kernels.tokenizer import tokenize_one
 
 
+def _o_intersect_sum(parts):
+    docs, s0 = parts[0]
+    acc = s0.astype(np.float64)
+    for d2, s2 in parts[1:]:
+        if docs.size == 0:
+            break
+        docs, i1, i2 = np.intersect1d(docs, d2, assume_unique=True,
+                                      return_indices=True)
+        acc = acc[i1] + s2[i2].astype(np.float64)
+    return docs, acc.astype(np.float32)
+
+
+def _o_union_sum(parts):
+    live = [p for p in parts if p[0].size]
+    if not live:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    alld = np.concatenate([p[0] for p in live])
+    alls = np.concatenate([p[1] for p in live])
+    udocs, inv = np.unique(alld, return_inverse=True)
+    sums = np.zeros(udocs.size, dtype=np.float64)
+    np.add.at(sums, inv, alls.astype(np.float64))
+    return udocs, sums.astype(np.float32)
+
+
 class BruteForceOracle:
     def __init__(self, docs: pd.DataFrame, id_col: str = "doc_id",
                  text_col: str = "text"):
@@ -128,6 +152,126 @@ class BruteForceOracle:
         order = np.lexsort((self.doc_ids[idx], -s[idx]))[:k]
         sel = idx[order]
         return [(int(self.doc_ids[i]), np.float32(s[i])) for i in sel]
+
+    # ---- recursive nested-query oracle --------------------------------
+    def eval_query(self, q, boost_mult: float = 1.0):
+        """Evaluate a Query AST (including nested BooleanQuery clauses)
+        -> (doc_ids, float32 scores) over all matching docs. Mirrors
+        the scorer-composition float discipline of the engine's
+        eval_tree: every node emits float32, every combiner accumulates
+        in double and casts once; boosts multiply into leaf weights."""
+        from .query import (AndQuery, BooleanQuery, ConstantScoreQuery,
+                            DisMaxQuery, OrQuery, PhraseQuery,
+                            SynonymQuery, TermQuery)
+        ids = self.doc_ids
+
+        def as_q(c, field):
+            return TermQuery(c, field) if isinstance(c, str) else c
+
+        if isinstance(q, TermQuery):
+            sc = BM25Scorer(self.df[q.term], self.doc_count, self.sum_ttf,
+                            boost=boost_mult * q.boost)
+            tf = np.array([c.get(q.term, 0) for c in self.tfs], dtype=np.int64)
+            s = sc.score(tf, self.norms)
+            m = tf > 0
+            return ids[m], s[m]
+        if isinstance(q, AndQuery):
+            parts = [self.eval_query(TermQuery(t, q.field),
+                                     boost_mult * q.boost) for t in q.terms]
+            return _o_intersect_sum(parts)
+        if isinstance(q, OrQuery):
+            parts = [self.eval_query(TermQuery(t, q.field),
+                                     boost_mult * q.boost) for t in q.terms
+                     if self.df[t] > 0]
+            return _o_union_sum(parts)
+        if isinstance(q, PhraseQuery):
+            slop = q.slop
+            if slop:
+                freqs = np.array([self._phrase_freq_sloppy(t, list(q.terms), slop)
+                                  for t in self.tokens], dtype=np.int64)
+            else:
+                freqs = np.array([self._phrase_freq(t, list(q.terms))
+                                  for t in self.tokens], dtype=np.int64)
+            idfs = [BM25Scorer(self.df[t], self.doc_count, self.sum_ttf).idf
+                    for t in q.terms]
+            sc = BM25Scorer(1, self.doc_count, self.sum_ttf)
+            sc.weight = np.float32(np.float32(boost_mult * q.boost)
+                                   * sum_idf(idfs))
+            s = sc.score(freqs, self.norms)
+            m = freqs > 0
+            return ids[m], s[m]
+        if isinstance(q, SynonymQuery):
+            tfs = np.zeros(self.doc_count, dtype=np.int64)
+            for x in q.terms:
+                tfs += np.array([c.get(x, 0) for c in self.tfs], dtype=np.int64)
+            sc = BM25Scorer(max(self.df[x] for x in q.terms),
+                            self.doc_count, self.sum_ttf,
+                            boost=boost_mult * q.boost)
+            s = sc.score(tfs, self.norms)
+            m = tfs > 0
+            return ids[m], s[m]
+        if isinstance(q, DisMaxQuery):
+            parts = [self.eval_query(as_q(c, q.field), boost_mult * q.boost)
+                     for c in q.terms_]
+            parts = [p for p in parts if p[0].size]
+            if not parts:
+                return ids[:0], np.zeros(0, np.float32)
+            udocs = np.unique(np.concatenate([p[0] for p in parts]))
+            smat = np.zeros((len(parts), udocs.size), dtype=np.float32)
+            for i, (d, s) in enumerate(parts):
+                smat[i, np.searchsorted(udocs, d)] = s
+            mx = smat.max(axis=0)
+            tie = np.float64(q.tie_breaker)
+            if tie:
+                tot = smat.astype(np.float64).sum(axis=0)
+                return udocs, (mx.astype(np.float64)
+                               + tie * (tot - mx.astype(np.float64))
+                               ).astype(np.float32)
+            return udocs, mx
+        if isinstance(q, ConstantScoreQuery):
+            d, _ = self.eval_query(q.query, 1.0)
+            return d, np.full(d.size, np.float32(boost_mult * q.boost),
+                              dtype=np.float32)
+        if isinstance(q, BooleanQuery):
+            bm = boost_mult * q.boost
+            mparts = [self.eval_query(as_q(c, q.field), bm) for c in q.must]
+            sparts = [self.eval_query(as_q(c, q.field), bm) for c in q.should]
+            if q.must:
+                if any(p[0].size == 0 for p in mparts):
+                    return ids[:0], np.zeros(0, np.float32)
+                docs, ms = _o_intersect_sum(mparts)
+                tot = ms.astype(np.float64)
+            else:
+                docs, _ = _o_union_sum(sparts)
+                tot = np.zeros(docs.size, dtype=np.float64)
+            for c in q.filter_:
+                fd, _ = self.eval_query(as_q(c, q.field), 1.0)
+                keep = np.isin(docs, fd, assume_unique=True)
+                docs, tot = docs[keep], tot[keep]
+            for c in q.must_not:
+                nd, _ = self.eval_query(as_q(c, q.field), 1.0)
+                keep = ~np.isin(docs, nd, assume_unique=True)
+                docs, tot = docs[keep], tot[keep]
+            n_sh = np.zeros(docs.size, dtype=np.int64)
+            for sd, ss in sparts:
+                if sd.size == 0:
+                    continue
+                idx = np.searchsorted(sd, docs)
+                idx_c = np.minimum(idx, sd.size - 1)
+                hit = (sd.size > 0) & (sd[idx_c] == docs) if sd.size else \
+                    np.zeros(docs.size, bool)
+                tot[hit] += ss[idx_c[hit]].astype(np.float64)
+                n_sh += hit
+            if not (q.must and q.min_should_match == 0):
+                keep = n_sh >= max(q.min_should_match, 0 if q.must else 1)
+                docs, tot = docs[keep], tot[keep]
+            return docs, tot.astype(np.float32)
+        raise TypeError(type(q))
+
+    def topk_query(self, q, k: int) -> list:
+        docs, scores = self.eval_query(q)
+        order = np.lexsort((docs, -scores))[:k]
+        return [(int(docs[i]), np.float32(scores[i])) for i in order]
 
     @staticmethod
     def _phrase_freq(tokens: list, phrase: list) -> int:

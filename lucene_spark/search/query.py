@@ -91,7 +91,12 @@ class DisMaxQuery:
 class BooleanQuery:
     """MUST / SHOULD / FILTER / MUST_NOT with minimumNumberShouldMatch
     (core:search/BooleanQuery.java:125-147, BooleanClause.java:25-60).
-    Clauses are single terms (nested boolean = v2)."""
+
+    Clauses are bare terms (strings, scored as TermQuery in ``field``)
+    or arbitrary sub-queries (phrase, multi-term, boolean-of-boolean…)
+    — the full ``BooleanQuery.Builder.add(Query, Occur)`` surface.
+    All-string boolean keeps the flat fast path; any Query clause
+    routes through the recursive tree evaluator."""
     must: tuple = ()
     should: tuple = ()
     must_not: tuple = ()
@@ -101,8 +106,71 @@ class BooleanQuery:
     boost: float = 1.0
 
     @property
+    def nested(self) -> bool:
+        return any(not isinstance(c, str) for c in
+                   self.must + self.should + self.must_not + self.filter_)
+
+    @property
     def terms(self):
+        if self.nested:
+            out = []
+            for c in (self.must + self.should + self.must_not + self.filter_):
+                out.extend([c] if isinstance(c, str) else c.terms)
+            return out
         return list(self.must) + list(self.should) + list(self.must_not) + list(self.filter_)
+
+
+@dataclass(frozen=True)
+class ConstantScoreQuery:
+    """Wraps any query: matching docs score ``boost``, sub-scores
+    discarded (core:search/ConstantScoreQuery.java)."""
+    query: object
+    field: str = "text"
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return self.query.terms
+
+
+def rewrite(q):
+    """Driver-side query rewrite (core:search/BooleanQuery.java:215-330
+    + Query.rewrite contract): single-clause elision (a boolean with one
+    MUST or one SHOULD clause and nothing else collapses to the clause,
+    boost folded in) and recursive clause rewriting. MultiTermQuery
+    expansion happens later, at stats-binding time, because it needs the
+    term dictionary."""
+    if isinstance(q, BooleanQuery):
+        must = tuple(rewrite(c) if not isinstance(c, str) else c
+                     for c in q.must)
+        should = tuple(rewrite(c) if not isinstance(c, str) else c
+                       for c in q.should)
+        must_not = tuple(rewrite(c) if not isinstance(c, str) else c
+                         for c in q.must_not)
+        filter_ = tuple(rewrite(c) if not isinstance(c, str) else c
+                        for c in q.filter_)
+        # single-clause elision (BooleanQuery.java:255-275)
+        only = None
+        if len(must) == 1 and not (should or must_not or filter_):
+            only = must[0]
+        elif (len(should) == 1 and not (must or must_not or filter_)
+              and q.min_should_match <= 1):
+            only = should[0]
+        if only is not None:
+            sub = TermQuery(only, q.field) if isinstance(only, str) else only
+            if q.boost != 1.0:
+                sub = _with_boost(sub, q.boost * getattr(sub, "boost", 1.0))
+            return sub
+        return BooleanQuery(must, should, must_not, filter_, q.field,
+                            q.min_should_match, q.boost)
+    if isinstance(q, ConstantScoreQuery):
+        return ConstantScoreQuery(rewrite(q.query), q.field, q.boost)
+    return q
+
+
+def _with_boost(q, boost: float):
+    from dataclasses import replace
+    return replace(q, boost=boost)
 
 
 @dataclass(frozen=True)
@@ -160,23 +228,170 @@ def from_dict(q: dict):
     raise ValueError(f"unknown query type: {t}")
 
 
-_PHRASE_RE = re.compile(r'"([^"]*)"')
+# ---------------------------------------------------------------------------
+# classic QueryParser subset (queryparser/classic/QueryParser.java:82):
+#   field:term      explicit field
+#   +term / -term   MUST / MUST_NOT prefixes
+#   AND / OR / NOT  infix operators (AND promotes both sides to MUST)
+#   "a b"           phrase;  "a b"~2  sloppy phrase
+#   term^2.5        boost
+#   wild* / wi?ld   wildcard MultiTermQuery
+#   term~1          fuzzy MultiTermQuery (edit distance)
+#   ( ... )         grouping (nested boolean)
+# Default operator is OR (bare clauses are SHOULD), like the reference.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r'\s*('
+    r'\(|\)'                           # grouping
+    r'|"[^"]*"(?:~\d+)?'               # phrase with optional slop
+    r'|AND\b|OR\b|NOT\b'               # operators
+    r'|\+|-'                           # occur prefixes
+    r'|[^\s()+"]+'                     # term-ish (field:term, boost, fuzzy)
+    r')')
+
+
+def _tokenize_query(s: str) -> list:
+    out, i = [], 0
+    while i < len(s):
+        m = _TOKEN_RE.match(s, i)
+        if not m:
+            break
+        out.append(m.group(1))
+        i = m.end()
+    return out
+
+
+_BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
+_FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
+
+
+def _parse_atom(tok: str, field: str):
+    """One term-ish token -> (query-or-term, boost). Bare analyzed terms
+    come back as plain strings (flat clause fast path)."""
+    boost = 1.0
+    m = _BOOST_RE.match(tok)
+    if m:
+        tok, boost = m.group(1), float(m.group(2))
+    if ":" in tok:
+        f, tok = tok.split(":", 1)
+        field = f
+    if tok.startswith('"'):
+        body = tok[1:]
+        slop = 0
+        m = _FUZZY_RE.match(body)
+        if m and not body.endswith('"'):
+            body, slop = m.group(1), int(m.group(2) or 0)
+        body = body.rstrip('"')
+        terms = tuple(body.lower().split())
+        if len(terms) == 1:
+            return (TermQuery(terms[0], field, boost=boost)
+                    if (field != "text" or boost != 1.0) else terms[0],
+                    boost)
+        return PhraseQuery(terms, field, slop=slop, boost=boost), boost
+    m = _FUZZY_RE.match(tok)
+    if m and m.group(2) != "":
+        return MultiTermQuery("fuzzy", m.group(1).lower(), field,
+                              max_edits=min(int(m.group(2)), 2),
+                              boost=boost), boost
+    if "*" in tok or "?" in tok:
+        return MultiTermQuery("wildcard", tok.lower(), field,
+                              boost=boost), boost
+    t = tok.lower()
+    if field != "text" or boost != 1.0:
+        return TermQuery(t, field, boost=boost), boost
+    return t, boost
+
+
+def _parse_clauses(toks: list, pos: int, field: str):
+    """Parse until ')' or end -> (clauses [(occur, clause)], next pos).
+    occur in {'must', 'should', 'must_not'}."""
+    clauses = []
+    pending = None   # occur forced by a prefix/operator for next clause
+    promote = False  # AND seen: promote previous default clause to MUST
+    while pos < len(toks):
+        t = toks[pos]
+        if t == ")":
+            return clauses, pos + 1
+        if t == "AND":
+            if clauses and clauses[-1][0] == "should":
+                clauses[-1] = ("must", clauses[-1][1])
+            pending = "must"
+            pos += 1
+            continue
+        if t == "OR":
+            pending = "should"
+            pos += 1
+            continue
+        if t == "NOT":
+            pending = "must_not"
+            pos += 1
+            continue
+        if t == "+":
+            pending = "must"
+            pos += 1
+            continue
+        if t == "-":
+            pending = "must_not"
+            pos += 1
+            continue
+        # `field:` immediately before a phrase or group binds the field
+        # to that sub-clause (field:"a b", field:(a b))
+        clause_field = field
+        if (t.endswith(":") and len(t) > 1 and pos + 1 < len(toks)
+                and (toks[pos + 1].startswith('"') or toks[pos + 1] == "(")):
+            clause_field = t[:-1]
+            pos += 1
+            t = toks[pos]
+        if t == "(":
+            sub, pos = _parse_clauses(toks, pos + 1, clause_field)
+            boost = 1.0
+            if pos < len(toks) and toks[pos].startswith("^"):
+                boost = float(toks[pos][1:])
+                pos += 1
+            q = _build_boolean(sub, clause_field, boost)
+            clauses.append((pending or "should", q))
+            pending = None
+            continue
+        atom, _ = _parse_atom(t, clause_field)
+        clauses.append((pending or "should", atom))
+        pending = None
+        pos += 1
+    return clauses, pos
+
+
+def _build_boolean(clauses: list, field: str, boost: float = 1.0):
+    must = tuple(c for o, c in clauses if o == "must")
+    should = tuple(c for o, c in clauses if o == "should")
+    must_not = tuple(c for o, c in clauses if o == "must_not")
+    # compact flat all-term shapes to the dedicated query types (same
+    # scoring, simpler plans)
+    if should and not must and not must_not and len(should) > 1 \
+            and all(isinstance(c, str) for c in should):
+        return OrQuery(should, field, boost=boost)
+    if must and not should and not must_not and len(must) > 1 \
+            and all(isinstance(c, str) for c in must):
+        return AndQuery(must, field, boost=boost)
+    q = BooleanQuery(must=must, should=should, must_not=must_not,
+                     field=field, boost=boost)
+    return rewrite(q)
 
 
 def parse_query(s: str, field: str = "text"):
-    """Tiny classic-QueryParser subset: phrases in quotes; AND / '+' for
-    conjunction; bare terms are OR'd (default OR operator)."""
-    s = s.strip()
-    m = _PHRASE_RE.fullmatch(s)
-    if m:
-        return PhraseQuery(tuple(m.group(1).lower().split()), field)
-    toks = s.split()
-    if "AND" in toks:
-        terms = tuple(t.lower() for t in toks if t != "AND")
-        return AndQuery(terms, field)
-    if all(t.startswith("+") for t in toks) and len(toks) > 1:
-        return AndQuery(tuple(t[1:].lower() for t in toks), field)
-    toks = [t.lstrip("+").lower() for t in toks]
-    if len(toks) == 1:
-        return TermQuery(toks[0], field)
-    return OrQuery(tuple(toks), field)
+    """Parse a classic-QueryParser-subset string into the Query AST.
+    Single-clause results are elided to the bare query (rewrite)."""
+    toks = _tokenize_query(s.strip())
+    clauses, _ = _parse_clauses(toks, 0, field)
+    if not clauses:
+        raise ValueError(f"empty query: {s!r}")
+    # all-SHOULD flat terms keep the compact OrQuery shape; a single
+    # bare term keeps TermQuery (back-compat fast paths)
+    if all(o == "should" and isinstance(c, str) for o, c in clauses):
+        terms = tuple(c for _, c in clauses)
+        return (TermQuery(terms[0], field) if len(terms) == 1
+                else OrQuery(terms, field))
+    if all(o == "must" and isinstance(c, str) for o, c in clauses):
+        terms = tuple(c for _, c in clauses)
+        return (TermQuery(terms[0], field) if len(terms) == 1
+                else AndQuery(terms, field))
+    return _build_boolean(clauses, field)

@@ -31,10 +31,11 @@ from pyspark.sql import functions as F
 from ..index.catalog import IndexCatalog
 from ..kernels.bm25 import BM25Scorer, sum_idf
 from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
-                      constant_or_topk, dismax_topk, pack_docset, phrase_freqs,
-                      score_bucket)
-from .query import (AndQuery, BooleanQuery, DisMaxQuery, MultiTermQuery,
-                    OrQuery, PhraseQuery, SynonymQuery, TermQuery)
+                      constant_or_topk, dismax_topk, eval_tree, pack_docset,
+                      phrase_freqs, score_bucket, topk_select)
+from .query import (AndQuery, BooleanQuery, ConstantScoreQuery, DisMaxQuery,
+                    MultiTermQuery, OrQuery, PhraseQuery, SynonymQuery,
+                    TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -58,6 +59,18 @@ def _levenshtein_le(a: str, b: str, k: int) -> bool:
             return False
         prev = cur
     return prev[-1] <= k
+
+
+def _needs_tree(query) -> bool:
+    """Shapes that require the recursive tree evaluator: boolean with
+    sub-query clauses, constant-score wrappers, dismax over queries."""
+    if isinstance(query, ConstantScoreQuery):
+        return True
+    if isinstance(query, BooleanQuery):
+        return query.nested
+    if isinstance(query, DisMaxQuery):
+        return any(not isinstance(c, str) for c in query.terms_)
+    return False
 
 
 def _qtype(query) -> str:
@@ -316,6 +329,229 @@ class IndexSearcher:
         return (filtered.groupBy("bucket_id")
                 .applyInPandas(pack, "bucket_id int, doc_bitmap binary"))
 
+    # ---- nested-query compilation (BooleanQuery.Builder.add(Query, Occur)
+    # surface, core:search/BooleanQuery.java:125-147) ----------------------
+    def _expand_mtq_tree(self, q):
+        """Replace MultiTermQuery nodes with their term-dictionary
+        expansion (OrQuery for scoring_boolean, ConstantScoreQuery(Or)
+        for constant_score) — the rewrite that needs the term dict."""
+        if isinstance(q, MultiTermQuery):
+            expanded = tuple(self.expand_terms(q))
+            inner = OrQuery(expanded, q.field, boost=q.boost)
+            if q.rewrite == "scoring_boolean":
+                return inner
+            return ConstantScoreQuery(OrQuery(expanded, q.field),
+                                      q.field, q.boost)
+        if isinstance(q, BooleanQuery):
+            fx = (lambda c: c if isinstance(c, str)
+                  else self._expand_mtq_tree(c))
+            return BooleanQuery(tuple(fx(c) for c in q.must),
+                                tuple(fx(c) for c in q.should),
+                                tuple(fx(c) for c in q.must_not),
+                                tuple(fx(c) for c in q.filter_),
+                                q.field, q.min_should_match, q.boost)
+        if isinstance(q, ConstantScoreQuery):
+            return ConstantScoreQuery(self._expand_mtq_tree(q.query),
+                                      q.field, q.boost)
+        if isinstance(q, DisMaxQuery):
+            return DisMaxQuery(tuple(c if isinstance(c, str)
+                                     else self._expand_mtq_tree(c)
+                                     for c in q.terms_),
+                               q.field, q.tie_breaker, q.boost)
+        return q
+
+    @staticmethod
+    def _collect_pairs(q, out: set, parent_field: str = "text"):
+        """All leaf (field, term) pairs of a (MTQ-expanded) query tree."""
+        if isinstance(q, str):
+            out.add((parent_field, q))
+        elif isinstance(q, TermQuery):
+            out.add((q.field, q.term))
+        elif isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery)):
+            out.update((q.field, t) for t in q.terms)
+        elif isinstance(q, DisMaxQuery):
+            for c in q.terms_:
+                IndexSearcher._collect_pairs(c, out, q.field)
+        elif isinstance(q, BooleanQuery):
+            for c in q.must + q.should + q.must_not + q.filter_:
+                IndexSearcher._collect_pairs(c, out, q.field)
+        elif isinstance(q, ConstantScoreQuery):
+            IndexSearcher._collect_pairs(q.query, out, q.field)
+        else:
+            raise TypeError(f"cannot collect terms of {type(q)}")
+
+    def _compile_node(self, q, stats: dict, boost_mult: float = 1.0,
+                      parent_field: str = "text"):
+        """Query tree -> picklable plan node with bound scorers (the
+        Weight tree, core:search/Weight.java). Returns None when the
+        node provably cannot match (required term absent from the
+        corpus). boost_mult is the product of enclosing boosts — boosts
+        multiply into leaf weights exactly like Lucene's
+        Weight(boost) propagation."""
+        C = self._compile_node
+        if isinstance(q, str):
+            q = TermQuery(q, parent_field)
+        if isinstance(q, TermQuery):
+            ts = stats.get(q.field, {})
+            if q.term not in ts:
+                return None
+            dc, sttf = self._field_stats(q.field)
+            sc = self.similarity(ts[q.term][0], dc, sttf,
+                                 boost=boost_mult * q.boost)
+            return ("term", q.field, q.term, sc)
+        if isinstance(q, PhraseQuery):
+            ts = stats.get(q.field, {})
+            if any(t not in ts for t in q.terms):
+                return None
+            dc, sttf = self._field_stats(q.field)
+            idfs = [BM25Scorer(ts[t][0], dc, sttf).idf for t in q.terms]
+            sc = _PhraseScorer(idfs, dc, sttf, boost_mult * q.boost)
+            return ("phrase", q.field, list(q.terms), sc, q.slop)
+        if isinstance(q, SynonymQuery):
+            ts = stats.get(q.field, {})
+            present = [t for t in q.terms if t in ts]
+            if not present:
+                return None
+            dc, sttf = self._field_stats(q.field)
+            sc = self.similarity(max(ts[t][0] for t in present), dc, sttf,
+                                 boost=boost_mult * q.boost)
+            return ("synonym", q.field, present, sc)
+        if isinstance(q, AndQuery):
+            kids = [C(TermQuery(t, q.field), stats, boost_mult * q.boost)
+                    for t in q.terms]
+            if any(c is None for c in kids):
+                return None
+            return ("and", kids)
+        if isinstance(q, OrQuery):
+            kids = [c for c in
+                    (C(TermQuery(t, q.field), stats, boost_mult * q.boost)
+                     for t in q.terms) if c is not None]
+            if not kids:
+                return None
+            return ("or", kids)
+        if isinstance(q, DisMaxQuery):
+            kids = [c for c in
+                    (C(cl, stats, boost_mult * q.boost, q.field)
+                     for cl in q.terms_) if c is not None]
+            if not kids:
+                return None
+            return ("dismax", kids, q.tie_breaker)
+        if isinstance(q, ConstantScoreQuery):
+            child = C(q.query, stats, 1.0, q.field)
+            if child is None:
+                return None
+            return ("const", child, boost_mult * q.boost)
+        if isinstance(q, BooleanQuery):
+            bm = boost_mult * q.boost
+            musts = [C(c, stats, bm, q.field) for c in q.must]
+            if any(c is None for c in musts):
+                return None
+            filters = [C(c, stats, 1.0, q.field) for c in q.filter_]
+            if any(c is None for c in filters):
+                return None
+            shoulds = [c for c in (C(c, stats, bm, q.field)
+                                   for c in q.should) if c is not None]
+            must_nots = [c for c in (C(c, stats, 1.0, q.field)
+                                     for c in q.must_not) if c is not None]
+            if not musts and not shoulds:
+                return None
+            if q.min_should_match > len(shoulds) and (q.should or not musts):
+                return None  # msm can never be satisfied
+            return ("bool", musts, shoulds, must_nots, filters,
+                    q.min_should_match)
+        raise TypeError(f"cannot compile {type(q)}")
+
+    def _search_tree(self, query, k: int, pruned: bool = True,
+                     doc_filter: str | None = None) -> DataFrame:
+        """Nested-query execution: compile the (rewritten, MTQ-expanded)
+        tree driver-side, evaluate it per bucket with the recursive
+        kernel (exhaustive within a bucket — no block-max pruning for
+        nested shapes; buckets are bounded so the per-task working set
+        is too), bucket-local top-k, Spark TakeOrderedAndProject merge.
+        """
+        spark = self.spark
+        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        q = self._expand_mtq_tree(rewrite(query))
+        q = rewrite(q)  # expansion may enable further elision
+        pairs: set = set()
+        self._collect_pairs(q, pairs, getattr(q, "field", self.field))
+        by_field: dict[str, set] = {}
+        for f, t in pairs:
+            by_field.setdefault(f, set()).add(t)
+        stats = {f: self.term_stats(sorted(ts), f)
+                 for f, ts in by_field.items()}
+        node = self._compile_node(q, stats, 1.0,
+                                  getattr(q, "field", self.field))
+        if node is None:
+            return empty
+        present = [(f, t) for f, ts in by_field.items()
+                   for t in ts if t in stats[f]]
+        if not present:
+            return empty
+        chunks_df = (self._postings_for_pairs(present)
+                     .select("field", "term", "bucket_id", "blocks"))
+        norms_df = (spark.read.parquet(self.norms_path)
+                    .select("bucket_id", "base_doc", "norms"))
+        joined = chunks_df.join(norms_df, "bucket_id")
+        has_filter = doc_filter is not None
+        if has_filter:
+            joined = joined.join(self._doc_filter_bitmaps(doc_filter),
+                                 "bucket_id")
+        joined, has_live = self._attach_live(joined)
+        live_docset = IndexSearcher._live_docset
+        kw_fields = set(self.keyword_fields)
+
+        def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
+            res_empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                      "score": pd.Series(dtype="float32")})
+            if not len(chunk_pdf):
+                return res_empty
+            norms_arr = np.frombuffer(bytes(chunk_pdf["norms"].iloc[0]),
+                                      dtype=np.uint8)
+            base = int(chunk_pdf["base_doc"].iloc[0])
+            docset = None
+            if has_filter:
+                docset = DocSetChunk(bytes(chunk_pdf["doc_bitmap"].iloc[0]),
+                                     base, norms_arr.size)
+                if docset.n_blocks() == 0:
+                    return res_empty
+            live_ds = live_docset(chunk_pdf) if has_live else None
+            if live_ds is not None and live_ds.n_blocks() == 0:
+                return res_empty
+            raw = {(f, t): TermChunk(b, [0.0] * len(b))
+                   for f, t, b in zip(chunk_pdf["field"], chunk_pdf["term"],
+                                      chunk_pdf["blocks"])}
+            cache: dict = {}
+
+            def get_chunk(f, t):
+                got = cache.get((f, t))
+                if got is None:
+                    ch = raw.get((f, t))
+                    if ch is None:
+                        return None
+                    if docset is not None:
+                        ch = MaskedChunk(ch, docset)
+                    if live_ds is not None:
+                        ch = MaskedChunk(ch, live_ds)
+                    got = cache[(f, t)] = ch
+                return got
+
+            ones = np.ones(norms_arr.size, dtype=np.uint8)
+
+            def norms_for(f):
+                return ones if f in kw_fields else norms_arr
+
+            docs, scores = eval_tree(node, get_chunk, norms_for, base)
+            docs, scores = topk_select(docs, scores, k)
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "score": scores.astype(np.float32)})
+
+        per_bucket = (joined.groupBy("bucket_id")
+                      .applyInPandas(run, schema=RESULT_SCHEMA))
+        return (per_bucket
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
     # ---- search ----------------------------------------------------------
     def search_df(self, query, k: int = 10, pruned: bool = True,
                   doc_filter: str | None = None,
@@ -334,6 +570,11 @@ class IndexSearcher:
         below it even before k local hits. Provably rank-safe;
         term/or shapes only."""
         spark = self.spark
+        if _needs_tree(query):
+            rq = rewrite(query)
+            if _needs_tree(rq):
+                return self._search_tree(rq, k, pruned, doc_filter)
+            return self.search_df(rq, k, pruned, doc_filter, two_pass)
         if isinstance(query, MultiTermQuery):
             expanded = self.expand_terms(query)
             if not expanded:
@@ -550,7 +791,11 @@ class IndexSearcher:
         # per-field term stats (queries may mix the analyzed text field
         # and keyword fields)
         terms_by_field: dict[str, set] = {}
-        for q in queries.values():
+        for qid, q in queries.items():
+            if _needs_tree(q):
+                raise ValueError(
+                    f"search_batch: query {qid!r} has nested clauses — "
+                    f"run it via search_df (tree evaluator)")
             f = getattr(q, "field", self.field)
             self._field_stats(f)  # raises on unindexed fields
             terms_by_field.setdefault(f, set()).update(q.terms)
