@@ -248,6 +248,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("score_r"))
     q["ft_filtered_topk"] = ft_filtered_topk
 
+    def ft_sloppy_topk(sp, sf):
+        # TRUE sloppy phrase (SloppyPhraseMatcher semantics): terms may
+        # reorder within slop; freq = sum of 1/(1+matchLength) over the
+        # min-pointer sweep's matches; BM25 with the float freq
+        return _topk_df(sp, sf, PhraseQuery(("slow", "fast"), slop=2), 10)
+    q["ft_sloppy_topk"] = ft_sloppy_topk
+
     def ft_nested_bool(sp, sf):
         # nested clauses: exact phrase as MUST + prefix MultiTermQuery
         # as SHOULD (BooleanQuery.Builder.add(Query, Occur) surface)
@@ -606,6 +613,30 @@ HAVING min(abs(p1.pos - p2.pos)) - 1 <= 2
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         JOIN documents d ON d.doc_id = f.doc_id
         WHERE f.term = 'vector' AND d.lang = 'en')
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # TRUE sloppy phrase: the sweep's visited pointer-states are exactly
+    # the merge-path pairs {{(i,j): A[i-1] <= B[j] AND B[j-1] < A[i]}}
+    # over offset-adjusted positions (A = pos(slow), B = pos(fast)-1);
+    # each pair with |A_i - B_j| <= slop contributes 1/(1+d) to freq
+    o["ft_sloppy_topk"] = P + f"""
+, pa AS (SELECT doc_id, pos AS p,
+         lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         FROM pos WHERE term = 'slow')
+, pb AS (SELECT doc_id, pos - 1 AS p,
+         lag(pos - 1) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+         FROM pos WHERE term = 'fast')
+, pairs AS (SELECT a.doc_id, abs(a.p - b.p) AS d
+            FROM pa a JOIN pb b ON a.doc_id = b.doc_id
+            WHERE (a.prev IS NULL OR a.prev <= b.p)
+              AND (b.prev IS NULL OR b.prev < a.p))
+, sl AS (SELECT doc_id, sum(1.0 / (1 + d)) AS freq FROM pairs
+         WHERE d <= 2 GROUP BY doc_id)
+, w AS (SELECT sum(idf) AS widf FROM idf WHERE term IN ('slow', 'fast'))
+, m AS (SELECT p.doc_id,
+        {_score('p.freq', idf='(SELECT widf FROM w)')} AS s
+        FROM sl p JOIN qdl q USING (doc_id))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 

@@ -29,6 +29,7 @@ __all__ = [
     "encode_chunk",
     "decode_chunk_docs_tfs",
     "decode_block_positions",
+    "decode_block_positions_flat",
     "impact_skyline",
 ]
 
@@ -174,3 +175,19 @@ def decode_block_positions(block) -> list:
         out.append(np.cumsum(seg))
         off += tf
     return out
+
+
+def decode_block_positions_flat(block) -> tuple:
+    """Decode one block's positions WITHOUT per-doc Python loops ->
+    (flat absolute positions int64, tfs int64). Per-doc segments are
+    delta-encoded with an absolute first value, so one global cumsum
+    minus each segment's carried prefix restores absolute positions
+    for every doc at once."""
+    tfs = unpack_ints(bytes(block["tfs_enc"]))
+    flat = unpack_ints(bytes(block["pos_enc"]))
+    if flat.size == 0:
+        return flat, tfs
+    cs = np.cumsum(flat)
+    ends = np.cumsum(tfs)
+    carry = np.concatenate(([0], cs[ends[:-1] - 1]))
+    return cs - np.repeat(carry, tfs), tfs

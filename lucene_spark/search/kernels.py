@@ -31,8 +31,9 @@ from ..kernels import codec
 from ..kernels.bm25 import BM25Scorer
 
 __all__ = ["TermChunk", "topk_select", "term_topk", "and_topk", "or_topk",
-           "phrase_topk", "phrase_freqs", "synonym_topk", "dismax_topk",
-           "boolean_topk", "score_bucket"]
+           "phrase_topk", "phrase_freqs", "sloppy_freqs", "min_span_freqs",
+           "synonym_topk", "dismax_topk", "boolean_topk", "score_bucket",
+           "eval_tree"]
 
 
 class TermChunk:
@@ -78,6 +79,17 @@ class TermChunk:
         p = self._positions.get(i)
         if p is None:
             p = self._positions[i] = codec.decode_block_positions(self.blocks[i])
+        return p
+
+    def positions_flat(self, i):
+        """(flat absolute positions, tfs) for block i — the vectorized
+        position path (no per-doc Python)."""
+        if not hasattr(self, "_pos_flat"):
+            self._pos_flat = {}
+        p = self._pos_flat.get(i)
+        if p is None:
+            p = self._pos_flat[i] = codec.decode_block_positions_flat(
+                self.blocks[i])
         return p
 
     def decode_all(self):
@@ -299,22 +311,73 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
     return topk_select(np.concatenate(got_d), np.concatenate(got_s), k)
 
 
+# Doc-key offset for concatenated position arrays: positions < 2^32 by
+# construction (doc length <= maxPosition), candidate ranks < 2^31, so
+# key*OFF + pos is collision-free in int64 and keeps per-doc segments
+# disjoint AND ordered — one global numpy pass replaces per-candidate
+# Python loops (the SURVEY §7.3(5) "no per-row Python" discipline).
+POS_OFF = np.int64(1) << 32
+
+
+def _inner_chunk(chunk):
+    """Unwrap MaskedChunk layers — positions of a surviving candidate
+    doc are identical in the raw chunk, so position gathering can use
+    the cached raw block decode."""
+    while isinstance(chunk, MaskedChunk):
+        chunk = chunk.inner
+    return chunk
+
+
+def _positions_for_docs(chunk, cand):
+    """Positions of every candidate doc in one concatenated, sorted,
+    doc-keyed int64 array: value = cand_rank * POS_OFF + position.
+
+    cand must be sorted asc and a subset of the chunk's docs (the
+    conjunction candidates). Fully vectorized: one segment-gather per
+    touched block (repeat/arange indexing), no per-doc Python."""
+    raw = _inner_chunk(chunk)
+    cand = np.asarray(cand, dtype=np.int64)
+    ranks = np.arange(cand.size, dtype=np.int64)
+    bidx = np.searchsorted(raw.lasts, cand, side="left")
+    parts = []
+    for bi in np.unique(bidx):
+        docs, _ = raw.decode(int(bi))
+        flat, tfs = raw.positions_flat(int(bi))
+        in_block = bidx == bi
+        cdocs = cand[in_block]
+        j = np.searchsorted(docs, cdocs)
+        ends = np.cumsum(tfs)
+        starts = ends - tfs
+        seg_starts, seg_lens = starts[j], tfs[j]
+        total = int(seg_lens.sum())
+        if total == 0:
+            continue
+        head = np.repeat(seg_starts, seg_lens)
+        local = (np.arange(total, dtype=np.int64)
+                 - np.repeat(np.cumsum(seg_lens) - seg_lens, seg_lens))
+        pos = flat[head + local]
+        keys = np.repeat(ranks[in_block], seg_lens)
+        parts.append(pos + keys * POS_OFF)
+    if not parts:
+        return np.zeros(0, dtype=np.int64)
+    return np.concatenate(parts)  # ascending by construction
+
+
 def phrase_freqs(chunks, pruned=True, slop=0):
     """Docs containing the phrase + per-doc occurrence count.
 
     slop == 0: exact phrase — conjunction candidates, then
-    consecutive-position verification by intersecting shifted position
-    lists (ExactPhraseMatcher.java:37).
+    consecutive-position verification by intersecting shifted,
+    doc-keyed position arrays in ONE pass over all candidates
+    (ExactPhraseMatcher.java:37, vectorized across docs).
 
-    slop > 0: ORDERED sloppy phrase — an occurrence is an in-order
+    slop > 0: ORDERED sloppy interval — an occurrence is an in-order
     chain of positions built greedily (each term takes its smallest
     position after the previous term) whose stretch
     ``last - first - (m-1)`` is <= slop; freq = number of start
-    positions admitting such a chain. NOTE: this is a deliberate,
-    documented simplification of the reference's SloppyPhraseMatcher
-    (which permits reordering and weights freq by 1/(1+matchLength),
-    core:search/SloppyPhraseMatcher.java) — ordered-window semantics
-    are exact for slop=0 and deterministic/SQL-checkable for slop>0.
+    positions admitting such a chain. This is the ordered interval
+    operator (Intervals.ordered/maxwidth family); the reference's
+    reorderable SloppyPhraseMatcher semantics live in sloppy_freqs.
 
     Returns (doc_ids, freqs) with freqs > 0 only.
     """
@@ -322,38 +385,112 @@ def phrase_freqs(chunks, pruned=True, slop=0):
     if cand.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     m = len(chunks)
-    freqs = np.zeros(cand.size, dtype=np.int64)
-    # per-term, per-candidate block positions
-    for ci, d in enumerate(np.asarray(cand, dtype=np.int64)):
-        plists = []
-        for c in chunks:
-            bi = int(np.searchsorted(c.lasts, d, side="left"))
-            docs, _ = c.decode(bi)
-            j = int(np.searchsorted(docs, d))
-            plists.append(c.positions(bi)[j])
-        if slop == 0:
-            cur = None
-            for off, pos in enumerate(plists):
-                cur = pos - off if cur is None else np.intersect1d(
-                    cur, pos - off, assume_unique=True)
-                if cur.size == 0:
-                    break
-            freqs[ci] = cur.size if cur is not None else 0
-        else:
-            # greedy minimal chain from every start position (vectorized
-            # across starts: one searchsorted per later term)
-            starts = np.asarray(plists[0], dtype=np.int64)
-            chain = starts
-            ok = np.ones(starts.size, dtype=bool)
-            for pos in plists[1:]:
-                pos = np.asarray(pos, dtype=np.int64)
-                idx = np.searchsorted(pos, chain, side="right")
-                ok &= idx < pos.size
-                chain = pos[np.minimum(idx, pos.size - 1)]
-            stretch = chain - starts - (m - 1)
-            freqs[ci] = int(np.count_nonzero(ok & (stretch <= slop)))
+    plists = [_positions_for_docs(c, cand) for c in chunks]
+    if slop == 0:
+        cur = plists[0]
+        for off, pk in enumerate(plists[1:], 1):
+            cur = np.intersect1d(cur, pk - off, assume_unique=True)
+            if cur.size == 0:
+                break
+        freqs = np.bincount((cur >> 32).astype(np.int64),
+                            minlength=cand.size) if cur.size else \
+            np.zeros(cand.size, dtype=np.int64)
+    else:
+        starts = plists[0]
+        chain = starts
+        ok = np.ones(starts.size, dtype=bool)
+        for pk in plists[1:]:
+            idx = np.searchsorted(pk, chain, side="right")
+            ok &= idx < pk.size
+            nxt = pk[np.minimum(idx, pk.size - 1)]
+            ok &= (nxt >> 32) == (chain >> 32)  # chain stays in-doc
+            chain = nxt
+        stretch = (chain - starts) - (m - 1)
+        valid = ok & (stretch <= slop)
+        freqs = np.bincount((starts[valid] >> 32).astype(np.int64),
+                            minlength=cand.size)
     hit = freqs > 0
     return cand[hit], freqs[hit]
+
+
+def sloppy_freqs(chunks, slop, pruned=True):
+    """TRUE sloppy-phrase matching (SloppyPhraseMatcher semantics,
+    core/src/java/org/apache/lucene/search/SloppyPhraseMatcher.java):
+    terms may appear in ANY order within the window; each match found
+    by the min-pointer sweep over offset-adjusted positions contributes
+    ``1 / (1 + matchLength)`` to a FLOAT freq (sloppyWeight,
+    matchLength = window stretch after subtracting phrase offsets).
+
+    The sweep: adjusted position lists (pos - phrase_offset) per term;
+    repeatedly emit when max-min <= slop, then advance the minimum
+    pointer (ties: lowest term index); stop when a list is exhausted.
+
+    m == 2 is evaluated for ALL candidate docs at once via the
+    merge-path characterization of the sweep's visited pairs
+    ((i, j) visited iff A[i-1] <= B[j] and B[j-1] < A[i]); m > 2 falls
+    back to a per-doc sweep (rare shape; bounded by bucket size).
+
+    Returns (doc_ids, float32 freqs) with freqs > 0 only.
+    """
+    cand = _conj_candidates(chunks, pruned)
+    if cand.size == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.float32)
+    m = len(chunks)
+    # offset-adjusted positions, shifted up by +m so every adjusted
+    # value stays STRICTLY above its doc's key base (key*OFF): position
+    # 0 of term with offset off maps to key*OFF + m - off >= key*OFF+1,
+    # keeping `>> 32` a valid doc-key extraction after adjustment
+    plists = [_positions_for_docs(c, cand) + (m - off)
+              for off, c in enumerate(chunks)]
+    freqs64 = np.zeros(cand.size, dtype=np.float64)
+    if m == 2:
+        A, B = plists
+        # per-element previous value WITHIN the same doc (doc start ->
+        # sentinel below every in-doc value but above the previous doc)
+        def prev_in_doc(x):
+            p = np.empty_like(x)
+            p[1:] = x[:-1]
+            doc_start = np.empty(x.size, dtype=bool)
+            doc_start[0] = True
+            doc_start[1:] = (x[1:] >> 32) != (x[:-1] >> 32)
+            p[doc_start] = (x[doc_start] >> 32) * POS_OFF
+            return p
+        Aprev = prev_in_doc(A)
+        lo = np.searchsorted(B, Aprev, side="left")
+        hi = np.minimum(np.searchsorted(B, A, side="left"), B.size - 1)
+        counts = np.maximum(hi - lo + 1, 0)
+        total = int(counts.sum())
+        if total:
+            i_idx = np.repeat(np.arange(A.size), counts)
+            j_idx = (np.repeat(lo, counts)
+                     + np.arange(total, dtype=np.int64)
+                     - np.repeat(np.cumsum(counts) - counts, counts))
+            d = np.abs(A[i_idx] - B[j_idx])
+            emit = d <= slop  # cross-doc pairs have d >= POS_OFF/2
+            w = 1.0 / (1.0 + d[emit].astype(np.float64))
+            np.add.at(freqs64, (A[i_idx[emit]] >> 32).astype(np.int64), w)
+    else:
+        # per-doc sweep fallback (kept faithful to the pq algorithm)
+        seglists = []
+        for pk in plists:
+            b = np.searchsorted(pk >> 32, np.arange(cand.size + 1))
+            seglists.append((pk, b))
+        for ci in range(cand.size):
+            pls = [pk[b[ci]:b[ci + 1]] for pk, b in seglists]
+            ptr = [0] * m
+            f = 0.0
+            while True:
+                vals = [int(pls[i][ptr[i]]) for i in range(m)]
+                mn, mx = min(vals), max(vals)
+                if mx - mn <= slop:
+                    f += 1.0 / (1 + mx - mn)
+                i_min = vals.index(mn)
+                ptr[i_min] += 1
+                if ptr[i_min] >= pls[i_min].size:
+                    break
+            freqs64[ci] = f
+    hit = freqs64 > 0
+    return cand[hit], freqs64[hit].astype(np.float32)
 
 
 def min_span_freqs(chunks, pruned=True):
@@ -362,39 +499,45 @@ def min_span_freqs(chunks, pruned=True):
     max(pos) - min(pos) - (m-1) over one occurrence of each term.
     Returns (doc_ids, min_spans) for all conjunction candidates.
 
-    Classic k-list minimal-window sweep per candidate doc.
+    Vectorized minimal-window sweep: merge ALL candidate docs' positions
+    into one doc-keyed event array; for each event (window end), the
+    window start is the minimum over per-term last-occurrence
+    (forward-fill via one maximum.accumulate per term); per-doc minima
+    by one np.minimum.at. Events whose min-last leaks from a previous
+    doc have a different doc key and are discarded — no per-doc loop.
     """
     cand = _conj_candidates(chunks, pruned)
     if cand.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     m = len(chunks)
-    spans = np.zeros(cand.size, dtype=np.int64)
-    for ci, d in enumerate(np.asarray(cand, dtype=np.int64)):
-        plists = []
-        for c in chunks:
-            bi = int(np.searchsorted(c.lasts, d, side="left"))
-            docs, _ = c.decode(bi)
-            j = int(np.searchsorted(docs, d))
-            plists.append(np.asarray(c.positions(bi)[j], dtype=np.int64))
-        ptr = [0] * m
-        best = np.iinfo(np.int64).max
-        while True:
-            vals = [plists[i][ptr[i]] for i in range(m)]
-            lo_i = int(np.argmin(vals))
-            best = min(best, max(vals) - vals[lo_i] - (m - 1))
-            ptr[lo_i] += 1
-            if ptr[lo_i] >= plists[lo_i].size:
-                break
-        spans[ci] = best
+    plists = [_positions_for_docs(c, cand) for c in chunks]
+    allpos = np.concatenate(plists)
+    tags = np.concatenate([np.full(p.size, i, dtype=np.int64)
+                           for i, p in enumerate(plists)])
+    order = np.argsort(allpos, kind="stable")
+    ap, at = allpos[order], tags[order]
+    minlast = np.full(ap.size, np.iinfo(np.int64).max, dtype=np.int64)
+    for i in range(m):
+        v = np.where(at == i, ap, np.int64(-1))
+        minlast = np.minimum(minlast, np.maximum.accumulate(v))
+    valid = (minlast >= 0) & ((minlast >> 32) == (ap >> 32))
+    span = ap - minlast - (m - 1)
+    sp = np.where(valid, span, np.iinfo(np.int64).max)
+    spans = np.full(cand.size, np.iinfo(np.int64).max, dtype=np.int64)
+    np.minimum.at(spans, (ap >> 32).astype(np.int64), sp)
     return cand, spans
 
 
 def phrase_topk(chunks, phrase_scorer, norms_arr, base_doc, k, pruned=True,
                 slop=0):
-    """Phrase top-k: conjunction + position verification (exact or
-    ordered-sloppy, see phrase_freqs); freq = occurrence count, weight =
-    Σ term idf (PhraseQuery.java:71-143, ExactPhraseMatcher.java:37)."""
-    cand, freqs = phrase_freqs(chunks, pruned, slop)
+    """Phrase top-k (PhraseQuery.java:71-143): slop == 0 is the exact
+    matcher (integer freq); slop > 0 is TRUE sloppy-phrase semantics —
+    reorderable within slop, float freq weighted 1/(1+matchLength)
+    (SloppyPhraseMatcher, see sloppy_freqs). Weight = Σ term idf."""
+    if slop > 0:
+        cand, freqs = sloppy_freqs(chunks, slop, pruned)
+    else:
+        cand, freqs = phrase_freqs(chunks, pruned, 0)
     if cand.size == 0:
         return np.zeros(0, np.int64), np.zeros(0, np.float32)
     scores = phrase_scorer.score(freqs, _norms_at(norms_arr, base_doc, cand))
@@ -713,7 +856,10 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
         chunks = [get_chunk(f, t) for t in terms]
         if any(c is None for c in chunks):
             return _empty_hits()
-        docs, freqs = phrase_freqs(chunks, pruned=True, slop=slop)
+        if slop > 0:
+            docs, freqs = sloppy_freqs(chunks, slop, pruned=True)
+        else:
+            docs, freqs = phrase_freqs(chunks, pruned=True, slop=0)
         if docs.size == 0:
             return _empty_hits()
         return docs, sc.score(freqs, norms_for(f)[docs - base_doc])

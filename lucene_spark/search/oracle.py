@@ -92,8 +92,8 @@ class BruteForceOracle:
         elif t == "phrase":
             slop = qdict.get("slop", 0)
             if slop:
-                freqs = np.array([self._phrase_freq_sloppy(toks, terms, slop)
-                                  for toks in self.tokens], dtype=np.int64)
+                freqs = np.array([self._sloppy_freq_true(toks, terms, slop)
+                                  for toks in self.tokens], dtype=np.float64)
             else:
                 freqs = np.array([self._phrase_freq(toks, terms)
                                   for toks in self.tokens], dtype=np.int64)
@@ -187,8 +187,8 @@ class BruteForceOracle:
         if isinstance(q, PhraseQuery):
             slop = q.slop
             if slop:
-                freqs = np.array([self._phrase_freq_sloppy(t, list(q.terms), slop)
-                                  for t in self.tokens], dtype=np.int64)
+                freqs = np.array([self._sloppy_freq_true(t, list(q.terms), slop)
+                                  for t in self.tokens], dtype=np.float64)
             else:
                 freqs = np.array([self._phrase_freq(t, list(q.terms))
                                   for t in self.tokens], dtype=np.int64)
@@ -278,6 +278,31 @@ class BruteForceOracle:
         n = len(phrase)
         return sum(1 for i in range(len(tokens) - n + 1)
                    if tokens[i:i + n] == phrase)
+
+    @staticmethod
+    def _sloppy_freq_true(tokens: list, phrase: list, slop: int) -> float:
+        """TRUE sloppy-phrase freq (SloppyPhraseMatcher semantics):
+        min-pointer sweep over offset-adjusted position lists; every
+        window with stretch <= slop contributes 1/(1+stretch); terms
+        may match in any order. Independent per-doc implementation of
+        the engine's sloppy_freqs kernel."""
+        pls = [[i - off for i, t in enumerate(tokens) if t == term]
+               for off, term in enumerate(phrase)]
+        if any(not p for p in pls):
+            return 0.0
+        m = len(phrase)
+        ptr = [0] * m
+        freq = 0.0
+        while True:
+            vals = [pls[i][ptr[i]] for i in range(m)]
+            mn, mx = min(vals), max(vals)
+            if mx - mn <= slop:
+                freq += 1.0 / (1 + mx - mn)
+            i_min = vals.index(mn)
+            ptr[i_min] += 1
+            if ptr[i_min] >= len(pls[i_min]):
+                break
+        return freq
 
     @staticmethod
     def _phrase_freq_sloppy(tokens: list, phrase: list, slop: int) -> int:
