@@ -357,6 +357,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("q_id", "vec_id", F.round("cos", 4).alias("cos_r")))
     q["ann_cosine_topk"] = ann_cosine_topk
 
+    def ann_lsh_recall(sp, sf):
+        # ANN scale path gated on recall: sign-LSH bucketed top-k vs
+        # exact brute-force top-k, per-query recall@5. The LSH pipeline
+        # (md5-derived hyperplanes, 16 planes / 8 bands, band-bucket
+        # join, exact re-rank) is replicated verbatim in the oracle SQL.
+        # 2-bit bands because the synthetic embeddings are near-random
+        # (weak neighbor structure); real clustered corpora keep recall
+        # with wider bands and far smaller candidate sets.
+        emb = _embeddings(sp, sf)
+        qs = (emb.filter(F.col("vec_id") < 5)
+              .select(F.col("vec_id").alias("q_id"), "embedding"))
+        lsh = SIM.lsh_cosine_topk(emb, qs, dim=64, k=5,
+                                  n_planes=16, bands=8)
+        brute = SIM.cosine_topk(emb, qs, k=5)
+        inter = (lsh.select("q_id", "vec_id")
+                 .join(brute.select("q_id", "vec_id"), ["q_id", "vec_id"]))
+        return (brute.groupBy("q_id").agg(F.count("*").alias("nb"))
+                .join(inter.groupBy("q_id").agg(F.count("*").alias("ni")),
+                      "q_id", "left")
+                .select("q_id",
+                        F.round(F.coalesce(F.col("ni"), F.lit(0))
+                                / F.col("nb"), 4).alias("recall_r")))
+    q["ann_lsh_recall"] = ann_lsh_recall
+
     def text_token_stats(sp, sf):
         return TS.token_stats(_docs(sp, sf))
     q["text_token_stats"] = text_token_stats
@@ -786,6 +810,57 @@ c AS (SELECT q.q_id, e.vec_id,
 SELECT q_id, vec_id, round(cos, 4) AS cos_r
 FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM c)
 WHERE rk <= 5
+"""
+
+    o["ann_lsh_recall"] = """
+WITH planes AS (
+  SELECT p, i,
+         (('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 12))::BIGINT::DOUBLE
+          / 140737488355328.0 - 1.0) AS c
+  FROM range(0, 16) rp(p), range(0, 64) ri(i)),
+dots AS (SELECT e.vec_id, pl.p,
+                sum(e.embedding[pl.i + 1]::DOUBLE * pl.c) AS d
+         FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+bits AS (SELECT vec_id,
+                sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sk
+         FROM dots GROUP BY vec_id),
+bands AS (SELECT vec_id, b, (sk >> (b * 2)) % 4 AS key
+          FROM bits, range(0, 8) rb(b)),
+cand AS (SELECT DISTINCT qb.vec_id AS q_id, vb.vec_id
+         FROM bands qb JOIN bands vb ON qb.b = vb.b AND qb.key = vb.key
+         WHERE qb.vec_id < 5 AND vb.vec_id != qb.vec_id),
+cosx AS (SELECT c.q_id, c.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) AS cos
+         FROM cand c JOIN embeddings x ON x.vec_id = c.q_id
+                     JOIN embeddings y ON y.vec_id = c.vec_id),
+lshtop AS (SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS rk FROM cosx)
+           WHERE rk <= 5),
+bcos AS (SELECT q.vec_id AS q_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 5 AND e.vec_id != q.vec_id),
+brutetop AS (SELECT q_id, vec_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS rk FROM bcos)
+             WHERE rk <= 5),
+inter AS (SELECT l.q_id, count(*) AS ni
+          FROM lshtop l JOIN brutetop b USING (q_id, vec_id)
+          GROUP BY l.q_id)
+SELECT b.q_id, round(coalesce(i.ni, 0)::DOUBLE / count(*), 4) AS recall_r
+FROM brutetop b LEFT JOIN inter i ON i.q_id = b.q_id
+GROUP BY b.q_id, i.ni
 """
 
     o["text_token_stats"] = P + r"""

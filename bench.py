@@ -55,7 +55,8 @@ def main():
         n_docs = docs.count()
         t0 = time.time()
         build_index(spark, docs, os.path.join(tmp, "docs_idx"),
-                    num_buckets=min(cpus, 16))
+                    num_buckets=min(cpus, 16),
+                    keyword_fields=("role", "tool"))
         docs_build = time.time() - t0
 
         # --- north-rule corpus: transcripts indexing throughput -------
@@ -77,9 +78,9 @@ def main():
         # swap the entry cache to the freshly built index
         searcher = IndexSearcher(spark, os.path.join(tmp, "docs_idx"))
         from lucene_spark.search.query import (AndQuery, BooleanQuery,
-                                               DisMaxQuery, OrQuery,
-                                               PhraseQuery, SynonymQuery,
-                                               TermQuery)
+                                               DisMaxQuery, MultiTermQuery,
+                                               OrQuery, PhraseQuery,
+                                               SynonymQuery, TermQuery)
         headline = {
             "q_term": TermQuery("vector"),
             "q_and": AndQuery(("slow", "fast")),
@@ -90,11 +91,23 @@ def main():
             "q_synonym": SynonymQuery(("slow", "fast")),
             "q_dismax": DisMaxQuery(("scan", "merge")),
         }
+        # nested / sloppy / keyword-field shapes run serially only
+        # (search_batch takes flat shapes)
+        serial_only = {
+            "q_sloppy": PhraseQuery(("slow", "fast"), slop=2),
+            "q_nested": BooleanQuery(
+                must=(PhraseQuery(("slow", "fast")),),
+                should=(MultiTermQuery("prefix", "qu"),)),
+            "q_field": TermQuery("en", field="role"),
+        }
         queries = {}
-        for name, qq in headline.items():
+        for name, qq in {**headline, **serial_only}.items():
             t0 = time.time()
             searcher.search(qq, k=10)
             queries[name] = round(time.time() - t0, 3)
+        t0 = time.time()
+        searcher.count(AndQuery(("slow", "fast")))
+        queries["q_count"] = round(time.time() - t0, 3)
 
         # batch mode: all headline queries in ONE Spark job (throughput)
         t0 = time.time()

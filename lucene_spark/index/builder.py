@@ -47,7 +47,7 @@ from ..kernels import codec
 from ..kernels.bm25 import BM25Scorer
 from ..kernels.smallfloat import int_to_byte4
 from ..kernels.tokenizer import tokenize_series
-from .catalog import IndexCatalog
+from .catalog import IndexCatalog, read_table
 
 DOCSTORE_SCHEMA = ("doc_id bigint, conv_id string, turn_idx int, role string, "
                    "tool string, ts timestamp, text string, token_count int, "
@@ -66,7 +66,46 @@ POSTINGS_SCHEMA = (f"field string, term string, bucket_id int, df bigint, "
                    f"term_h string")
 
 LINEAGE_SCHEMA = "stage string, bucket_id int, rows bigint, postings bigint, wall_ms bigint, status string"
-NORMS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, norms binary"
+NORMS_SCHEMA = ("bucket_id int, base_doc bigint, num_docs int, norms binary, "
+                "sum_tc bigint, kw_nn map<string,bigint>")
+
+
+def _write_lineage_rows(lin_path: str, rows: list) -> None:
+    """Append lineage rows as one parquet file written driver-side
+    (pyarrow) — lineage is driver-sized metadata; a Spark job per wave
+    would serialize the build on scheduler round-trips."""
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    cols = list(zip(*rows))
+    table = pa.table({
+        "stage": pa.array(cols[0], pa.string()),
+        "bucket_id": pa.array(cols[1], pa.int32()),
+        "rows": pa.array(cols[2], pa.int64()),
+        "postings": pa.array(cols[3], pa.int64()),
+        "wall_ms": pa.array(cols[4], pa.int64()),
+        "status": pa.array(cols[5], pa.string()),
+    })
+    os.makedirs(lin_path, exist_ok=True)
+    pq.write_table(table, os.path.join(lin_path, f"lin-{uuid.uuid4().hex}.parquet"))
+
+
+def _pack_norms(pdf: pd.DataFrame, keyword_fields: tuple = ()) -> pd.DataFrame:
+    """One bucket's docstore rows -> one norms row: packed norm bytes
+    plus the bucket's collection-stats partials (sum of token counts,
+    per-keyword-field non-null counts) so global stats aggregate from
+    per-bucket rows without another corpus scan."""
+    pdf = pdf.sort_values("doc_id")
+    return pd.DataFrame({
+        "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+        "base_doc": [int(pdf["doc_id"].iloc[0])],
+        "num_docs": [len(pdf)],
+        "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()],
+        "sum_tc": [int(pdf["token_count"].sum())],
+        "kw_nn": [{kf: int(pdf[kf].notna().sum()) for kf in keyword_fields}],
+    })
 
 
 def _invert_keyword_field(pdf: pd.DataFrame, field: str) -> pd.DataFrame:
@@ -408,38 +447,40 @@ class IndexBuilder:
                 schema=SEGMENTS_SCHEMA)
             (seg.write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path))
             wall = int((time.time() - t0) * 1000)
-            stats = (spark.read.parquet(seg_path)
-                     .filter(F.col("bucket_id").isin(wave))
-                     .groupBy("bucket_id")
-                     .agg(F.count("*").alias("terms"), F.sum("df").alias("postings"))
-                     .collect())
-            rows = [("segments", int(r["bucket_id"]), int(r["terms"]),
-                     int(r["postings"]), wall, "ok") for r in stats]
-            found = {r[1] for r in rows}
-            rows += [("segments", b, 0, 0, wall, "ok") for b in wave if b not in found]
-            spark.createDataFrame(rows, schema=LINEAGE_SCHEMA).write.mode("append").parquet(lin_path)
+            # the write either completed for the WHOLE wave or threw, so
+            # every wave bucket is done; lineage rows are written
+            # driver-side with pyarrow (no Spark job, no re-scan of the
+            # just-written segments — that re-scan was a serial barrier
+            # per wave; detailed term/posting counts live in the
+            # segments table itself, lineage records completion + wall)
+            _write_lineage_rows(
+                lin_path,
+                [("segments", b, -1, -1, wall, "ok") for b in wave])
             self.catalog.commit({}, extra={"segments_waves_done": w + len(wave)})
         return seg_path
 
     # ---- stage 3: stats + termstats + merged postings ---------------------
-    def build_stats(self, docstore_path: str) -> None:
+    def build_stats(self, norms_path: str) -> None:
         """Per-field collection stats (CollectionStatistics,
         core:search/CollectionStatistics.java): one row per indexed
-        field. Keyword fields carry one 1-token 'posting' per non-null
-        doc (docCount = docs with the field, avgdl = 1 — Lucene's
-        omitNorms length)."""
+        field, aggregated from the NORMS table's per-bucket partials
+        (one row per bucket — metadata-sized) instead of re-scanning
+        the docstore: build_norms already folded doc counts, token
+        sums, and keyword non-null counts into its single pass.
+        Keyword fields carry one 1-token 'posting' per non-null doc
+        (docCount = docs with the field, avgdl = 1 — omitNorms)."""
         if self.catalog.has_table("stats"):
             return
         spark = self.spark
-        aggs = [F.count("*").alias("_n"),
-                F.sum("token_count").alias("_s")]
+        aggs = [F.sum("num_docs").alias("_n"), F.sum("sum_tc").alias("_s")]
         for kf in self.keyword_fields:
-            aggs.append(F.count(F.col(kf)).alias(f"_n_{kf}"))
-        row = spark.read.parquet(docstore_path).agg(*aggs).collect()[0]
+            aggs.append(F.sum(F.element_at(F.col("kw_nn"), F.lit(kf)))
+                        .alias(f"_n_{kf}"))
+        row = spark.read.parquet(norms_path).agg(*aggs).collect()[0]
         rows = [(self.field, int(row["_n"]), int(row["_s"]),
                  float(row["_s"]) / max(int(row["_n"]), 1))]
         for kf in self.keyword_fields:
-            n = int(row[f"_n_{kf}"])
+            n = int(row[f"_n_{kf}"] or 0)
             rows.append((kf, n, n, 1.0))
         st = spark.createDataFrame(
             rows, "field string, doc_count bigint, sum_ttf bigint, avgdl double")
@@ -447,7 +488,73 @@ class IndexBuilder:
         st.coalesce(1).write.mode("overwrite").parquet(path)
         self.catalog.commit({"stats": rel})
 
-    def merge(self, seg_path: str, force: bool = False) -> str:
+    def _merged_df(self, seg: DataFrame, fstats: dict) -> DataFrame:
+        """The merge plan: ONE hash shuffle on term_h, then everything
+        term-local.
+
+        The global per-term df (needed to bake BM25 block maxima —
+        Lucene derives these at query time from impacts,
+        MaxScoreCache.java:19-159; with k1/b fixed we bake floats at
+        merge time) is computed INSIDE the shuffled partitions: term_h
+        is a function of term, so after repartition(term_h) +
+        sortWithinPartitions(field, term, bucket_id) every (field, term)
+        group is contiguous within one partition, and a carry-over
+        buffer handles groups straddling Arrow batches. No join, no
+        broadcast — the previous design broadcast the whole term
+        dictionary (10^7-10^9 entries at web scale => driver/executor
+        OOM); this computes the same g_df with zero extra shuffles."""
+
+        def bake(batches):
+            scorer_cache = {}
+
+            def process(pdf: pd.DataFrame):
+                g = pdf.groupby(["field", "term"], sort=False)["df"] \
+                    .transform("sum")
+                maxs, block_maxs = [], []
+                for fld, g_df, blocks in zip(pdf["field"], g, pdf["blocks"]):
+                    key = (fld, int(g_df))
+                    sc = scorer_cache.get(key)
+                    if sc is None:
+                        dc, sttf = fstats[fld]
+                        sc = scorer_cache[key] = BM25Scorer(int(g_df), dc,
+                                                            sttf)
+                    bm = [float(sc.max_score_for_impacts(
+                        b["imp_freqs"], b["imp_norms"])) for b in blocks]
+                    block_maxs.append(bm)
+                    maxs.append(max(bm) if bm else 0.0)
+                out = pdf[["field", "term", "bucket_id", "df", "ttf",
+                           "blocks", "term_h"]].copy()
+                out["max_score"] = np.array(maxs, dtype=np.float32)
+                out["block_max_scores"] = block_maxs
+                return out[["field", "term", "bucket_id", "df", "ttf",
+                            "max_score", "block_max_scores", "blocks",
+                            "term_h"]]
+
+            buf = None
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                if buf is not None:
+                    pdf = pd.concat([buf, pdf], ignore_index=True)
+                # hold back the (possibly incomplete) last group; its
+                # remaining chunks may arrive in the next Arrow batch
+                tail = ((pdf["field"] == pdf["field"].iloc[-1])
+                        & (pdf["term"] == pdf["term"].iloc[-1]))
+                head = pdf[~tail]
+                buf = pdf[tail]
+                if len(head):
+                    yield process(head)
+            if buf is not None and len(buf):
+                yield process(buf)
+
+        return (seg
+                .withColumn("term_h", F.concat(F.lit("h"),
+                                               F.substring(F.md5("term"), 1, 2)))
+                .repartition(self.merge_partitions, "term_h")
+                .sortWithinPartitions("field", "term", "bucket_id")
+                .mapInPandas(bake, schema=POSTINGS_SCHEMA))
+
+    def merge(self, seg_path, force: bool = False) -> str:
         """The shuffle-merge: segments -> term dictionary partitioned by
         a term-hash prefix.
 
@@ -471,53 +578,16 @@ class IndexBuilder:
                 and self.catalog.has_table("termstats")):
             return self.catalog.table_path("postings")
         spark = self.spark
-        seg = spark.read.parquet(seg_path)
-
-        ts = seg.groupBy("field", "term").agg(
-            F.sum("df").alias("df"), F.sum("ttf").alias("ttf"))
+        # seg_path may be one dir (base build) or the list of
+        # generation dirs (post-NRT compaction)
+        seg = read_table(spark, seg_path)
         ts_path, ts_rel = self.catalog.new_table_dir("termstats")
 
         fstats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
                   for r in spark.read.parquet(
                       self.catalog.table_path("stats")).collect()}
 
-        # Materialize per-term/per-block BM25 upper bounds from the impact
-        # skylines now that global stats exist (Lucene computes these at
-        # query time from impacts, MaxScoreCache.java:19-159; with k1/b
-        # fixed we can bake floats at merge time — impacts stay stored as
-        # source of truth for future re-stats/compaction).
-        def add_max_scores(batches):
-            scorer_cache = {}
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                maxs, block_maxs = [], []
-                for fld, df_, blocks in zip(pdf["field"], pdf["g_df"],
-                                            pdf["blocks"]):
-                    key = (fld, int(df_))
-                    sc = scorer_cache.get(key)
-                    if sc is None:
-                        dc, sttf = fstats[fld]
-                        sc = scorer_cache[key] = BM25Scorer(int(df_), dc, sttf)
-                    bm = [float(sc.max_score_for_impacts(b["imp_freqs"], b["imp_norms"]))
-                          for b in blocks]
-                    block_maxs.append(bm)
-                    maxs.append(max(bm) if bm else 0.0)
-                out = pdf[["field", "term", "bucket_id", "df", "ttf",
-                           "blocks", "term_h"]].copy()
-                out["max_score"] = np.array(maxs, dtype=np.float32)
-                out["block_max_scores"] = block_maxs
-                yield out[["field", "term", "bucket_id", "df", "ttf",
-                           "max_score", "block_max_scores", "blocks", "term_h"]]
-
-        merged = (seg.join(F.broadcast(ts.select("field", "term",
-                                                 F.col("df").alias("g_df"))),
-                           ["field", "term"])
-                  .withColumn("term_h", F.concat(F.lit("h"),
-                                                 F.substring(F.md5("term"), 1, 2)))
-                  .repartition(self.merge_partitions, "term_h")
-                  .sortWithinPartitions("field", "term", "bucket_id")
-                  .mapInPandas(add_max_scores, schema=POSTINGS_SCHEMA))
+        merged = self._merged_df(seg, fstats)
         p_path, p_rel = self.catalog.new_table_dir("postings")
         merged.write.mode("overwrite").partitionBy("term_h").parquet(p_path)
 
@@ -531,27 +601,27 @@ class IndexBuilder:
         self.catalog.commit({"postings": p_rel, "termstats": ts_rel})
         return p_path
 
-    # ---- stage 4: norms table ---------------------------------------------
-    def build_norms(self, docstore_path: str) -> None:
+    # ---- stage 4: norms table (+ stats partials, one docstore pass) -------
+    def build_norms(self, docstore_path: str) -> str:
+        """Pack per-bucket norm bytes AND fold the collection-stats
+        partials (token sum, keyword non-null counts) into the same
+        single docstore pass — build_stats then aggregates the tiny
+        per-bucket rows instead of scanning the corpus again (one full
+        scan saved per build; the scans were a serial-fraction term in
+        the N->4N scaling measurement)."""
         if self.catalog.has_table("norms"):
-            return
+            return self.catalog.table_path("norms")
         spark = self.spark
-
-        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("doc_id")
-            return pd.DataFrame({
-                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
-                "base_doc": [int(pdf["doc_id"].iloc[0])],
-                "num_docs": [len(pdf)],
-                "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()],
-            })
-
+        kw = self.keyword_fields
         norms = (spark.read.parquet(docstore_path)
-                 .select("doc_id", "norm", "bucket_id")
-                 .groupBy("bucket_id").applyInPandas(pack, schema=NORMS_SCHEMA))
+                 .select("doc_id", "norm", "token_count", "bucket_id", *kw)
+                 .groupBy("bucket_id")
+                 .applyInPandas(lambda pdf: _pack_norms(pdf, kw),
+                                schema=NORMS_SCHEMA))
         path, rel = self.catalog.new_table_dir("norms")
         norms.write.mode("overwrite").parquet(path)
         self.catalog.commit({"norms": rel})
+        return path
 
     # ---- orchestrator -------------------------------------------------------
     def build(self, transcripts: DataFrame) -> IndexCatalog:
@@ -574,8 +644,8 @@ class IndexBuilder:
         try:
             ds = self.build_docstore(transcripts)
             seg = self.build_segments(ds)
-            self.build_stats(ds)
-            self.build_norms(ds)
+            nm = self.build_norms(ds)
+            self.build_stats(nm)
             self.merge(seg)
         finally:
             conf.set("spark.sql.adaptive.coalescePartitions.enabled", prev)

@@ -21,6 +21,22 @@ import time
 _COMMIT_RE = re.compile(r"^segments_(\d+)\.json$")
 
 
+def read_table(spark, locations):
+    """Read a (possibly multi-generation) table: one scan per directory
+    unioned by name — Spark refuses multiple partitioned roots in one
+    read, and per-root scans keep partition pruning per generation.
+    allowMissingColumns tolerates schema evolution across generations."""
+    if isinstance(locations, str):
+        locations = [locations]
+    if not locations:
+        raise ValueError("read_table: no locations")
+    out = spark.read.parquet(locations[0])
+    for p in locations[1:]:
+        out = out.unionByName(spark.read.parquet(p),
+                              allowMissingColumns=True)
+    return out
+
+
 class IndexCatalog:
     def __init__(self, root: str):
         self.root = root
@@ -87,11 +103,44 @@ class IndexCatalog:
         return gen
 
     # ---- table paths ---------------------------------------------------
+    # A table maps to ONE directory (base build) or a LIST of
+    # directories (base + NRT-appended generations) — the Lucene
+    # segments_N model: a commit point lists the files that make up the
+    # index, appends add new dirs to the list atomically, and merges
+    # replace list entries, never mutating live directories in place.
+
     def table_path(self, name: str, commit: dict | None = None) -> str | None:
+        """Primary (base) directory of a table; for multi-dir tables
+        this is the FIRST generation — use table_locations() to read
+        the complete table."""
         c = commit or self.latest_commit()
         if not c or name not in c["tables"]:
             return None
-        return os.path.join(self.root, c["tables"][name])
+        v = c["tables"][name]
+        if isinstance(v, list):
+            v = v[0]
+        return os.path.join(self.root, v)
+
+    def table_locations(self, name: str, commit: dict | None = None) -> list:
+        """ALL directories of a table in generation order ([] if the
+        table does not exist). Readers pass the whole list to
+        spark.read.parquet(*locations)."""
+        c = commit or self.latest_commit()
+        if not c or name not in c["tables"]:
+            return []
+        v = c["tables"][name]
+        if isinstance(v, str):
+            v = [v]
+        return [os.path.join(self.root, x) for x in v]
+
+    def table_rels(self, name: str, commit: dict | None = None) -> list:
+        """Relative manifest entries of a table (for building a new
+        commit's list values)."""
+        c = commit or self.latest_commit()
+        if not c or name not in c["tables"]:
+            return []
+        v = c["tables"][name]
+        return [v] if isinstance(v, str) else list(v)
 
     def new_table_dir(self, name: str, gen_hint: str = "") -> tuple:
         """Uncommitted staging dir for a table version; returns

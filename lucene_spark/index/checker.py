@@ -21,15 +21,18 @@ from pyspark.sql.window import Window
 from ..kernels import codec
 from ..kernels.bm25 import BM25Scorer
 from ..kernels.smallfloat import int_to_byte4
-from .catalog import IndexCatalog
+from .catalog import IndexCatalog, read_table
 
 
 def check_index(spark: SparkSession, index_dir: str, sample_terms: int = 200) -> dict:
     """Runs all invariant checks; raises AssertionError on violation.
     Returns summary counts."""
     cat = IndexCatalog(index_dir)
-    ds = spark.read.parquet(cat.table_path("docstore"))
-    st = spark.read.parquet(cat.table_path("stats")).collect()[0]
+    ds = read_table(spark, cat.table_locations("docstore"))
+    text_field = ((cat.latest_commit().get("extra") or {})
+                  .get("field") or "text")
+    st = (spark.read.parquet(cat.table_path("stats"))
+          .filter(F.col("field") == text_field).collect()[0])
     doc_count, sum_ttf = int(st["doc_count"]), int(st["sum_ttf"])
 
     # --- docstore invariants (distributed) ---
@@ -54,7 +57,7 @@ def check_index(spark: SparkSession, index_dir: str, sample_terms: int = 200) ->
     assert disorder == 0, "doc_id does not follow (conv_id, turn_idx) order"
 
     # --- postings invariants (kernel-side, distributed) ---
-    post = spark.read.parquet(cat.table_path("postings"))
+    post = read_table(spark, cat.table_locations("postings"))
 
     def verify(batches):
         for pdf in batches:
@@ -91,20 +94,31 @@ def check_index(spark: SparkSession, index_dir: str, sample_terms: int = 200) ->
     assert mism == 0, "termstats disagree with postings"
 
     # --- block max_score dominates member scores (sampled) ---
-    sample_p = post.limit(sample_terms).toPandas()
-    norms_pd = spark.read.parquet(cat.table_path("norms")).toPandas()
+    sample_p = (post.filter(F.col("field") == text_field)
+                .limit(sample_terms).toPandas())
+    norms_pd = read_table(spark, cat.table_locations("norms")).toPandas()
     norms_by_bucket = {int(r.bucket_id): (int(r.base_doc),
                                           np.frombuffer(bytes(r.norms), np.uint8))
                        for r in norms_pd.itertuples()}
     ts_pd = {r["term"]: int(r["df"]) for r in
-             ts.filter(F.col("term").isin([str(t) for t in sample_p["term"]]))
+             ts.filter((F.col("field") == text_field) &
+                       F.col("term").isin([str(t) for t in sample_p["term"]]))
              .collect()}
+    # NRT-dirty indexes have stale baked floats by design — searchers
+    # recompute bounds from the stored impacts, so the invariant to
+    # check is impacts-derived bounds dominating member scores
+    dirty = bool((cat.latest_commit().get("extra") or {})
+                 .get("nrt_dirty", False))
     for row in sample_p.itertuples():
         sc = BM25Scorer(ts_pd[row.term], doc_count, sum_ttf)
         base, narr = norms_by_bucket[int(row.bucket_id)]
         for blk, bmax in zip(row.blocks, row.block_max_scores):
             docs, tfs = codec.decode_block_docs_tfs(blk)
             scores = sc.score(tfs, narr[docs - base])
+            if dirty:
+                bmax = sc.max_score_for_impacts(
+                    np.asarray(blk["imp_freqs"]),
+                    np.asarray(blk["imp_norms"]))
             assert np.all(scores <= np.float32(bmax) + 0), \
                 f"block max violated for {row.term}"
 

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..search.kernels import pack_docset
-from .catalog import IndexCatalog
+from .catalog import IndexCatalog, read_table
 
 LIVEDOCS_SCHEMA = "bucket_id int, base_doc bigint, num_docs int, live binary"
 
@@ -34,9 +34,9 @@ def delete_docs(spark: SparkSession, index_dir: str, predicate: str) -> int:
     number of NEWLY deleted docs (docs already dead are not recounted).
     Publishes a new commit point."""
     cat = IndexCatalog(index_dir)
-    nm = (spark.read.parquet(cat.table_path("norms"))
+    nm = (read_table(spark, cat.table_locations("norms"))
           .select("bucket_id", "base_doc", "num_docs"))
-    dead = (spark.read.parquet(cat.table_path("docstore"))
+    dead = (read_table(spark, cat.table_locations("docstore"))
             .filter(predicate)
             .select("bucket_id", "doc_id")
             .join(F.broadcast(nm), "bucket_id")

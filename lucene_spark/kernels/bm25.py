@@ -31,7 +31,8 @@ import numpy as np
 
 from .smallfloat import LENGTH_TABLE
 
-__all__ = ["idf", "sum_idf", "avg_field_length", "norm_inverse_cache", "bm25_score", "BM25Scorer"]
+__all__ = ["idf", "sum_idf", "avg_field_length", "norm_inverse_cache",
+           "bm25_score", "BM25Scorer", "ClassicScorer", "LMDirichletScorer"]
 
 K1_DEFAULT = np.float32(1.2)
 B_DEFAULT = np.float32(0.75)
@@ -90,6 +91,38 @@ def bm25_score(freqs, norm_codes, weight: np.float32, cache: np.ndarray) -> np.n
     return (w - w / (one + f * ni)).astype(np.float32)
 
 
+class LMDirichletScorer:
+    """LM Dirichlet smoothing scorer (core:search/similarities/
+    LMDirichletSimilarity.java:60-79): score = boost * (log(1 + tf /
+    (mu * p_col)) + log(mu / (dl + mu))), clamped at 0, where p_col =
+    (ttf + 1) / (sum_ttf + 1) (LMSimilarity.java collection model) and
+    dl is the decoded SmallFloat length. mu defaults to 2000.
+
+    Needs the term's total term frequency — scorer factories receive
+    it via the optional ``ttf`` kwarg (BM25/Classic ignore it)."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0, mu: float = 2000.0):
+        self.mu = np.float64(mu)
+        self.p_col = np.float64(ttf + 1.0) / np.float64(sum_ttf + 1.0)
+        self.boost = np.float32(boost)
+        self.idf = np.float32(-np.log(self.p_col))  # for explain()
+        self.weight = self.boost
+        dl = LENGTH_TABLE.astype(np.float64)
+        self.norm_table = np.log(self.mu / (dl + self.mu))
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        ln = self.norm_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        s = np.float64(self.boost) * (np.log1p(f / (self.mu * self.p_col))
+                                      + ln)
+        return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
 class ClassicScorer:
     """TF-IDF (ClassicSimilarity) scorer — demonstrates the pluggable
     Similarity extension point (core:search/similarities/
@@ -101,7 +134,7 @@ class ClassicScorer:
     """
 
     def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int = 0,
-                 boost: float = 1.0):
+                 boost: float = 1.0, ttf: int = 0):
         idf_d = 1.0 + np.log((doc_count + 1.0) / (doc_freq + 1.0))
         self.idf = np.float32(idf_d)
         self.weight = np.float32(np.float32(boost) * self.idf * self.idf)
@@ -128,7 +161,8 @@ class BM25Scorer:
     """
 
     def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
-                 k1=K1_DEFAULT, b=B_DEFAULT, boost: float = 1.0):
+                 k1=K1_DEFAULT, b=B_DEFAULT, boost: float = 1.0,
+                 ttf: int = 0):
         self.idf = idf(doc_freq, doc_count)
         self.avgdl = avg_field_length(sum_ttf, doc_count)
         self.cache = norm_inverse_cache(self.avgdl, k1, b)

@@ -1,11 +1,14 @@
 """Query AST + parser.
 
 Mirrors the reference Query tree (core:search/Query.java:45,
-BooleanQuery.java:125-147, PhraseQuery.java:71-143) reduced to the shapes
-of the reference query set (FIXTURES.md §2): term, AND (all MUST),
-OR (all SHOULD), exact phrase. The string parser covers the classic
-QueryParser subset ``a b`` (OR), ``+a +b`` / ``a AND b`` (MUST),
-``"a b"`` (phrase) (queryparser/.../classic/QueryParser.java:82).
+BooleanQuery.java:125-147, PhraseQuery.java:71-143): term, AND, OR,
+phrase (exact + true sloppy), synonym, dismax, multi-term expansion,
+constant-score, and BooleanQuery whose clauses are bare terms OR
+arbitrary sub-queries (nested booleans). ``rewrite`` applies the
+reference's single-clause elision. ``parse_query`` covers the classic
+QueryParser subset (field:term, +/-, AND/OR/NOT, boosts, sloppy
+phrases, wildcard/fuzzy, grouping —
+queryparser/.../classic/QueryParser.java:82).
 """
 
 from __future__ import annotations

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.catalog import IndexCatalog
+from ..index.catalog import IndexCatalog, read_table
 from ..kernels.bm25 import BM25Scorer, sum_idf
 from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree, pack_docset,
@@ -115,10 +115,15 @@ class IndexSearcher:
         c = self.catalog.latest_commit()
         if not c or "postings" not in c["tables"]:
             raise ValueError(f"no committed index at {index_dir}")
-        self.postings_path = self.catalog.table_path("postings")
+        # multi-dir tables (base + NRT-appended generations — the
+        # segments_N list model); single-dir aliases point at the base
+        self.postings_paths = self.catalog.table_locations("postings")
+        self.norms_paths = self.catalog.table_locations("norms")
+        self.docstore_paths = self.catalog.table_locations("docstore")
+        self.postings_path = self.postings_paths[0]
         self.termstats_path = self.catalog.table_path("termstats")
-        self.norms_path = self.catalog.table_path("norms")
-        self.docstore_path = self.catalog.table_path("docstore")
+        self.norms_path = self.norms_paths[0]
+        self.docstore_path = self.docstore_paths[0]
         # per-field collection stats (CollectionStatistics rows) — one
         # per indexed field; keyword fields have avgdl 1 / omitted norms
         self.field_stats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
@@ -137,6 +142,15 @@ class IndexSearcher:
         # live-docs bitmaps (deletes); scorers skip dead docs, stats keep
         # counting them until compaction — Lucene's delete semantics
         self.livedocs_path = self.catalog.table_path("livedocs")
+        # filter cache (LRUQueryCache analog, core:search/
+        # LRUQueryCache.java:86): Lucene caches per-segment DocIdSets of
+        # filter-context queries; here the cached unit is the per-bucket
+        # doc-bitmap frame of a doc_filter predicate, persisted so
+        # repeated filters skip the docstore scan. Point-in-time safe:
+        # the searcher is a snapshot (paths resolved at init), so no
+        # invalidation is needed — a new searcher starts a fresh cache.
+        from collections import OrderedDict
+        self._filter_cache: OrderedDict = OrderedDict()
 
     @staticmethod
     def _term_hs(terms) -> list:
@@ -153,7 +167,7 @@ class IndexSearcher:
         """Postings scan with directory-level pruning (term_h partition
         equality) + row-group pruning (sorted term column min/max) —
         the term-dictionary seek."""
-        return (self.spark.read.parquet(self.postings_path)
+        return (read_table(self.spark, self.postings_paths)
                 .filter(F.col("term_h").isin(self._term_hs(terms)) &
                         (F.col("field") == field) &
                         F.col("term").isin(list(terms))))
@@ -165,7 +179,7 @@ class IndexSearcher:
         _postings_for; kernels key chunks by the exact (field, term)."""
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
-        return (self.spark.read.parquet(self.postings_path)
+        return (read_table(self.spark, self.postings_paths)
                 .filter(F.col("term_h").isin(self._term_hs(terms)) &
                         F.col("field").isin(fields) &
                         F.col("term").isin(terms)))
@@ -218,13 +232,14 @@ class IndexSearcher:
                     for t in terms]
             return [_PhraseScorer(idfs, doc_count, sum_ttf, query.boost)]
         if isinstance(query, SynonymQuery):
-            # blended pseudo-term stats: df = max member df
+            # blended pseudo-term stats: df = max member df, ttf = sum
             # (SynonymQuery.java builds one TermStatistics with max docFreq)
             df = max(tstats[t][0] for t in terms if t in tstats)
+            sttf_syn = sum(tstats[t][1] for t in terms if t in tstats)
             return [self.similarity(df, doc_count, sum_ttf,
-                                    boost=query.boost)]
+                                    boost=query.boost, ttf=sttf_syn)]
         return [self.similarity(tstats[t][0], doc_count, sum_ttf,
-                                boost=query.boost)
+                                boost=query.boost, ttf=tstats[t][1])
                 if t in tstats else None for t in terms]
 
     # ---- multi-term expansion (the AutomatonTermsEnum analog) ------------
@@ -305,16 +320,23 @@ class IndexSearcher:
         return DocSetChunk(bytes(lb), int(pdf["_lv_base"].iloc[0]),
                            int(pdf["_lv_n"].iloc[0]))
 
+    FILTER_CACHE_MAX = 8
+
     def _doc_filter_bitmaps(self, doc_filter: str) -> DataFrame:
         """Pushed-down metadata predicate -> per-bucket doc bitmaps.
 
         The filter runs on the docstore's NATIVE columns (role, tool,
         ts, token_count, ...) so Catalyst pushes it to the parquet scan
         (the doc-values execution of IndexOrDocValuesQuery); the result
-        is compacted to one bitmap per bucket (num_docs/8 bytes)."""
-        nm = (self.spark.read.parquet(self.norms_path)
+        is compacted to one bitmap per bucket (num_docs/8 bytes) and
+        LRU-cached (persist) so repeated filters reuse it."""
+        cached = self._filter_cache.get(doc_filter)
+        if cached is not None:
+            self._filter_cache.move_to_end(doc_filter)
+            return cached
+        nm = (read_table(self.spark, self.norms_paths)
               .select("bucket_id", "base_doc", "num_docs"))
-        filtered = (self.spark.read.parquet(self.docstore_path)
+        filtered = (read_table(self.spark, self.docstore_paths)
                     .filter(doc_filter)
                     .select("bucket_id", "doc_id")
                     .join(F.broadcast(nm), "bucket_id"))
@@ -326,8 +348,14 @@ class IndexSearcher:
             return pd.DataFrame({"bucket_id": [int(pdf["bucket_id"].iloc[0])],
                                  "doc_bitmap": [bm]})
 
-        return (filtered.groupBy("bucket_id")
-                .applyInPandas(pack, "bucket_id int, doc_bitmap binary"))
+        out = (filtered.groupBy("bucket_id")
+               .applyInPandas(pack, "bucket_id int, doc_bitmap binary")
+               .persist())
+        self._filter_cache[doc_filter] = out
+        if len(self._filter_cache) > self.FILTER_CACHE_MAX:
+            _, evicted = self._filter_cache.popitem(last=False)
+            evicted.unpersist()
+        return out
 
     # ---- nested-query compilation (BooleanQuery.Builder.add(Query, Occur)
     # surface, core:search/BooleanQuery.java:125-147) ----------------------
@@ -397,7 +425,8 @@ class IndexSearcher:
                 return None
             dc, sttf = self._field_stats(q.field)
             sc = self.similarity(ts[q.term][0], dc, sttf,
-                                 boost=boost_mult * q.boost)
+                                 boost=boost_mult * q.boost,
+                                 ttf=ts[q.term][1])
             return ("term", q.field, q.term, sc)
         if isinstance(q, PhraseQuery):
             ts = stats.get(q.field, {})
@@ -414,7 +443,8 @@ class IndexSearcher:
                 return None
             dc, sttf = self._field_stats(q.field)
             sc = self.similarity(max(ts[t][0] for t in present), dc, sttf,
-                                 boost=boost_mult * q.boost)
+                                 boost=boost_mult * q.boost,
+                                 ttf=sum(ts[t][1] for t in present))
             return ("synonym", q.field, present, sc)
         if isinstance(q, AndQuery):
             kids = [C(TermQuery(t, q.field), stats, boost_mult * q.boost)
@@ -462,15 +492,24 @@ class IndexSearcher:
         raise TypeError(f"cannot compile {type(q)}")
 
     def _search_tree(self, query, k: int, pruned: bool = True,
-                     doc_filter: str | None = None) -> DataFrame:
+                     doc_filter: str | None = None,
+                     mode: str = "topk") -> DataFrame:
         """Nested-query execution: compile the (rewritten, MTQ-expanded)
         tree driver-side, evaluate it per bucket with the recursive
         kernel (exhaustive within a bucket — no block-max pruning for
         nested shapes; buckets are bounded so the per-task working set
         is too), bucket-local top-k, Spark TakeOrderedAndProject merge.
+
+        mode="count": each bucket emits ONE integer (its match count)
+        and the plan reduces with a sum — no pandas materialization of
+        matches into the result, no global sort (the
+        TotalHitCountCollector path, Weight#count fallback).
         """
         spark = self.spark
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        if mode == "count":
+            empty = spark.createDataFrame([(0,)], "n bigint")
+        else:
+            empty = spark.createDataFrame([], RESULT_SCHEMA)
         q = self._expand_mtq_tree(rewrite(query))
         q = rewrite(q)  # expansion may enable further elision
         pairs: set = set()
@@ -490,7 +529,7 @@ class IndexSearcher:
             return empty
         chunks_df = (self._postings_for_pairs(present)
                      .select("field", "term", "bucket_id", "blocks"))
-        norms_df = (spark.read.parquet(self.norms_path)
+        norms_df = (read_table(spark, self.norms_paths)
                     .select("bucket_id", "base_doc", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
         has_filter = doc_filter is not None
@@ -542,12 +581,19 @@ class IndexSearcher:
                 return ones if f in kw_fields else norms_arr
 
             docs, scores = eval_tree(node, get_chunk, norms_for, base)
+            if mode == "count":
+                return pd.DataFrame({"doc_id": np.array([docs.size], np.int64),
+                                     "score": np.zeros(1, np.float32)})
             docs, scores = topk_select(docs, scores, k)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": scores.astype(np.float32)})
 
         per_bucket = (joined.groupBy("bucket_id")
                       .applyInPandas(run, schema=RESULT_SCHEMA))
+        if mode == "count":
+            # one int per bucket -> global sum; no Sort in this plan
+            return per_bucket.agg(
+                F.coalesce(F.sum("doc_id"), F.lit(0)).alias("n"))
         return (per_bucket
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
@@ -609,7 +655,7 @@ class IndexSearcher:
         chunks_df = (self._postings_for(present, query.field)
                      .select("term", "bucket_id", "max_score",
                              "block_max_scores", "blocks"))
-        norms_df = (spark.read.parquet(self.norms_path)
+        norms_df = (read_table(spark, self.norms_paths)
                     .select("bucket_id", "base_doc", "norms"))
         # Attach the bucket's packed norms to each chunk row: an equi-join
         # on bucket_id (norms rows are small; only buckets that actually
@@ -736,7 +782,7 @@ class IndexSearcher:
         boost = float(query.boost)
         chunks_df = (self._postings_for(expanded, query.field)
                      .select("term", "bucket_id", "block_max_scores", "blocks"))
-        norms_df = (spark.read.parquet(self.norms_path)
+        norms_df = (read_table(spark, self.norms_paths)
                     .select("bucket_id", "base_doc", "num_docs", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
         has_filter = doc_filter is not None
@@ -837,7 +883,7 @@ class IndexSearcher:
         chunks_df = (self._postings_for_pairs(need)
                      .select("field", "term", "bucket_id",
                              "block_max_scores", "blocks"))
-        norms_df = (spark.read.parquet(self.norms_path)
+        norms_df = (read_table(spark, self.norms_paths)
                     .select("bucket_id", "base_doc", "norms"))
         joined = chunks_df.join(norms_df, "bucket_id")
         joined, has_live = self._attach_live(joined)
@@ -941,7 +987,7 @@ class IndexSearcher:
         field = getattr(query, "field", self.field)
         tstats = self.term_stats(terms, field)
         doc_count, sum_ttf = self._field_stats(field)
-        row = (self.spark.read.parquet(self.docstore_path)
+        row = (read_table(self.spark, self.docstore_paths)
                .filter(F.col("doc_id") == doc_id)
                .select("norm", "token_count").collect())
         if not row:
@@ -962,7 +1008,7 @@ class IndexSearcher:
             # the searcher's pluggable similarity, not hardcoded BM25 —
             # explanations must agree with actual scores
             sc = self.similarity(tstats[t][0], doc_count, sum_ttf,
-                                 boost=query.boost)
+                                 boost=query.boost, ttf=tstats[t][1])
             s = float(sc.score(np.array([tf]), np.array([norm]))[0]) if tf else 0.0
             out["terms"][t] = {"df": tstats[t][0], "tf": tf,
                                "idf": float(sc.idf), "weight": float(sc.weight),
@@ -973,18 +1019,27 @@ class IndexSearcher:
         out["score"] = float(np.float32(total))
         return out
 
+    def count_df(self, query, doc_filter: str | None = None) -> DataFrame:
+        """Per-bucket match counts summed into one row (n bigint) —
+        the general count plan: no top-k heap, no global sort, one int
+        leaves each bucket kernel."""
+        return self._search_tree(query, k=0, doc_filter=doc_filter,
+                                 mode="count")
+
     def count(self, query) -> int:
         """TotalHitCountCollector analog. Single term uses the df shortcut
         (Weight#count, core:search/TermQuery.java:260) — no postings read.
         The shortcut is disabled when deletes exist, exactly like the
-        reference (count() falls back when liveDocs != null)."""
+        reference (count() falls back when liveDocs != null). Every
+        other shape runs the per-bucket count kernel + sum (count_df) —
+        previously this sorted the entire match set just to count it."""
         if isinstance(query, TermQuery):
             if self.livedocs_path is None:
                 ts = self.term_stats([query.term], query.field)
                 return ts.get(query.term, (0,))[0]
             return self.term_postings(query.term, query.field).count()
-        big = self.search_df(query, k=2**31 - 1, pruned=False)
-        return big.count()
+        row = self.count_df(query).collect()
+        return int(row[0]["n"]) if row else 0
 
     def term_postings(self, term: str, field: str = "text") -> DataFrame:
         """Decode the full posting list of one term -> (doc_id, tf).
@@ -1084,5 +1139,5 @@ class IndexSearcher:
     def retrieve(self, topk_df: DataFrame) -> DataFrame:
         """Stored-fields retrieval: join top-k doc_ids back to the docstore
         (broadcast the tiny top-k side, not the corpus)."""
-        ds = self.spark.read.parquet(self.docstore_path)
+        ds = read_table(self.spark, self.docstore_paths)
         return ds.join(F.broadcast(topk_df), "doc_id", "inner")

@@ -34,8 +34,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..index.builder import (DOCSTORE_SCHEMA, NORMS_SCHEMA, POSTINGS_SCHEMA,
-                             SEGMENTS_SCHEMA, IndexBuilder, _invert_bucket)
-from ..index.catalog import IndexCatalog
+                             SEGMENTS_SCHEMA, IndexBuilder, _invert_bucket,
+                             _pack_norms)
+from ..index.catalog import IndexCatalog, read_table
 from ..kernels.smallfloat import int_to_byte4
 from ..kernels.tokenizer import tokenize_series
 
@@ -78,19 +79,13 @@ class NRTIndexWriter:
                 shutil.rmtree(os.path.join(root, f"bucket_id={b}"),
                               ignore_errors=True)
         # norms: rebuild from the (now clean) docstore
-        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("doc_id")
-            return pd.DataFrame({
-                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
-                "base_doc": [int(pdf["doc_id"].iloc[0])],
-                "num_docs": [len(pdf)],
-                "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()]})
+        kw = tuple((self.catalog.latest_commit().get("extra") or {})
+                   .get("keyword_fields") or ())
         n_path, n_rel = cat.new_table_dir("norms")
         (spark.read.parquet(cat.table_path("docstore"))
-         .select("doc_id", "norm", "bucket_id")
+         .select("doc_id", "norm", "token_count", "bucket_id", *kw)
          .groupBy("bucket_id")
-         .applyInPandas(pack, "bucket_id int, base_doc bigint, "
-                              "num_docs int, norms binary")
+         .applyInPandas(lambda p: _pack_norms(p, kw), NORMS_SCHEMA)
          .write.mode("overwrite").parquet(n_path))
         # postings: rewrite without the pending buckets' chunks
         p_path, p_rel = cat.new_table_dir("postings")
@@ -168,41 +163,34 @@ class NRTIndexWriter:
                     "bucket_id": np.full(len(pdf), b0 + pid, dtype=np.int32),
                 })
 
-        # publish the pending marker BEFORE any data write so a crash
-        # anywhere below is recoverable (recovery drops these buckets)
-        self.catalog.commit({}, extra={"pending_buckets":
-                                       list(range(b0, b0 + n_new))})
+        # Every table write below goes to a NEW generation directory
+        # that is invisible until the single atomic commit at the end —
+        # the segments_N model (a crash leaves only unreferenced
+        # garbage dirs, no recovery pass needed; the legacy
+        # pending_buckets recovery is kept for pre-multi-dir indexes).
         ds_new = sorted_b.mapInPandas(assign, DOCSTORE_SCHEMA)
-        ds_path = self.catalog.table_path("docstore")
-        ds_new.write.mode("append").partitionBy("bucket_id").parquet(ds_path)
+        ds_path, ds_rel = self.catalog.new_table_dir("docstore")
+        ds_new.write.mode("overwrite").partitionBy("bucket_id").parquet(ds_path)
         sorted_b.unpersist()
 
         new_buckets = list(range(b0, b0 + n_new))
-        ds_appended = (spark.read.parquet(ds_path)
-                       .filter(F.col("bucket_id").isin(new_buckets)))
+        ds_appended = spark.read.parquet(ds_path)
 
         # segment postings for the new buckets (same per-field config as
         # the base build — keyword fields stay searchable across appends)
-        seg_path = self.catalog.table_path("segments")
+        seg_path, seg_rel = self.catalog.new_table_dir("segments")
         seg_new = (ds_appended.select("doc_id", "norm", "bucket_id", field, *kw)
                    .groupBy("bucket_id")
                    .applyInPandas(lambda p: _invert_bucket(p, field, kw),
                                   schema=SEGMENTS_SCHEMA))
-        seg_new.write.mode("append").partitionBy("bucket_id").parquet(seg_path)
+        seg_new.write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path)
 
         # norms for the new buckets
-        def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("doc_id")
-            return pd.DataFrame({
-                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
-                "base_doc": [int(pdf["doc_id"].iloc[0])],
-                "num_docs": [len(pdf)],
-                "norms": [pdf["norm"].to_numpy(dtype=np.uint8).tobytes()],
-            })
-
-        (ds_appended.select("doc_id", "norm", "bucket_id")
-         .groupBy("bucket_id").applyInPandas(pack, schema=NORMS_SCHEMA)
-         .write.mode("append").parquet(self.catalog.table_path("norms")))
+        nm_path, nm_rel = self.catalog.new_table_dir("norms")
+        (ds_appended.select("doc_id", "norm", "token_count", "bucket_id", *kw)
+         .groupBy("bucket_id")
+         .applyInPandas(lambda p: _pack_norms(p, kw), schema=NORMS_SCHEMA)
+         .write.mode("overwrite").parquet(nm_path))
 
         # postings: append the new chunks with block maxima computed
         # under the PRE-APPEND stats. For a pre-append searcher (old
@@ -236,12 +224,11 @@ class NRTIndexWriter:
                            "term_h"]]
 
         add = (spark.read.parquet(seg_path)
-               .filter(F.col("bucket_id").isin(new_buckets))
                .withColumn("term_h", F.concat(F.lit("h"),
                                               F.substring(F.md5("term"), 1, 2)))
                .mapInPandas(add_max_scores, POSTINGS_SCHEMA))
-        add.write.mode("append").partitionBy("term_h").parquet(
-            self.catalog.table_path("postings"))
+        p_path, p_rel = self.catalog.new_table_dir("postings")
+        add.write.mode("overwrite").partitionBy("term_h").parquet(p_path)
 
         # refresh stats + termstats: O(batch) incremental merge, not a
         # full-corpus re-aggregation; every indexed field's row advances
@@ -262,7 +249,6 @@ class NRTIndexWriter:
             "field string, doc_count bigint, sum_ttf bigint, avgdl double"
         ).coalesce(1).write.mode("overwrite").parquet(st_path)
         delta = (spark.read.parquet(seg_path)
-                 .filter(F.col("bucket_id").isin(new_buckets))
                  .groupBy("field", "term")
                  .agg(F.sum("df").alias("d_df"), F.sum("ttf").alias("d_ttf")))
         old_ts = (spark.read.parquet(self.catalog.table_path("termstats"))
@@ -284,8 +270,14 @@ class NRTIndexWriter:
                        "appended_at_ms": int(time.time() * 1000)}
         if batch_id is not None:  # manual appends don't regress the marker
             final_extra["last_batch_id"] = int(batch_id)
-        self.catalog.commit({"stats": st_rel, "termstats": ts_rel},
-                            extra=final_extra)
+        cat = self.catalog
+        self.catalog.commit(
+            {"stats": st_rel, "termstats": ts_rel,
+             "docstore": cat.table_rels("docstore") + [ds_rel],
+             "segments": cat.table_rels("segments") + [seg_rel],
+             "norms": cat.table_rels("norms") + [nm_rel],
+             "postings": cat.table_rels("postings") + [p_rel]},
+            extra=final_extra)
         return int(agg["n"])
 
     def compact(self) -> None:
@@ -297,8 +289,187 @@ class NRTIndexWriter:
         # force=True: the re-merge writes NEW table dirs and publishes
         # them in one commit — readers see either the old or the new
         # fully-built dictionary, never a window without one
-        b.merge(self.catalog.table_path("segments"), force=True)
+        b.merge(self.catalog.table_locations("segments"), force=True)
         self.catalog.commit({}, extra={"nrt_dirty": False})
+
+    def compact_tiered(self, target_docs_per_bucket: int | None = None) -> int:
+        """Tiered incremental compaction (TieredMergePolicy analog,
+        core:index/TieredMergePolicy.java:85-88): merge ONLY the small
+        NRT-appended generations into target-sized buckets, leaving the
+        base generation untouched — IO is O(appended data), not
+        O(index) like the forceMerge-style compact(). Returns the
+        number of buckets merged away (0 if nothing to do).
+
+        Mechanics: appended generations are separate table directories
+        (the segments_N list model), so merging = read gens 1..n,
+        re-bucket their docs into contiguous target-size ranges, merge
+        per-(field, term) chunk rows by concatenating block lists (doc
+        ranges are disjoint and ordered — no re-encode, no re-score;
+        baked bounds ride along), write ONE new generation per table
+        and publish [base, merged] atomically. A crash leaves only
+        unreferenced dirs; rerunning is safe. Baked block maxima are
+        NOT recomputed (nrt_dirty still governs bound recompute)."""
+        import numpy as np
+        cat = self.catalog
+        spark = self.spark
+        c = cat.latest_commit()
+        extra = c.get("extra") or {}
+        ds_rels = cat.table_rels("docstore")
+        if len(ds_rels) < 3:  # base + >=2 appended gens worth merging
+            return 0
+        seg_locs = cat.table_locations("segments")[1:]
+        ds_locs = cat.table_locations("docstore")[1:]
+        nm_locs = cat.table_locations("norms")[1:]
+        p_locs = cat.table_locations("postings")[1:]
+        target = target_docs_per_bucket or 4 * self.rows_per_bucket
+
+        # bucket inventory of the appended gens (metadata-sized)
+        app_norms = (read_table(spark, nm_locs)
+                     .select("bucket_id", "base_doc", "num_docs")
+                     .collect())
+        app_norms.sort(key=lambda r: int(r["base_doc"]))
+        old_ids = [int(r["bucket_id"]) for r in app_norms]
+        if len(old_ids) < 2:
+            return 0
+        # greedy contiguous grouping to ~target docs (doc ranges of
+        # successive appended buckets are contiguous by construction)
+        groups, cur, cur_n = [], [], 0
+        for r in app_norms:
+            cur.append(int(r["bucket_id"]))
+            cur_n += int(r["num_docs"])
+            if cur_n >= target:
+                groups.append(cur)
+                cur, cur_n = [], 0
+        if cur:
+            groups.append(cur)
+        if all(len(g) == 1 for g in groups):
+            return 0
+        mapping = {}
+        for g in groups:
+            new_id = g[0]
+            for b in g:
+                mapping[b] = new_id
+        merged_away = len(old_ids) - len(groups)
+        map_expr = F.create_map([F.lit(x) for kv in mapping.items()
+                                 for x in kv])
+
+        # docstore: remap bucket ids (pure projection, one pass)
+        ds_path, ds_rel_new = cat.new_table_dir("docstore")
+        (read_table(spark, ds_locs)
+         .withColumn("bucket_id", map_expr[F.col("bucket_id")]
+                     .cast("int"))
+         .write.mode("overwrite").partitionBy("bucket_id").parquet(ds_path))
+
+        # segments + postings: remap, then merge rows per (field, term,
+        # bucket) — blocks concatenated in doc order
+        def merge_seg(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("bucket_id_old")
+            blocks = [b for lst in pdf["blocks"] for b in lst]
+            return pd.DataFrame({
+                "field": [pdf["field"].iloc[0]],
+                "term": [pdf["term"].iloc[0]],
+                "df": [int(pdf["df"].sum())],
+                "ttf": [int(pdf["ttf"].sum())],
+                "blocks": [blocks],
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+            })
+
+        seg_path, seg_rel_new = cat.new_table_dir("segments")
+        (read_table(spark, seg_locs)
+         .withColumn("bucket_id_old", F.col("bucket_id"))
+         .withColumn("bucket_id", map_expr[F.col("bucket_id")].cast("int"))
+         .groupBy("field", "term", "bucket_id")
+         .applyInPandas(merge_seg, schema=SEGMENTS_SCHEMA)
+         .write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path))
+
+        def merge_post(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("bucket_id_old")
+            blocks = [b for lst in pdf["blocks"] for b in lst]
+            bms = [float(x) for lst in pdf["block_max_scores"] for x in lst]
+            return pd.DataFrame({
+                "field": [pdf["field"].iloc[0]],
+                "term": [pdf["term"].iloc[0]],
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "df": [int(pdf["df"].sum())],
+                "ttf": [int(pdf["ttf"].sum())],
+                "max_score": [float(pdf["max_score"].max())],
+                "block_max_scores": [bms],
+                "blocks": [blocks],
+                "term_h": [pdf["term_h"].iloc[0]],
+            })
+
+        p_path, p_rel_new = cat.new_table_dir("postings")
+        (read_table(spark, p_locs)
+         .withColumn("bucket_id_old", F.col("bucket_id"))
+         .withColumn("bucket_id", map_expr[F.col("bucket_id")].cast("int"))
+         .groupBy("field", "term", "bucket_id")
+         .applyInPandas(merge_post, schema=POSTINGS_SCHEMA)
+         .write.mode("overwrite").partitionBy("term_h").parquet(p_path))
+
+        # norms: concat per group (contiguous doc ranges); kw_nn sums
+        def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("base_doc")
+            kw_nn: dict = {}
+            for d in pdf["kw_nn"]:
+                for k, v in (d or {}).items():
+                    kw_nn[k] = kw_nn.get(k, 0) + int(v)
+            return pd.DataFrame({
+                "bucket_id": [int(pdf["bucket_id"].iloc[0])],
+                "base_doc": [int(pdf["base_doc"].min())],
+                "num_docs": [int(pdf["num_docs"].sum())],
+                "norms": [b"".join(bytes(x) for x in pdf["norms"])],
+                "sum_tc": [int(pdf["sum_tc"].sum())],
+                "kw_nn": [kw_nn],
+            })
+
+        nm_path, nm_rel_new = cat.new_table_dir("norms")
+        (read_table(spark, nm_locs)
+         .withColumn("bucket_id", map_expr[F.col("bucket_id")].cast("int"))
+         .groupBy("bucket_id")
+         .applyInPandas(merge_norms, schema=NORMS_SCHEMA)
+         .write.mode("overwrite").parquet(nm_path))
+
+        tables = {"docstore": [ds_rels[0], ds_rel_new],
+                  "segments": [cat.table_rels("segments")[0], seg_rel_new],
+                  "norms": [cat.table_rels("norms")[0], nm_rel_new],
+                  "postings": [cat.table_rels("postings")[0], p_rel_new]}
+
+        # livedocs: merge bitmaps of re-bucketed ids (bit-level concat;
+        # a bucket without a bitmap is all-live)
+        lv_path_old = cat.table_path("livedocs")
+        if lv_path_old is not None:
+            rows = {int(r["bucket_id"]):
+                    (int(r["base_doc"]), int(r["num_docs"]), bytes(r["live"]))
+                    for r in spark.read.parquet(lv_path_old).collect()}
+            sizes = {int(r["bucket_id"]): (int(r["base_doc"]),
+                                           int(r["num_docs"]))
+                     for r in app_norms}
+            out_rows = [(b, v[0], v[1], v[2]) for b, v in rows.items()
+                        if b not in mapping]
+            for g in groups:
+                if not any(b in rows for b in g):
+                    continue
+                bits = []
+                for b in g:
+                    base_b, nd_b = sizes[b]
+                    if b in rows:
+                        bits.append(np.unpackbits(
+                            np.frombuffer(rows[b][2], np.uint8), count=nd_b))
+                    else:
+                        bits.append(np.ones(nd_b, dtype=np.uint8))
+                merged = np.concatenate(bits)
+                out_rows.append((g[0], sizes[g[0]][0], int(merged.size),
+                                 np.packbits(merged).tobytes()))
+            lv_path, lv_rel = cat.new_table_dir("livedocs")
+            spark.createDataFrame(
+                out_rows,
+                "bucket_id int, base_doc bigint, num_docs int, live binary"
+            ).write.mode("overwrite").parquet(lv_path)
+            tables["livedocs"] = lv_rel
+
+        cat.commit(tables, extra={"tiered_compactions":
+                                  int(extra.get("tiered_compactions", 0)) + 1})
+        return merged_away
 
 
 def index_stream(stream_df: DataFrame, index_dir: str, checkpoint: str,

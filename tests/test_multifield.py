@@ -119,7 +119,8 @@ def test_nrt_append_keeps_keyword_fields(spark, mf_index, tmp_path_factory):
     assert w.append_batch(batch) > 0
     s = IndexSearcher(spark, idx)
     cat = IndexCatalog(idx)
-    ds = (spark.read.parquet(cat.table_path("docstore"))
+    from lucene_spark.index.catalog import read_table
+    ds = (read_table(spark, cat.table_locations("docstore"))
           .select("doc_id", "role").orderBy("doc_id").toPandas())
     want = sorted(ds.loc[ds["role"] == "user", "doc_id"].tolist())
     got = sorted(d for d, _ in s.search(TermQuery("user", field="role"),

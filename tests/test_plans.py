@@ -47,3 +47,24 @@ def test_search_is_partial_topk_then_global_limit(searcher):
     plan = _formatted(searcher.search_df(TermQuery("w000001"), k=5))
     # global merge is TakeOrderedAndProject over per-bucket results
     assert "TakeOrderedAndProject" in plan
+
+
+def test_merge_has_no_broadcast_and_one_shuffle(spark, small_index):
+    """The term-dictionary merge must NOT broadcast global term stats
+    (10^7-10^9 terms at web scale => OOM): g_df is computed inside the
+    term_h-shuffled partitions, so the plan has exactly one Exchange
+    (hashpartitioning on term_h) and no BroadcastExchange."""
+    from lucene_spark.index.builder import IndexBuilder
+    from lucene_spark.index.catalog import IndexCatalog
+    cat = IndexCatalog(small_index)
+    b = IndexBuilder(spark, small_index, num_buckets=6)
+    seg = spark.read.parquet(cat.table_path("segments"))
+    fstats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
+              for r in spark.read.parquet(cat.table_path("stats")).collect()}
+    import re
+    plan = _formatted(b._merged_df(seg, fstats))
+    assert "BroadcastExchange" not in plan
+    assert "BroadcastHashJoin" not in plan
+    shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
+    assert len(shuffles) == 1
+    assert "hashpartitioning(term_h" in plan

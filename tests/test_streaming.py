@@ -120,8 +120,9 @@ def test_append_recovers_from_partial_crash(spark, tmp_path_factory):
     truth = transcripts_df(spark, n_convs=70, seed=42, partitions=2).count()
     assert s.doc_count == truth
     assert before_count < truth
-    # docstore has no duplicate doc_ids
-    ds = spark.read.parquet(cat.table_path("docstore"))
+    # docstore has no duplicate doc_ids (across all generations)
+    from lucene_spark.index.catalog import read_table
+    ds = read_table(spark, cat.table_locations("docstore"))
     assert ds.count() == ds.select("doc_id").distinct().count() == truth
 
 
