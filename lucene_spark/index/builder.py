@@ -70,6 +70,24 @@ NORMS_SCHEMA = ("bucket_id int, base_doc bigint, num_docs int, norms binary, "
                 "sum_tc bigint, kw_nn map<string,bigint>")
 
 
+def write_stats_rows(path: str, rows: list) -> None:
+    """Write the (tiny, per-field) stats table driver-side with pyarrow
+    — a LocalTableScan write through a Spark job costs seconds of
+    serial driver time per build for a handful of rows."""
+    import os
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    cols = list(zip(*rows))
+    table = pa.table({
+        "field": pa.array(cols[0], pa.string()),
+        "doc_count": pa.array(cols[1], pa.int64()),
+        "sum_ttf": pa.array(cols[2], pa.int64()),
+        "avgdl": pa.array(cols[3], pa.float64()),
+    })
+    os.makedirs(path, exist_ok=True)
+    pq.write_table(table, os.path.join(path, "stats.parquet"))
+
+
 def _write_lineage_rows(lin_path: str, rows: list) -> None:
     """Append lineage rows as one parquet file written driver-side
     (pyarrow) — lineage is driver-sized metadata; a Spark job per wave
@@ -482,10 +500,8 @@ class IndexBuilder:
         for kf in self.keyword_fields:
             n = int(row[f"_n_{kf}"] or 0)
             rows.append((kf, n, n, 1.0))
-        st = spark.createDataFrame(
-            rows, "field string, doc_count bigint, sum_ttf bigint, avgdl double")
         path, rel = self.catalog.new_table_dir("stats")
-        st.coalesce(1).write.mode("overwrite").parquet(path)
+        write_stats_rows(path, rows)
         self.catalog.commit({"stats": rel})
 
     def _merged_df(self, seg: DataFrame, fstats: dict) -> DataFrame:

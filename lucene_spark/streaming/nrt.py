@@ -244,10 +244,8 @@ class NRTIndexWriter:
             kn = kc + int(agg[f"n_{kf}"])
             st_rows.append((kf, kn, kn, 1.0))
         st_path, st_rel = self.catalog.new_table_dir("stats")
-        spark.createDataFrame(
-            st_rows,
-            "field string, doc_count bigint, sum_ttf bigint, avgdl double"
-        ).coalesce(1).write.mode("overwrite").parquet(st_path)
+        from ..index.builder import write_stats_rows
+        write_stats_rows(st_path, st_rows)
         delta = (spark.read.parquet(seg_path)
                  .groupBy("field", "term")
                  .agg(F.sum("df").alias("d_df"), F.sum("ttf").alias("d_ttf")))
