@@ -278,6 +278,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, qq, 10)
     q["ft_parsed_query"] = ft_parsed_query
 
+    def ft_intervals_ordered(sp, sf):
+        # interval algebra: minimal ordered intervals slow..fast with
+        # at most 3 interior gaps (Intervals.maxgaps(Intervals.ordered))
+        from lucene_spark.search.intervals import MaxGaps, Ordered, Term
+        src = MaxGaps(Ordered((Term("slow"), Term("fast"))), 3)
+        return (_searcher(sp, sf).interval_search(src)
+                .select("doc_id", "n_intervals", "min_width"))
+    q["ft_intervals_ordered"] = ft_intervals_ordered
+
+    def ft_intervals_contained(sp, sf):
+        # 'data' occurrences inside a minimal ordered slow..fast
+        # interval of width <= 8 (Intervals.containedBy)
+        from lucene_spark.search.intervals import (ContainedBy, MaxWidth,
+                                                   Ordered, Term)
+        src = ContainedBy(Term("data"),
+                          MaxWidth(Ordered((Term("slow"), Term("fast"))), 8))
+        return (_searcher(sp, sf).interval_search(src)
+                .select("doc_id", "n_intervals"))
+    q["ft_intervals_contained"] = ft_intervals_contained
+
     def ft_field_term(sp, sf):
         # TermQuery on an untokenized keyword field (StringField analog):
         # lang maps to the indexed 'role' keyword field; every match
@@ -701,6 +721,37 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
         WHERE NOT EXISTS (SELECT 1 FROM tf x
                           WHERE x.doc_id = p.doc_id AND x.term = 'dup'))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # minimal ordered intervals slow..fast = dominant pairs: q is the
+    # NEAREST fast after p AND p is the NEAREST slow before q (any other
+    # candidate pair contains one of these)
+    _MI_PAIRS = """
+, c1 AS (SELECT f.doc_id, f.pos AS q, max(s.pos) AS p
+         FROM pos f JOIN pos s ON s.doc_id = f.doc_id
+              AND s.term = 'slow' AND s.pos < f.pos
+         WHERE f.term = 'fast' GROUP BY f.doc_id, f.pos)
+, c2 AS (SELECT s.doc_id, s.pos AS p, min(f.pos) AS q
+         FROM pos s JOIN pos f ON f.doc_id = s.doc_id
+              AND f.term = 'fast' AND f.pos > s.pos
+         WHERE s.term = 'slow' GROUP BY s.doc_id, s.pos)
+, mi AS (SELECT c1.doc_id, c1.p, c1.q FROM c1 JOIN c2 USING (doc_id, p, q))
+"""
+
+    o["ft_intervals_ordered"] = P + _MI_PAIRS + """
+, flt AS (SELECT doc_id, p, q FROM mi WHERE (q - p + 1) - 2 <= 3)
+SELECT doc_id, count(*)::INT AS n_intervals,
+       min(q - p + 1)::INT AS min_width
+FROM flt GROUP BY doc_id
+"""
+
+    o["ft_intervals_contained"] = P + _MI_PAIRS + """
+, big AS (SELECT doc_id, p, q FROM mi WHERE q - p + 1 <= 8)
+, hits AS (SELECT DISTINCT d.doc_id, d.pos
+           FROM pos d JOIN big b ON b.doc_id = d.doc_id
+                AND d.pos BETWEEN b.p AND b.q
+           WHERE d.term = 'data')
+SELECT doc_id, count(*)::INT AS n_intervals FROM hits GROUP BY doc_id
 """
 
     # keyword field: tf=1, omitted norms => length 1, per-field stats

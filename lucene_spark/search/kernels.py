@@ -173,9 +173,30 @@ def term_topk(chunk: TermChunk, scorer: BM25Scorer, norms_arr, base_doc,
 def _conj_candidates(chunks, pruned):
     """Docs present in ALL chunks. Pruned mode first intersects block
     ranges so non-overlapping blocks are never decoded
-    (BlockMaxConjunction capability)."""
+    (BlockMaxConjunction capability).
+
+    Dense clauses take a counting-array pass over the intersected doc
+    span instead of repeated sorted-set intersections — the
+    DenseConjunctionBulkScorer capability
+    (core:search/DenseConjunctionBulkScorer.java): O(postings + span)
+    with no log factors, chosen when the clauses average >= 1 posting
+    per doc slot of the span."""
     if any(c is None or c.n_blocks() == 0 for c in chunks):
         return np.zeros(0, np.int64)
+    lo = max(int(c.firsts[0]) for c in chunks)
+    hi = min(int(c.lasts[-1]) for c in chunks)
+    if hi < lo:
+        return np.zeros(0, np.int64)
+    span = hi - lo + 1
+    total = sum(sum(b["num_docs"] for b in c.blocks) for c in chunks)
+    if total >= span and len(chunks) < 255:
+        m = len(chunks)
+        counts = np.zeros(span, dtype=np.uint8)
+        for c in chunks:
+            docs = c.decode_all()[0]
+            sel = docs[(docs >= lo) & (docs <= hi)]
+            counts[sel - lo] += 1
+        return (lo + np.flatnonzero(counts == m)).astype(np.int64)
     order = sorted(chunks, key=lambda c: sum(b["num_docs"] for b in c.blocks))
     if not pruned:
         cand = order[0].decode_all()[0]

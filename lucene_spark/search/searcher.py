@@ -1136,6 +1136,56 @@ class IndexSearcher:
         return (chunks_df.groupBy("bucket_id")
                 .applyInPandas(run, "doc_id bigint, span int"))
 
+    INTERVAL_SCHEMA = "doc_id bigint, n_intervals int, min_width int"
+
+    def interval_search(self, source, field: str = "text") -> DataFrame:
+        """Interval algebra query (queries/intervals Intervals.java):
+        evaluate a composable IntervalsSource (Ordered / Unordered /
+        MaxGaps / MaxWidth / Containing / NotContaining / ContainedBy /
+        NotContainedBy over Term leaves) -> one row per matching doc
+        with the interval count and minimal width.
+
+        Candidate docs are the conjunction of the source's REQUIRED
+        terms (pushed-down postings scan); interval evaluation is the
+        vectorized minimal-interval kernel (no per-doc loops)."""
+        from .intervals import leaf_terms, match_bucket, required_terms
+        spark = self.spark
+        req = sorted(required_terms(source))
+        leaves = sorted(leaf_terms(source))
+        tstats = self.term_stats(leaves, field)
+        if any(t not in tstats for t in req):
+            return spark.createDataFrame([], self.INTERVAL_SCHEMA)
+        present = [t for t in leaves if t in tstats]
+        chunks_df = (self._postings_for(present, field)
+                     .select("term", "bucket_id", "blocks"))
+        chunks_df, has_live = self._attach_live(chunks_df)
+        live_docset = IndexSearcher._live_docset
+        req_t = list(req)
+        src = source
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            from .kernels import _conj_candidates
+            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                  "n_intervals": pd.Series(dtype="int32"),
+                                  "min_width": pd.Series(dtype="int32")})
+            by_term = {t: TermChunk(b, [0.0] * len(b))
+                       for t, b in zip(pdf["term"], pdf["blocks"])}
+            live_ds = live_docset(pdf) if has_live else None
+            if live_ds is not None:
+                by_term = {t: MaskedChunk(c, live_ds)
+                           for t, c in by_term.items()}
+            req_chunks = [by_term.get(t) for t in req_t]
+            if any(c is None for c in req_chunks):
+                return empty
+            cand = _conj_candidates(req_chunks, pruned=True)
+            docs, n, w = match_bucket(src, by_term, cand)
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "n_intervals": n.astype(np.int32),
+                                 "min_width": w.astype(np.int32)})
+
+        return (chunks_df.groupBy("bucket_id")
+                .applyInPandas(run, schema=self.INTERVAL_SCHEMA))
+
     def retrieve(self, topk_df: DataFrame) -> DataFrame:
         """Stored-fields retrieval: join top-k doc_ids back to the docstore
         (broadcast the tiny top-k side, not the corpus)."""
