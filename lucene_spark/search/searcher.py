@@ -829,26 +829,48 @@ class IndexSearcher:
         per-query latency collapses to scan_time/|batch| (Lucene's
         analog is concurrent searchers over a shared reader).
 
-        queries: {query_id: Query} (term/and/or/phrase/synonym/dismax/
-        boolean shapes).
+        queries: {query_id: Query} — every shape, including nested
+        BooleanQuery / ConstantScoreQuery / dismax-over-queries (those
+        compile to plan trees evaluated by the recursive kernel inside
+        the same shared bucket pass).
         """
         from pyspark.sql.window import Window
         spark = self.spark
         # per-field term stats (queries may mix the analyzed text field
-        # and keyword fields)
-        terms_by_field: dict[str, set] = {}
+        # and keyword fields); nested queries rewrite + expand first so
+        # their leaf (field, term) pairs join the shared scan
+        flat: dict = {}
+        tree: dict = {}
         for qid, q in queries.items():
             if _needs_tree(q):
-                raise ValueError(
-                    f"search_batch: query {qid!r} has nested clauses — "
-                    f"run it via search_df (tree evaluator)")
+                rq = rewrite(q)
+                if _needs_tree(rq):
+                    tree[qid] = self._expand_mtq_tree(rq)
+                else:
+                    flat[qid] = rq
+            else:
+                flat[qid] = q
+        terms_by_field: dict[str, set] = {}
+        for q in flat.values():
             f = getattr(q, "field", self.field)
             self._field_stats(f)  # raises on unindexed fields
             terms_by_field.setdefault(f, set()).update(q.terms)
+        tree_pairs: set = set()
+        for q in tree.values():
+            self._collect_pairs(q, tree_pairs,
+                                getattr(q, "field", self.field))
+        for f, t in tree_pairs:
+            self._field_stats(f)
+            terms_by_field.setdefault(f, set()).add(t)
         tstats_by_field = {f: self.term_stats(sorted(ts), f)
                            for f, ts in terms_by_field.items()}
         plans = {}
-        for qid, q in queries.items():
+        for qid, q in tree.items():
+            node = self._compile_node(q, tstats_by_field, 1.0,
+                                      getattr(q, "field", self.field))
+            if node is not None:
+                plans[qid] = ("tree", node)
+        for qid, q in flat.items():
             qt = _qtype(q)
             fld = getattr(q, "field", self.field)
             tstats = tstats_by_field[fld]
@@ -878,8 +900,10 @@ class IndexSearcher:
                           fld in self.keyword_fields)
         if not plans:
             return spark.createDataFrame([], self.BATCH_SCHEMA)
-        need = sorted({(p[1], t) for p in plans.values() for t in p[2]
-                       if t in tstats_by_field[p[1]]})
+        need = sorted({(p[1], t) for p in plans.values() if p[0] != "tree"
+                       for t in p[2] if t in tstats_by_field[p[1]]}
+                      | {(f, t) for (f, t) in tree_pairs
+                         if t in tstats_by_field[f]})
         chunks_df = (self._postings_for_pairs(need)
                      .select("field", "term", "bucket_id",
                              "block_max_scores", "blocks"))
@@ -888,6 +912,7 @@ class IndexSearcher:
         joined = chunks_df.join(norms_df, "bucket_id")
         joined, has_live = self._attach_live(joined)
         live_docset = IndexSearcher._live_docset
+        keyword_set = set(self.keyword_fields)
 
         def run(chunk_pdf: pd.DataFrame) -> pd.DataFrame:
             empty = pd.DataFrame({"query_id": pd.Series(dtype="object"),
@@ -923,9 +948,32 @@ class IndexSearcher:
                         if live_ds is not None else ch)
                 return got
 
+            kw_set = keyword_set
+
+            def norms_for(f):
+                nonlocal ones_arr
+                if f in kw_set:
+                    if ones_arr is None:
+                        ones_arr = np.ones(norms_arr.size, dtype=np.uint8)
+                    return ones_arr
+                return norms_arr
+
             out = []
-            for qid, (qt, fld, terms, scorers, slop, groups, msm, tie,
-                      rebind, const_norm) in plans.items():
+            for qid, plan in plans.items():
+                if plan[0] == "tree":
+                    # nested query: recursive tree evaluation over the
+                    # shared (field, term) chunk dict, bucket-local topk
+                    docs, scores = eval_tree(plan[1], chunk_for,
+                                             norms_for, base)
+                    docs, scores = topk_select(docs, scores, k)
+                    if docs.size:
+                        out.append(pd.DataFrame({
+                            "query_id": qid,
+                            "doc_id": docs.astype(np.int64),
+                            "score": scores.astype(np.float32)}))
+                    continue
+                (qt, fld, terms, scorers, slop, groups, msm, tie,
+                 rebind, const_norm) = plan
                 if rebind:
                     chunks = [chunk_for(fld, t, sc)
                               for t, sc in zip(terms, scorers)]

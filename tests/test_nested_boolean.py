@@ -164,3 +164,25 @@ def test_toplevel_constant_score_query(searcher, oracle):
 def test_nested_dismax_over_queries(searcher, oracle):
     q = DisMaxQuery((PhraseQuery((T[0], T[1])), T[2]), tie_breaker=0.2)
     check(searcher, oracle, q, k=10)
+
+
+def test_nested_queries_in_search_batch(searcher, oracle):
+    import numpy as np
+    qs = {
+        "flat": TermQuery(T[1]),
+        "nested": BooleanQuery(must=(PhraseQuery((T[0], T[1])),),
+                               should=(T[3],)),
+        "bool_of_bool": BooleanQuery(
+            must=(BooleanQuery(should=(T[1], T[2])),
+                  BooleanQuery(should=(T[4], T[5])))),
+        "cs": ConstantScoreQuery(AndQuery((T[0], T[2])), boost=2.0),
+    }
+    res = searcher.search_batch(qs, k=8).collect()
+    by_q: dict = {}
+    for r in res:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], np.float32(r["score"])))
+    for qid, q in qs.items():
+        got = sorted(by_q.get(qid, []), key=lambda x: (-x[1], x[0]))
+        want = searcher.search(q, k=8)
+        assert got == want, qid
