@@ -278,6 +278,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, qq, 10)
     q["ft_parsed_query"] = ft_parsed_query
 
+    def ft_match_all(sp, sf):
+        # MatchAllDocsQuery: every live doc, constant score, built from
+        # the norms table alone (no postings scan)
+        from lucene_spark.search.query import MatchAllQuery
+        s = _searcher(sp, sf)
+        res = s.search_df(MatchAllQuery(), k=100000)
+        return res.select("doc_id",
+                          F.round(F.col("score").cast("double"), 3)
+                          .alias("score_r"))
+    q["ft_match_all"] = ft_match_all
+
     def ft_intervals_ordered(sp, sf):
         # interval algebra: minimal ordered intervals slow..fast with
         # at most 3 interior gaps (Intervals.maxgaps(Intervals.ordered))
@@ -721,6 +732,10 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
         WHERE NOT EXISTS (SELECT 1 FROM tf x
                           WHERE x.doc_id = p.doc_id AND x.term = 'dup'))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_match_all"] = """
+SELECT doc_id, 1.0 AS score_r FROM documents ORDER BY doc_id LIMIT 100000
 """
 
     # minimal ordered intervals slow..fast = dominant pairs: q is the

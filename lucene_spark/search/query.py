@@ -124,6 +124,32 @@ class BooleanQuery:
 
 
 @dataclass(frozen=True)
+class MatchAllQuery:
+    """Every live doc matches with score ``boost``
+    (core:search/MatchAllDocsQuery.java). Evaluated from the norms
+    table alone — no postings scan."""
+    field: str = "text"
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
+class FieldExistsQuery:
+    """Docs that have a value for the field, constant score
+    (core:search/FieldExistsQuery.java). Runs as a pushed-down
+    IS NOT NULL predicate on the docstore's native column."""
+    field: str
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return []
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Wraps any query: matching docs score ``boost``, sub-scores
     discarded (core:search/ConstantScoreQuery.java)."""

@@ -34,8 +34,8 @@ from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree, pack_docset,
                       phrase_freqs, score_bucket, topk_select)
 from .query import (AndQuery, BooleanQuery, ConstantScoreQuery, DisMaxQuery,
-                    MultiTermQuery, OrQuery, PhraseQuery, SynonymQuery,
-                    TermQuery, rewrite)
+                    FieldExistsQuery, MatchAllQuery, MultiTermQuery, OrQuery,
+                    PhraseQuery, SynonymQuery, TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -357,6 +357,50 @@ class IndexSearcher:
             evicted.unpersist()
         return out
 
+    # ---- MatchAll / FieldExists ------------------------------------------
+    def _match_all_df(self, boost: float, k: int,
+                      doc_filter: str | None = None) -> DataFrame:
+        """MatchAllDocsQuery: every live doc scores ``boost``. Built
+        from the norms table's bucket ranges — NO postings scan; deletes
+        and doc_filter compose as per-bucket bitmaps like everywhere
+        else. FieldExistsQuery is sugar: MatchAll with an IS NOT NULL
+        doc_filter pushed to the docstore scan."""
+        spark = self.spark
+        nm = (read_table(spark, self.norms_paths)
+              .select("bucket_id", "base_doc", "num_docs"))
+        has_filter = doc_filter is not None
+        if has_filter:
+            nm = nm.join(self._doc_filter_bitmaps(doc_filter), "bucket_id")
+        has_live = self.livedocs_path is not None
+        if has_live:
+            live_df = (spark.read.parquet(self.livedocs_path)
+                       .select("bucket_id", "live"))
+            nm = nm.join(live_df, "bucket_id", "left")
+        b = np.float32(boost)
+
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            base = int(pdf["base_doc"].iloc[0])
+            nd = int(pdf["num_docs"].iloc[0])
+            keep = np.ones(nd, dtype=bool)
+            if has_filter:
+                keep &= np.unpackbits(np.frombuffer(
+                    bytes(pdf["doc_bitmap"].iloc[0]), np.uint8),
+                    count=nd).astype(bool)
+            if has_live and pdf["live"].iloc[0] is not None:
+                keep &= np.unpackbits(np.frombuffer(
+                    bytes(pdf["live"].iloc[0]), np.uint8),
+                    count=nd).astype(bool)
+            docs = base + np.flatnonzero(keep)[:k]
+            return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                 "score": np.full(docs.size, b,
+                                                  dtype=np.float32)})
+
+        per_bucket = (nm.groupBy("bucket_id")
+                      .applyInPandas(run, schema=RESULT_SCHEMA))
+        return (per_bucket
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
     # ---- nested-query compilation (BooleanQuery.Builder.add(Query, Occur)
     # surface, core:search/BooleanQuery.java:125-147) ----------------------
     def _expand_mtq_tree(self, q):
@@ -616,6 +660,13 @@ class IndexSearcher:
         below it even before k local hits. Provably rank-safe;
         term/or shapes only."""
         spark = self.spark
+        if isinstance(query, MatchAllQuery):
+            return self._match_all_df(query.boost, k, doc_filter)
+        if isinstance(query, FieldExistsQuery):
+            cond = f"({query.field}) IS NOT NULL"
+            if doc_filter:
+                cond = f"({doc_filter}) AND {cond}"
+            return self._match_all_df(query.boost, k, cond)
         if _needs_tree(query):
             rq = rewrite(query)
             if _needs_tree(rq):
@@ -1086,8 +1137,51 @@ class IndexSearcher:
                 ts = self.term_stats([query.term], query.field)
                 return ts.get(query.term, (0,))[0]
             return self.term_postings(query.term, query.field).count()
+        if isinstance(query, (MatchAllQuery, FieldExistsQuery)):
+            cond = (None if isinstance(query, MatchAllQuery)
+                    else f"({query.field}) IS NOT NULL")
+            if self.livedocs_path is None:
+                if cond is None:
+                    return self.doc_count
+                return read_table(self.spark, self.docstore_paths) \
+                    .filter(cond).count()
+            return self._bitmap_count(cond)
         row = self.count_df(query).collect()
         return int(row[0]["n"]) if row else 0
+
+    def _bitmap_count(self, doc_filter: str | None) -> int:
+        """Popcount of (filter bitmap AND live bitmap) per bucket,
+        summed — counting under deletes without materializing docs."""
+        spark = self.spark
+        nm = (read_table(spark, self.norms_paths)
+              .select("bucket_id", "num_docs"))
+        if doc_filter is not None:
+            nm = nm.join(self._doc_filter_bitmaps(doc_filter), "bucket_id")
+        live_df = (spark.read.parquet(self.livedocs_path)
+                   .select("bucket_id", "live"))
+        nm = nm.join(live_df, "bucket_id", "left")
+        has_filter = doc_filter is not None
+
+        def cnt(batches):
+            for pdf in batches:
+                total = 0
+                for _, row in pdf.iterrows():
+                    nd = int(row["num_docs"])
+                    keep = np.ones(nd, dtype=bool)
+                    if has_filter:
+                        keep &= np.unpackbits(np.frombuffer(
+                            bytes(row["doc_bitmap"]), np.uint8),
+                            count=nd).astype(bool)
+                    if row["live"] is not None:
+                        keep &= np.unpackbits(np.frombuffer(
+                            bytes(row["live"]), np.uint8),
+                            count=nd).astype(bool)
+                    total += int(keep.sum())
+                yield pd.DataFrame({"n": [total]})
+
+        row = nm.mapInPandas(cnt, "n bigint").agg(
+            F.coalesce(F.sum("n"), F.lit(0))).collect()[0]
+        return int(row[0])
 
     def term_postings(self, term: str, field: str = "text") -> DataFrame:
         """Decode the full posting list of one term -> (doc_id, tf).
