@@ -232,12 +232,17 @@ class MultiTermQuery:
 
 
 def from_dict(q: dict):
-    """Build a query from the FIXTURES.md §2 JSON shape."""
+    """Build a query from the FIXTURES.md §2 JSON shape. Boolean and
+    dismax clause lists accept nested dicts (sub-queries)."""
     t = q["type"]
     field = q.get("field", "text")
     terms = tuple(q.get("terms", ()))
+
+    def cl(c):
+        return from_dict(c) if isinstance(c, dict) else c
+
     if t == "term":
-        return TermQuery(terms[0], field)
+        return TermQuery(terms[0], field, boost=q.get("boost", 1.0))
     if t == "and":
         return AndQuery(terms, field)
     if t == "or":
@@ -247,13 +252,29 @@ def from_dict(q: dict):
     if t == "synonym":
         return SynonymQuery(terms, field)
     if t == "dismax":
-        return DisMaxQuery(terms, field, tie_breaker=q.get("tie_breaker", 0.0))
+        return DisMaxQuery(tuple(cl(c) for c in q.get("terms", ())), field,
+                           tie_breaker=q.get("tie_breaker", 0.0))
     if t == "boolean":
         return BooleanQuery(
-            must=tuple(q.get("must", ())), should=tuple(q.get("should", ())),
-            must_not=tuple(q.get("must_not", ())),
-            filter_=tuple(q.get("filter", ())), field=field,
+            must=tuple(cl(c) for c in q.get("must", ())),
+            should=tuple(cl(c) for c in q.get("should", ())),
+            must_not=tuple(cl(c) for c in q.get("must_not", ())),
+            filter_=tuple(cl(c) for c in q.get("filter", ())), field=field,
             min_should_match=q.get("min_should_match", 0))
+    if t == "constant_score":
+        return ConstantScoreQuery(from_dict(q["query"]), field,
+                                  boost=q.get("boost", 1.0))
+    if t == "match_all":
+        return MatchAllQuery(field, boost=q.get("boost", 1.0))
+    if t == "field_exists":
+        return FieldExistsQuery(q["field"], boost=q.get("boost", 1.0))
+    if t == "multi_term":
+        pat = q["pattern"]
+        if q["kind"] in ("range", "set") and isinstance(pat, list):
+            pat = tuple(pat)
+        return MultiTermQuery(q["kind"], pat, field,
+                              rewrite=q.get("rewrite", "scoring_boolean"),
+                              max_edits=q.get("max_edits", 1))
     raise ValueError(f"unknown query type: {t}")
 
 
@@ -273,11 +294,15 @@ def from_dict(q: dict):
 _TOKEN_RE = re.compile(
     r'\s*('
     r'\(|\)'                           # grouping
+    r'|\[[^\]]*\]|\{[^}]*\}'           # term ranges [a TO b] / {a TO b}
     r'|"[^"]*"(?:~\d+)?'               # phrase with optional slop
     r'|AND\b|OR\b|NOT\b'               # operators
     r'|\+|-'                           # occur prefixes
-    r'|[^\s()+"]+'                     # term-ish (field:term, boost, fuzzy)
+    r'|[^\s()+"\[{]+'                  # term-ish (field:term, boost, fuzzy)
     r')')
+
+_RANGE_RE = re.compile(r'^([\[{])\s*(\S+)\s+TO\s+(\S+)\s*([\]}])$',
+                       re.IGNORECASE)
 
 
 def _tokenize_query(s: str) -> list:
@@ -302,9 +327,21 @@ def _parse_atom(tok: str, field: str):
     m = _BOOST_RE.match(tok)
     if m:
         tok, boost = m.group(1), float(m.group(2))
-    if ":" in tok:
+    if ":" in tok and not tok.startswith(("[", "{")):
         f, tok = tok.split(":", 1)
         field = f
+    m = _RANGE_RE.match(tok)
+    if m:
+        # [a TO b] inclusive / {a TO b} exclusive bounds; '*' = open.
+        # Our range semantics are lower-inclusive, upper-exclusive, so
+        # an inclusive upper bound appends the lowest suffix.
+        lo = None if m.group(2) == "*" else m.group(2).lower()
+        hi = None if m.group(3) == "*" else m.group(3).lower()
+        if m.group(1) == "{" and lo is not None:
+            lo = lo + "\x00"
+        if m.group(4) == "]" and hi is not None:
+            hi = hi + "\x00"
+        return MultiTermQuery("range", (lo, hi), field, boost=boost), boost
     if tok.startswith('"'):
         body = tok[1:]
         slop = 0
@@ -364,11 +401,12 @@ def _parse_clauses(toks: list, pos: int, field: str):
             pending = "must_not"
             pos += 1
             continue
-        # `field:` immediately before a phrase or group binds the field
-        # to that sub-clause (field:"a b", field:(a b))
+        # `field:` immediately before a phrase/group/range binds the
+        # field to that sub-clause (field:"a b", field:(a b), f:[a TO b])
         clause_field = field
         if (t.endswith(":") and len(t) > 1 and pos + 1 < len(toks)
-                and (toks[pos + 1].startswith('"') or toks[pos + 1] == "(")):
+                and (toks[pos + 1].startswith(('"', "[", "{"))
+                     or toks[pos + 1] == "(")):
             clause_field = t[:-1]
             pos += 1
             t = toks[pos]

@@ -64,6 +64,18 @@ def test_boost():
     assert q == BooleanQuery(should=(TermQuery("a", boost=2.0), "b"))
 
 
+def test_term_ranges():
+    q = parse_query("[alpha TO beta]")
+    assert q == MultiTermQuery("range", ("alpha", "beta\x00"))
+    q2 = parse_query("{alpha TO beta}")
+    assert q2 == MultiTermQuery("range", ("alpha\x00", "beta"))
+    q3 = parse_query("role:[a TO z]")
+    assert q3 == MultiTermQuery("range", ("a", "z\x00"), "role")
+    q4 = parse_query("+x [b TO *]")
+    assert q4 == BooleanQuery(
+        must=("x",), should=(MultiTermQuery("range", ("b", None)),))
+
+
 def test_wildcard_and_fuzzy():
     assert parse_query("wi*d") == MultiTermQuery("wildcard", "wi*d")
     assert parse_query("term~1") == MultiTermQuery("fuzzy", "term",
