@@ -323,6 +323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("q1", "and", ["slow", "fast"]),
             ("q2", "or", ["vector", "stream"]),
             ("q3", "and", ["scan", "sort", "merge"]),
+            ("q4", "phrase", ["slow", "fast"]),
         ])
         return PC.percolate(_docs(sp, sf), queries_df)
     q["pc_percolate"] = pc_percolate
@@ -781,7 +782,7 @@ SELECT doc_id, round((SELECT idf FROM i) * 1.0 / (1.0 + 1.2 * (0.25 + 0.75)), 3)
 FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 100000
 """
 
-    o["pc_percolate"] = P + """
+    o["pc_percolate"] = P + _phrase_cte("slow", "fast") + """
 SELECT 'q0' AS query_id, doc_id FROM tf WHERE term = 'dup'
 UNION ALL
 SELECT 'q1', doc_id FROM tf WHERE term IN ('slow', 'fast')
@@ -792,6 +793,8 @@ SELECT 'q2', doc_id FROM (SELECT DISTINCT doc_id FROM tf
 UNION ALL
 SELECT 'q3', doc_id FROM tf WHERE term IN ('scan', 'sort', 'merge')
 GROUP BY doc_id HAVING count(*) = 3
+UNION ALL
+SELECT 'q4', doc_id FROM (SELECT DISTINCT doc_id FROM ph)
 """
 
     o["ev_window_agg"] = """

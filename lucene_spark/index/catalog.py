@@ -152,3 +152,41 @@ class IndexCatalog:
 
     def has_table(self, name: str) -> bool:
         return self.table_path(name) is not None
+
+    # ---- vacuum --------------------------------------------------------
+    def vacuum(self, keep_commits: int = 2) -> dict:
+        """Remove table directories referenced by NO retained commit
+        point, and prune old commit manifests (IndexDeletionPolicy +
+        IndexWriter.deleteUnusedFiles analog). Keeps the newest
+        ``keep_commits`` commit points so point-in-time readers opened
+        against a recent snapshot stay valid.
+
+        Returns {"removed_dirs": [...], "removed_commits": n}."""
+        import shutil
+        files = self._commit_files()
+        if not files:
+            return {"removed_dirs": [], "removed_commits": 0}
+        keep = files[-max(keep_commits, 1):]
+        drop = files[:-max(keep_commits, 1)]
+        referenced = set()
+        for _, fp in keep:
+            with open(fp) as fh:
+                c = json.load(fh)
+            for v in c["tables"].values():
+                for rel in ([v] if isinstance(v, str) else v):
+                    referenced.add(rel)
+        removed = []
+        # table data lives under <root>/<table>/<version-dir>
+        for table in sorted(os.listdir(self.root)):
+            tdir = os.path.join(self.root, table)
+            if table == "commits" or not os.path.isdir(tdir):
+                continue
+            for ver in sorted(os.listdir(tdir)):
+                rel = f"{table}/{ver}"
+                if rel not in referenced:
+                    shutil.rmtree(os.path.join(tdir, ver),
+                                  ignore_errors=True)
+                    removed.append(rel)
+        for _, fp in drop:
+            os.remove(fp)
+        return {"removed_dirs": removed, "removed_commits": len(drop)}

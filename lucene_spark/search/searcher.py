@@ -537,7 +537,8 @@ class IndexSearcher:
 
     def _search_tree(self, query, k: int, pruned: bool = True,
                      doc_filter: str | None = None,
-                     mode: str = "topk") -> DataFrame:
+                     mode: str = "topk",
+                     after: tuple | None = None) -> DataFrame:
         """Nested-query execution: compile the (rewritten, MTQ-expanded)
         tree driver-side, evaluate it per bucket with the recursive
         kernel (exhaustive within a bucket — no block-max pruning for
@@ -628,6 +629,10 @@ class IndexSearcher:
             if mode == "count":
                 return pd.DataFrame({"doc_id": np.array([docs.size], np.int64),
                                      "score": np.zeros(1, np.float32)})
+            if after is not None:
+                s_a, d_a = np.float32(after[0]), np.int64(after[1])
+                keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+                docs, scores = docs[keep], scores[keep]
             docs, scores = topk_select(docs, scores, k)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": scores.astype(np.float32)})
@@ -1076,6 +1081,26 @@ class IndexSearcher:
         return [(int(r["doc_id"]), np.float32(r["score"]))
                 for r in self.search_df(query, k, pruned, doc_filter,
                                         two_pass).collect()]
+
+    def search_after_df(self, query, after: tuple, k: int = 10,
+                        doc_filter: str | None = None) -> DataFrame:
+        """Deep paging (IndexSearcher.searchAfter,
+        core:search/IndexSearcher.java): the top-k hits strictly AFTER
+        the cursor in (score desc, doc asc) order. ``after`` is a hit
+        as returned by search(): (doc_id, score) — pass the last hit of
+        the previous page. Every query shape runs through the tree
+        evaluator (exhaustive within a bucket; the cursor filter
+        applies before the bucket-local top-k, so no page can lose hits
+        to a bucket whose pre-cursor hits crowd out its local heap)."""
+        doc_id, score = int(after[0]), float(after[1])
+        return self._search_tree(rewrite(query), k, doc_filter=doc_filter,
+                                 after=(score, doc_id))
+
+    def search_after(self, query, after: tuple, k: int = 10,
+                     doc_filter: str | None = None) -> list:
+        return [(int(r["doc_id"]), np.float32(r["score"]))
+                for r in self.search_after_df(query, after, k,
+                                              doc_filter).collect()]
 
     def explain(self, query, doc_id: int) -> dict:
         """Score explanation for one (query, doc) — the Weight.explain
