@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_constant_set"] = lambda sp, sf: _topk_df(
         sp, sf, MultiTermQuery("set", ("vector", "stream", "window"),
                                rewrite="constant_score"), 100000)
+    # RegexpQuery: automaton-style term-dictionary intersection
+    q["ft_regexp"] = lambda sp, sf: _topk_df(
+        sp, sf, MultiTermQuery("regexp", "s(low|ort)"), 10)
 
     def ft_term_range_dict(sp, sf):
         # TermRangeQuery over the term dictionary
@@ -626,6 +629,14 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 , m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         WHERE levenshtein(f.term, 'joim') <= 1
+        GROUP BY f.doc_id)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_regexp"] = P + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE regexp_full_match(f.term, 's(low|ort)')
         GROUP BY f.doc_id)
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
