@@ -281,6 +281,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, qq, 10)
     q["ft_parsed_query"] = ft_parsed_query
 
+    def ft_mlt(sp, sf):
+        # MoreLikeThis (queries/mlt): top tf-idf terms of doc 7 -> OR
+        s = _searcher(sp, sf)
+        q = s.more_like_this(7, max_terms=5, min_df=2)
+        return _topk_df(sp, sf, q, 10)
+    q["ft_mlt"] = ft_mlt
+
+    def ft_rescore(sp, sf):
+        # QueryRescorer: BM25 top-50 re-ranked by a Catalyst expression
+        # over native doc columns (score + 1/(1+token_count))
+        s = _searcher(sp, sf)
+        top = s.search_df(TermQuery("vector"), k=50)
+        res = s.rescore(top, "score + 1.0 / (1 + token_count)", k=50)
+        return res.select("doc_id",
+                          F.round(F.col("new_score"), 3).alias("ns_r"))
+    q["ft_rescore"] = ft_rescore
+
     def ft_match_all(sp, sf):
         # MatchAllDocsQuery: every live doc, constant score, built from
         # the norms table alone (no postings scan)
@@ -744,6 +761,30 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
         WHERE NOT EXISTS (SELECT 1 FROM tf x
                           WHERE x.doc_id = p.doc_id AND x.term = 'dup'))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_mlt"] = P + f"""
+, dterm AS (SELECT term, tf FROM tf WHERE doc_id = 7)
+, cand AS (SELECT d.term, d.tf, t.df FROM dterm d
+           JOIN tdict t USING (term) WHERE t.df >= 2)
+, ranked AS (SELECT term FROM cand
+             ORDER BY tf * ln(1 + ((SELECT n FROM st) - df + 0.5)
+                              / (df + 0.5)) DESC, term ASC
+             LIMIT 5)
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN (SELECT term FROM ranked)
+        GROUP BY f.doc_id)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_rescore"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+, top50 AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 50)
+SELECT t.doc_id, round(t.s + 1.0 / (1 + d.dl), 3) AS ns_r
+FROM top50 t JOIN dl d USING (doc_id)
 """
 
     o["ft_match_all"] = """

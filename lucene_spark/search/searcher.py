@@ -1353,6 +1353,57 @@ class IndexSearcher:
         return (chunks_df.groupBy("bucket_id")
                 .applyInPandas(run, schema=self.INTERVAL_SCHEMA))
 
+    def more_like_this(self, doc_id: int, max_terms: int = 10,
+                       min_tf: int = 1, min_df: int = 2):
+        """MoreLikeThis (queries/mlt/.../MoreLikeThis.java:123): build an
+        OR query from the document's most interesting terms ranked by
+        tf·idf (ties: term asc), excluding ultra-rare terms (min_df)
+        like the reference's minDocFreq gate. Returns the OrQuery (run
+        it with search_df; the source doc itself will usually rank
+        first, exclude it client-side like the reference suggests)."""
+        import math
+        # per-doc term freqs: re-analyze the stored text (the reference
+        # re-tokenizes the document's fields the same way)
+        row = (read_table(self.spark, self.docstore_paths)
+               .filter(F.col("doc_id") == doc_id)
+               .select("text").collect())
+        if not row:
+            raise ValueError(f"no such doc {doc_id}")
+        from ..kernels.tokenizer import tokenize_one
+        from collections import Counter
+        tfs = Counter(tokenize_one(row[0]["text"] or ""))
+        terms = [t for t, f in tfs.items() if f >= min_tf]
+        stats = self.term_stats(terms, self.field)
+        dc, _ = self._field_stats(self.field)
+        scored = []
+        for t in terms:
+            if t not in stats or stats[t][0] < min_df:
+                continue
+            idf = math.log(1.0 + (dc - stats[t][0] + 0.5)
+                           / (stats[t][0] + 0.5))
+            scored.append((-tfs[t] * idf, t))
+        scored.sort()
+        sel = tuple(t for _, t in scored[:max_terms])
+        if not sel:
+            raise ValueError(f"doc {doc_id} has no usable MLT terms")
+        return OrQuery(sel, self.field)
+
+    def rescore(self, topk_df: DataFrame, expr: str, k: int = 10,
+                score_col: str = "new_score") -> DataFrame:
+        """Second-pass re-ranking (QueryRescorer,
+        core:search/QueryRescorer.java / Rescorer.java): join the
+        first-pass top-N back to the docstore's native columns and
+        re-order by a Catalyst expression over ``score`` + any doc
+        column (whole-stage codegen; the top-N side is broadcast).
+        Returns (doc_id, score, new_score) ordered by the new score."""
+        ds = read_table(self.spark, self.docstore_paths)
+        joined = ds.join(F.broadcast(topk_df), "doc_id", "inner")
+        return (joined
+                .withColumn(score_col, F.expr(expr).cast("double"))
+                .select("doc_id", "score", score_col)
+                .orderBy(F.col(score_col).desc(), F.col("doc_id").asc())
+                .limit(k))
+
     def retrieve(self, topk_df: DataFrame) -> DataFrame:
         """Stored-fields retrieval: join top-k doc_ids back to the docstore
         (broadcast the tiny top-k side, not the corpus)."""
