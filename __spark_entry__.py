@@ -281,6 +281,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, qq, 10)
     q["ft_parsed_query"] = ft_parsed_query
 
+    def ft_count_bool(sp, sf):
+        # sort-free count path: per-bucket count kernel + sum
+        n = _searcher(sp, sf).count(
+            BooleanQuery(must=("slow",), must_not=("fast",)))
+        return sp.createDataFrame([(n,)], "cnt bigint")
+    q["ft_count_bool"] = ft_count_bool
+
+    def ft_search_after(sp, sf):
+        # deep paging: page 2 of the 'vector' ranking via searchAfter
+        s = _searcher(sp, sf)
+        page1 = s.search(TermQuery("vector"), k=10)
+        res = s.search_after_df(TermQuery("vector"), page1[-1], k=10)
+        return res.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_search_after"] = ft_search_after
+
     def ft_mlt(sp, sf):
         # MoreLikeThis (queries/mlt): top tf-idf terms of doc 7 -> OR
         s = _searcher(sp, sf)
@@ -761,6 +778,21 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
         WHERE NOT EXISTS (SELECT 1 FROM tf x
                           WHERE x.doc_id = p.doc_id AND x.term = 'dup'))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    o["ft_count_bool"] = P + """
+SELECT count(*)::BIGINT AS cnt FROM tf f
+WHERE f.term = 'slow'
+  AND NOT EXISTS (SELECT 1 FROM tf x
+                  WHERE x.doc_id = f.doc_id AND x.term = 'fast')
+"""
+
+    o["ft_search_after"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+SELECT doc_id, round(s, 3) AS score_r FROM m
+ORDER BY s DESC, doc_id LIMIT 10 OFFSET 10
 """
 
     o["ft_mlt"] = P + f"""
