@@ -49,6 +49,27 @@ def test_search_is_partial_topk_then_global_limit(searcher):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_nested_tree_scan_prunes_partitions(searcher):
+    """The nested-query path's (field, term) pairs scan must keep the
+    term_h directory pruning and end in TakeOrderedAndProject."""
+    from lucene_spark.search.query import BooleanQuery, PhraseQuery
+    q = BooleanQuery(must=(PhraseQuery(("w000001", "w000002")),),
+                     should=("w000003",))
+    plan = _formatted(searcher.search_df(q, k=5))
+    assert "PartitionFilters" in plan
+    assert "term_h" in plan.split("PartitionFilters", 1)[1][:200]
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_match_all_reads_no_postings(searcher):
+    from lucene_spark.search.query import MatchAllQuery
+    plan = _formatted(searcher.search_df(MatchAllQuery(), k=5))
+    # built from the norms table alone — no postings directory in scan
+    import os
+    assert os.path.basename(os.path.dirname(
+        searcher.postings_path)) not in plan or "postings" not in plan
+
+
 def test_merge_has_no_broadcast_and_one_shuffle(spark, small_index):
     """The term-dictionary merge must NOT broadcast global term stats
     (10^7-10^9 terms at web scale => OOM): g_df is computed inside the
