@@ -99,6 +99,23 @@ def test_randomized_against_oracle():
             assert got == want, f"{terms} slop={slop}"
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcx"), min_size=2, max_size=18),
+                min_size=1, max_size=12),
+       st.integers(min_value=0, max_value=6))
+def test_merge_path_equals_sweep_property(corpus, slop):
+    """Property: the vectorized m=2 merge-path enumeration equals the
+    independent per-doc pq sweep on arbitrary corpora (hypothesis
+    shrinks any counterexample to a minimal doc set)."""
+    got = _kernel_freqs(corpus, ("a", "b"), slop)
+    want = _oracle_freqs(corpus, ("a", "b"), slop)
+    assert got == want
+
+
 def test_engine_sloppy_topk_matches_oracle(spark, small_index):
     s = IndexSearcher(spark, small_index)
     cat = IndexCatalog(small_index)
