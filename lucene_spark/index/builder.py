@@ -574,7 +574,7 @@ class IndexBuilder:
         """The shuffle-merge: segments -> term dictionary partitioned by
         a term-hash prefix.
 
-        Layout: postings are hash-shuffled on ``term_h = md5(term)[:2]``
+        Layout: postings are hash-shuffled on ``term_h = 'h' + md5(term)[:2]``
         (256 values) and written with ``partitionBy(term_h)``, sorted by
         (field, term, bucket_id) within files. A query term's chunks are
         then found by *directory* pruning (partition-column equality —

@@ -178,6 +178,26 @@ def test_randomized_corpora():
         check(corpus, src)
 
 
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=80, deadline=None)
+@given(st.lists(st.lists(st.sampled_from("abcx"), min_size=1, max_size=14),
+                min_size=1, max_size=8),
+       st.sampled_from([
+           Ordered((Term("a"), Term("b"))),
+           Unordered((Term("a"), Term("b"))),
+           MaxGaps(Ordered((Term("a"), Term("b"))), 2),
+           Containing(Unordered((Term("a"), Term("b"))), Term("c")),
+           ContainedBy(Term("c"), Ordered((Term("a"), Term("b")))),
+       ]))
+def test_combinator_property(corpus, src):
+    """Property: every combinator equals the brute all-combination +
+    minimality enumeration on arbitrary corpora."""
+    check(corpus, src)
+
+
 def test_end_to_end_interval_search(spark, small_index):
     from lucene_spark.kernels.tokenizer import tokenize_one
     s = IndexSearcher(spark, small_index)
