@@ -408,6 +408,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("a", "b", F.round("jaccard", 4).alias("jaccard_r")))
     q["dedup_jaccard"] = dedup_jaccard
 
+    def dedup_jaccard_lsh(sp, sf):
+        # the web-scale dedup pipeline: LSH band candidates -> exact
+        # Jaccard verify (the lossless shared-shingle self-join is the
+        # oracle path; this is the documented default at 100 TB)
+        return (D.jaccard_pairs_lsh(_docs(sp, sf), threshold=0.5)
+                .select("a", "b", F.round("jaccard", 4).alias("jaccard_r")))
+    q["dedup_jaccard_lsh"] = dedup_jaccard_lsh
+
     def dedup_simhash(sp, sf):
         return D.simhash(_docs(sp, sf), bits=32)
     q["dedup_simhash"] = dedup_simhash
@@ -931,6 +939,27 @@ FROM bandkey x JOIN bandkey y
           FROM cand c JOIN sh sa ON sa.doc_id = c.a
                       JOIN sh sb ON sb.doc_id = c.b)
 SELECT a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.8
+"""
+
+    o["dedup_jaccard_lsh"] = P + _SHINGLE_CTES + f"""
+, shh AS (SELECT doc_id,
+          ('0x' || substr(md5(g), 1, 15))::BIGINT % {D.MINHASH_P} AS h
+          FROM sh, unnest(shs) u(g))
+, sig AS (SELECT doc_id, s, min((h * (s + 2) + s) % {D.MINHASH_P}) AS mh
+          FROM shh, unnest(range(0, 8)) rs(s)
+          GROUP BY doc_id, s)
+, bandkey AS (SELECT doc_id, s // 2 AS band,
+              string_agg(mh::VARCHAR, ',' ORDER BY s) AS key
+              FROM sig GROUP BY doc_id, s // 2)
+, cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM bandkey x JOIN bandkey y
+             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+, jac AS (SELECT c.a, c.b,
+          len(list_intersect(sa.shs, sb.shs))::DOUBLE
+            / len(list_distinct(sa.shs || sb.shs)) AS j
+          FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                      JOIN sh sb ON sb.doc_id = c.b)
+SELECT a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.5
 """
 
     o["dedup_simhash"] = P + """

@@ -182,6 +182,23 @@ def jaccard_pairs(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
             .select("a", "b", "jaccard"))
 
 
+def jaccard_pairs_lsh(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      shingle_n: int = 3, num_hashes: int = 8,
+                      bands: int = 4) -> DataFrame:
+    """The DOCUMENTED DEFAULT for web-scale corpora: MinHash-LSH band
+    buckets generate the candidate pairs, exact shingle Jaccard
+    verifies them. The candidate join touches only band-colliding
+    pairs — the lossless shared-shingle self-join of ``jaccard_pairs``
+    can explode on hot shingles at 100 TB (a shingle appearing in 10^5
+    docs contributes 10^10 candidate rows); the LSH buckets are
+    md5-uniform and their size is controlled by bands/rows. Recall is
+    tunable via bands (more bands = more OR-chances)."""
+    cand = minhash_pairs(df, text_col, id_col, num_hashes, bands, shingle_n)
+    return jaccard_pairs(df, text_col, id_col, threshold, shingle_n,
+                         candidates=cand)
+
+
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
