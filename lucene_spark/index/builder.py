@@ -413,10 +413,12 @@ class IndexBuilder:
          .write.mode("overwrite").partitionBy("bucket_id").parquet(path))
         counts.unpersist()
         csorted.unpersist()
+        from .catalog import INDEX_FORMAT_VERSION
         self.catalog.commit({"docstore": rel},
                             extra={"num_buckets": self.num_buckets,
                                    "field": self.field,
-                                   "keyword_fields": list(self.keyword_fields)})
+                                   "keyword_fields": list(self.keyword_fields),
+                                   "format": INDEX_FORMAT_VERSION})
         return path
 
     # ---- stage 2: per-bucket segments, wave-checkpointed ------------------

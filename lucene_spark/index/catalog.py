@@ -20,6 +20,21 @@ import time
 
 _COMMIT_RE = re.compile(r"^segments_(\d+)\.json$")
 
+# On-disk format version, stamped into every build's commit manifest and
+# checked by IndexSearcher / NRTIndexWriter. Version 2 = 'h'-prefixed
+# term_h partition values; indexes without a stamp predate the prefix
+# change and would silently match zero postings — readers raise instead.
+INDEX_FORMAT_VERSION = 2
+
+
+def check_format(commit: dict, what: str) -> None:
+    fmt = int(((commit or {}).get("extra") or {}).get("format", 1))
+    if fmt != INDEX_FORMAT_VERSION:
+        raise ValueError(
+            f"{what}: index format v{fmt} != reader format "
+            f"v{INDEX_FORMAT_VERSION} (term_h partition scheme changed); "
+            f"rebuild the index with this version")
+
 
 def read_table(spark, locations):
     """Read a (possibly multi-generation) table: one scan per directory
@@ -154,15 +169,23 @@ class IndexCatalog:
         return self.table_path(name) is not None
 
     # ---- vacuum --------------------------------------------------------
-    def vacuum(self, keep_commits: int = 2) -> dict:
+    def vacuum(self, keep_commits: int = 2,
+               grace_seconds: float = 3600.0) -> dict:
         """Remove table directories referenced by NO retained commit
         point, and prune old commit manifests (IndexDeletionPolicy +
         IndexWriter.deleteUnusedFiles analog). Keeps the newest
         ``keep_commits`` commit points so point-in-time readers opened
         against a recent snapshot stay valid.
 
+        grace_seconds: unreferenced dirs with mtime newer than this are
+        SKIPPED — a build/append/compaction stages its output in an
+        uncommitted dir until the final commit, so a concurrent vacuum
+        must not delete a directory an in-flight writer is filling
+        (pass 0 only when no writer can be running).
+
         Returns {"removed_dirs": [...], "removed_commits": n}."""
         import shutil
+        now = time.time()
         files = self._commit_files()
         if not files:
             return {"removed_dirs": [], "removed_commits": 0}
@@ -183,10 +206,16 @@ class IndexCatalog:
                 continue
             for ver in sorted(os.listdir(tdir)):
                 rel = f"{table}/{ver}"
-                if rel not in referenced:
-                    shutil.rmtree(os.path.join(tdir, ver),
-                                  ignore_errors=True)
-                    removed.append(rel)
+                if rel in referenced:
+                    continue
+                vp = os.path.join(tdir, ver)
+                try:
+                    if now - os.path.getmtime(vp) < grace_seconds:
+                        continue  # possibly an in-flight writer's staging
+                except OSError:
+                    continue
+                shutil.rmtree(vp, ignore_errors=True)
+                removed.append(rel)
         for _, fp in drop:
             os.remove(fp)
         return {"removed_dirs": removed, "removed_commits": len(drop)}

@@ -451,6 +451,15 @@ def sloppy_freqs(chunks, slop, pruned=True):
     ((i, j) visited iff A[i-1] <= B[j] and B[j-1] < A[i]); m > 2 falls
     back to a per-doc sweep (rare shape; bounded by bucket size).
 
+    KNOWN DEVIATION (documented; the oracle replicates the same sweep,
+    so the gate is internally consistent): phrases with REPEATED terms
+    (e.g. phrase ('a','a')) may count a match where two phrase
+    positions land on the same token after offset adjustment — the
+    reference's SloppyPhraseMatcher carries extra repeat-collision
+    bookkeeping (hasRepeats/advanceRepeats) that we do not implement.
+    Distinct-term phrases (the overwhelmingly common shape) match the
+    reference exactly.
+
     Returns (doc_ids, float32 freqs) with freqs > 0 only.
     """
     cand = _conj_candidates(chunks, pruned)

@@ -285,7 +285,13 @@ class BruteForceOracle:
         min-pointer sweep over offset-adjusted position lists; every
         window with stretch <= slop contributes 1/(1+stretch); terms
         may match in any order. Independent per-doc implementation of
-        the engine's sloppy_freqs kernel."""
+        the engine's sloppy_freqs kernel.
+
+        Shares the kernel's documented repeated-term deviation: two
+        phrase positions of a repeated term may match the same token
+        (no SloppyPhraseMatcher repeat-collision bookkeeping), so this
+        oracle cannot catch that divergence — see
+        kernels.sloppy_freqs."""
         pls = [[i - off for i, t in enumerate(tokens) if t == term]
                for off, term in enumerate(phrase)]
         if any(not p for p in pls):

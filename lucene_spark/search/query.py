@@ -294,8 +294,8 @@ def from_dict(q: dict):
 _TOKEN_RE = re.compile(
     r'\s*('
     r'\(|\)'                           # grouping
-    r'|\[[^\]]*\]|\{[^}]*\}'           # term ranges [a TO b] / {a TO b}
-    r'|"[^"]*"(?:~\d+)?'               # phrase with optional slop
+    r'|(?:\[[^\]]*\]|\{[^}]*\})(?:\^\d+(?:\.\d+)?)?'  # ranges (+^boost)
+    r'|"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'  # phrase (+~slop) (+^boost)
     r'|AND\b|OR\b|NOT\b'               # operators
     r'|\+|-'                           # occur prefixes
     r'|[^\s()+"\[{]+'                  # term-ish (field:term, boost, fuzzy)
@@ -350,6 +350,8 @@ def _parse_atom(tok: str, field: str):
             body, slop = m.group(1), int(m.group(2) or 0)
         body = body.rstrip('"')
         terms = tuple(body.lower().split())
+        if not terms:
+            raise ValueError(f"empty phrase in query: {tok!r}")
         if len(terms) == 1:
             return (TermQuery(terms[0], field, boost=boost)
                     if (field != "text" or boost != 1.0) else terms[0],
@@ -364,6 +366,11 @@ def _parse_atom(tok: str, field: str):
         return MultiTermQuery("wildcard", tok.lower(), field,
                               boost=boost), boost
     t = tok.lower()
+    if not t:
+        # a bare '^2' (or a stray boost after a phrase/range the
+        # tokenizer didn't attach) would otherwise become a phantom
+        # empty-term clause that silently never matches
+        raise ValueError(f"empty term in query (stray boost?): {tok!r}")
     if field != "text" or boost != 1.0:
         return TermQuery(t, field, boost=boost), boost
     return t, boost

@@ -28,7 +28,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..index.catalog import IndexCatalog, read_table
+from ..index.catalog import IndexCatalog, check_format, read_table
 from ..kernels.bm25 import BM25Scorer, sum_idf
 from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree, pack_docset,
@@ -115,6 +115,7 @@ class IndexSearcher:
         c = self.catalog.latest_commit()
         if not c or "postings" not in c["tables"]:
             raise ValueError(f"no committed index at {index_dir}")
+        check_format(c, f"IndexSearcher({index_dir})")
         # multi-dir tables (base + NRT-appended generations — the
         # segments_N list model); single-dir aliases point at the base
         self.postings_paths = self.catalog.table_locations("postings")
@@ -359,7 +360,8 @@ class IndexSearcher:
 
     # ---- MatchAll / FieldExists ------------------------------------------
     def _match_all_df(self, boost: float, k: int,
-                      doc_filter: str | None = None) -> DataFrame:
+                      doc_filter: str | None = None,
+                      after: tuple | None = None) -> DataFrame:
         """MatchAllDocsQuery: every live doc scores ``boost``. Built
         from the norms table's bucket ranges — NO postings scan; deletes
         and doc_filter compose as per-bucket bitmaps like everywhere
@@ -390,7 +392,15 @@ class IndexSearcher:
                 keep &= np.unpackbits(np.frombuffer(
                     bytes(pdf["live"].iloc[0]), np.uint8),
                     count=nd).astype(bool)
-            docs = base + np.flatnonzero(keep)[:k]
+            docs = base + np.flatnonzero(keep)
+            if after is not None:
+                # constant score: the cursor reduces to a doc_id bound
+                s_a, d_a = np.float32(after[0]), np.int64(after[1])
+                if b > s_a:
+                    docs = docs[:0]
+                elif b == s_a:
+                    docs = docs[docs > d_a]
+            docs = docs[:k]
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": np.full(docs.size, b,
                                                   dtype=np.float32)})
@@ -1088,11 +1098,21 @@ class IndexSearcher:
         core:search/IndexSearcher.java): the top-k hits strictly AFTER
         the cursor in (score desc, doc asc) order. ``after`` is a hit
         as returned by search(): (doc_id, score) — pass the last hit of
-        the previous page. Every query shape runs through the tree
-        evaluator (exhaustive within a bucket; the cursor filter
-        applies before the bucket-local top-k, so no page can lose hits
-        to a bucket whose pre-cursor hits crowd out its local heap)."""
+        the previous page. MatchAll/FieldExists page through the
+        norms-table path (the cursor reduces to a doc_id bound under a
+        constant score); every other shape runs through the tree
+        evaluator (the cursor filter applies before the bucket-local
+        top-k, so no page can lose hits to a bucket whose pre-cursor
+        hits crowd out its local heap)."""
         doc_id, score = int(after[0]), float(after[1])
+        if isinstance(query, (MatchAllQuery, FieldExistsQuery)):
+            cond = doc_filter
+            if isinstance(query, FieldExistsQuery):
+                cond = f"({query.field}) IS NOT NULL"
+                if doc_filter:
+                    cond = f"({doc_filter}) AND {cond}"
+            return self._match_all_df(query.boost, k, cond,
+                                      after=(score, doc_id))
         return self._search_tree(rewrite(query), k, doc_filter=doc_filter,
                                  after=(score, doc_id))
 
@@ -1146,7 +1166,21 @@ class IndexSearcher:
     def count_df(self, query, doc_filter: str | None = None) -> DataFrame:
         """Per-bucket match counts summed into one row (n bigint) —
         the general count plan: no top-k heap, no global sort, one int
-        leaves each bucket kernel."""
+        leaves each bucket kernel. MatchAll/FieldExists count from the
+        docstore/bitmaps (no postings, no term collection)."""
+        if isinstance(query, (MatchAllQuery, FieldExistsQuery)):
+            cond = (None if isinstance(query, MatchAllQuery)
+                    else f"({query.field}) IS NOT NULL")
+            if doc_filter:
+                cond = f"({doc_filter}) AND ({cond})" if cond else doc_filter
+            if self.livedocs_path is not None:
+                n = self._bitmap_count(cond)
+            elif cond is None:
+                n = self.doc_count
+            else:
+                n = read_table(self.spark, self.docstore_paths) \
+                    .filter(cond).count()
+            return self.spark.createDataFrame([(n,)], "n bigint")
         return self._search_tree(query, k=0, doc_filter=doc_filter,
                                  mode="count")
 

@@ -55,6 +55,8 @@ class NRTIndexWriter:
         c = self.catalog.latest_commit()
         if not c or "postings" not in c["tables"]:
             raise ValueError("NRT append requires an existing committed index")
+        from ..index.catalog import check_format
+        check_format(c, "NRTIndexWriter")
         fstats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
                   for r in self.spark.read.parquet(
                       self.catalog.table_path("stats")).collect()}
