@@ -34,7 +34,7 @@ from lucene_spark.search.query import (AndQuery, BooleanQuery, DisMaxQuery,
                                        SynonymQuery, TermQuery)
 from lucene_spark.search.searcher import IndexSearcher
 
-_FORMAT_VERSION = "v6"  # v6: keyword fields (role/tool) indexed
+_FORMAT_VERSION = "v7"  # v7: manifest format stamp; v6: keyword fields
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".idxcache")
 
@@ -127,10 +127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "freq"))
     q["ft_phrase_matches"] = ft_phrase_matches
 
-    def ft_count_term(sp, sf):
-        n = _searcher(sp, sf).count(TermQuery("batch"))
-        return sp.createDataFrame([("batch", n)], "term string, cnt bigint")
-    q["ft_count_term"] = ft_count_term
+    def ft_counts(sp, sf):
+        # Weight#count paths, one entry: the single-term df shortcut
+        # (no postings read) + the sort-free boolean count kernel
+        s = _searcher(sp, sf)
+        n1 = s.count(TermQuery("batch"))
+        n2 = s.count(BooleanQuery(must=("slow",), must_not=("fast",)))
+        return sp.createDataFrame(
+            [("term_batch", n1), ("bool_slow_not_fast", n2)],
+            "qkind string, cnt bigint")
+    q["ft_counts"] = ft_counts
 
     def ft_term_dict(sp, sf):
         s = _searcher(sp, sf)
@@ -139,25 +145,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("term", "df", "ttf"))
     q["ft_term_dict"] = ft_term_dict
 
-    def ft_prefix_df(sp, sf):
-        # MultiTermQuery / PrefixQuery: term-dictionary range scan
+    def ft_term_dict_scan(sp, sf):
+        # Term-dictionary seek family, one entry with an op tag:
+        # PrefixQuery range scan, TermRangeQuery, and the suggest-module
+        # analog (weighted prefix completion by ttf) — all pushed-down
+        # scans over the sorted termstats table
         s = _searcher(sp, sf)
-        return (sp.read.parquet(s.termstats_path)
-                .filter((F.col("field") == "text")
-                        & F.col("term").startswith("c"))
-                .select("term", "df"))
-    q["ft_prefix_df"] = ft_prefix_df
-
-    def ft_suggest_prefix(sp, sf):
-        # suggest module analog: weighted prefix completion by ttf
-        s = _searcher(sp, sf)
-        return (sp.read.parquet(s.termstats_path)
-                .filter((F.col("field") == "text")
-                        & F.col("term").startswith("s"))
-                .select("term", "ttf")
-                .orderBy(F.col("ttf").desc(), "term")
-                .limit(5))
-    q["ft_suggest_prefix"] = ft_suggest_prefix
+        ts = (sp.read.parquet(s.termstats_path)
+              .filter(F.col("field") == "text"))
+        prefix = (ts.filter(F.col("term").startswith("c"))
+                  .select(F.lit("prefix").alias("op"), "term",
+                          F.col("df").alias("v")))
+        rng = (ts.filter((F.col("term") >= "query")
+                         & (F.col("term") < "sort"))
+               .select(F.lit("range").alias("op"), "term",
+                       F.col("df").alias("v")))
+        sug = (ts.filter(F.col("term").startswith("s"))
+               .select("term", "ttf")
+               .orderBy(F.col("ttf").desc(), "term").limit(5)
+               .select(F.lit("suggest").alias("op"), "term",
+                       F.col("ttf").alias("v")))
+        return prefix.unionByName(rng).unionByName(sug)
+    q["ft_term_dict_scan"] = ft_term_dict_scan
 
     def ft_range_filter(sp, sf):
         # text term AND numeric range (IndexOrDocValuesQuery analog)
@@ -211,15 +220,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_regexp"] = lambda sp, sf: _topk_df(
         sp, sf, MultiTermQuery("regexp", "s(low|ort)"), 10)
 
-    def ft_term_range_dict(sp, sf):
-        # TermRangeQuery over the term dictionary
-        s = _searcher(sp, sf)
-        return (sp.read.parquet(s.termstats_path)
-                .filter((F.col("field") == "text")
-                        & (F.col("term") >= "query") & (F.col("term") < "sort"))
-                .select("term", "df"))
-    q["ft_term_range_dict"] = ft_term_range_dict
-
     def ft_sort_by_field(sp, sf):
         # TopFieldCollector analog: matches sorted by a doc-values field
         s = _searcher(sp, sf)
@@ -231,17 +231,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_chars"))
     q["ft_sort_by_field"] = ft_sort_by_field
 
-    def ft_sloppy_matches(sp, sf):
-        # ordered sloppy phrase "slow ... fast" within slop=2
-        return (_searcher(sp, sf).phrase_matches(["slow", "fast"], slop=2)
-                .select("doc_id", "freq"))
-    q["ft_sloppy_matches"] = ft_sloppy_matches
-
-    def ft_interval_matches(sp, sf):
-        # unordered interval: slow & fast within <=2 intervening tokens
-        return (_searcher(sp, sf).interval_matches(["slow", "fast"], max_gaps=2)
-                .select("doc_id", "span"))
-    q["ft_interval_matches"] = ft_interval_matches
+    def ft_proximity_matches(sp, sf):
+        # the two proximity match shapes, one entry: ordered sloppy
+        # phrase "slow ... fast" (slop=2) + unordered interval (slow &
+        # fast within <=2 intervening tokens), full-outer on doc_id;
+        # -1 marks "no match on this side" (null-free for hashing)
+        s = _searcher(sp, sf)
+        o = (s.phrase_matches(["slow", "fast"], slop=2)
+             .select("doc_id", F.col("freq").alias("ord_freq")))
+        u = (s.interval_matches(["slow", "fast"], max_gaps=2)
+             .select("doc_id", F.col("span").alias("unord_span")))
+        return (o.join(u, "doc_id", "full_outer")
+                .select("doc_id",
+                        F.coalesce("ord_freq", F.lit(-1)).alias("ord_freq"),
+                        F.coalesce("unord_span", F.lit(-1))
+                        .alias("unord_span")))
+    q["ft_proximity_matches"] = ft_proximity_matches
 
     def ft_filtered_topk(sp, sf):
         # BooleanQuery FILTER on native metadata (lang -> role column)
@@ -280,13 +285,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qq = parse_query('+"slow fast" batch -dup')
         return _topk_df(sp, sf, qq, 10)
     q["ft_parsed_query"] = ft_parsed_query
-
-    def ft_count_bool(sp, sf):
-        # sort-free count path: per-bucket count kernel + sum
-        n = _searcher(sp, sf).count(
-            BooleanQuery(must=("slow",), must_not=("fast",)))
-        return sp.createDataFrame([(n,)], "cnt bigint")
-    q["ft_count_bool"] = ft_count_bool
 
     def ft_search_after(sp, sf):
         # deep paging: page 2 of the 'vector' ranking via searchAfter
@@ -458,21 +456,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 / F.col("nb"), 4).alias("recall_r")))
     q["ann_lsh_recall"] = ann_lsh_recall
 
-    def text_token_stats(sp, sf):
-        return TS.token_stats(_docs(sp, sf))
-    q["text_token_stats"] = text_token_stats
-
-    def text_quality(sp, sf):
-        return TS.text_quality(_docs(sp, sf))
-    q["text_quality"] = text_quality
-
-    def text_lang_id(sp, sf):
-        return TS.lang_id(_docs(sp, sf))
-    q["text_lang_id"] = text_lang_id
-
-    def text_fingerprint(sp, sf):
-        return TS.fingerprint(_docs(sp, sf))
-    q["text_fingerprint"] = text_fingerprint
+    def text_analysis(sp, sf):
+        # the four text-analysis operators (token stats, quality
+        # scoring, language-ID, fingerprint), one entry: each remains
+        # its own operator in lucene_spark.ops.textstats; the entry
+        # joins their outputs on doc_id so every column of every op is
+        # oracle-gated (all pure projections — the join is only gate
+        # plumbing, not part of any operator)
+        d = _docs(sp, sf)
+        return (TS.token_stats(d)
+                .join(TS.text_quality(d).drop("n_tokens"), "doc_id")
+                .join(TS.lang_id(d), "doc_id")
+                .join(TS.fingerprint(d), "doc_id"))
+    q["text_analysis"] = text_analysis
 
     def mm_features(sp, sf):
         packed = MM.pack_binary(_docs(sp, sf), "text", "doc_id")
@@ -619,21 +615,29 @@ SELECT doc_id, tf::INT AS tf FROM tf WHERE term = 'dup'
 SELECT doc_id, freq::INT AS freq FROM ph
 """
 
-    o["ft_count_term"] = P + """
-SELECT 'batch' AS term, count(*)::BIGINT AS cnt FROM tf WHERE term = 'batch'
+    o["ft_counts"] = P + """
+SELECT 'term_batch' AS qkind, count(*)::BIGINT AS cnt
+FROM tf WHERE term = 'batch'
+UNION ALL
+SELECT 'bool_slow_not_fast', count(*)::BIGINT FROM tf f
+WHERE f.term = 'slow'
+  AND NOT EXISTS (SELECT 1 FROM tf x
+                  WHERE x.doc_id = f.doc_id AND x.term = 'fast')
 """
 
     o["ft_term_dict"] = P + """
 SELECT term, df::BIGINT AS df, ttf::BIGINT AS ttf FROM tdict
 """
 
-    o["ft_prefix_df"] = P + """
-SELECT term, df::BIGINT AS df FROM tdict WHERE term LIKE 'c%'
-"""
-
-    o["ft_suggest_prefix"] = P + """
-SELECT term, ttf::BIGINT AS ttf FROM tdict WHERE term LIKE 's%'
-ORDER BY ttf DESC, term LIMIT 5
+    o["ft_term_dict_scan"] = P + """
+SELECT 'prefix' AS op, term, df::BIGINT AS v FROM tdict WHERE term LIKE 'c%'
+UNION ALL
+SELECT 'range', term, df::BIGINT FROM tdict
+WHERE term >= 'query' AND term < 'sort'
+UNION ALL
+SELECT 'suggest', term, ttf::BIGINT FROM (
+  SELECT term, ttf FROM tdict WHERE term LIKE 's%'
+  ORDER BY ttf DESC, term LIMIT 5)
 """
 
     o["ft_range_filter"] = P + """
@@ -688,10 +692,6 @@ SELECT DISTINCT doc_id, 1.0 AS score_r FROM tf
 WHERE term IN ('vector', 'stream', 'window')
 """
 
-    o["ft_term_range_dict"] = P + """
-SELECT term, df::BIGINT AS df FROM tdict WHERE term >= 'query' AND term < 'sort'
-"""
-
     o["ft_sort_by_field"] = P + """
 SELECT f.doc_id, d.n_chars
 FROM tf f JOIN documents d USING (doc_id)
@@ -699,22 +699,25 @@ WHERE f.term = 'vector'
 ORDER BY d.n_chars DESC, f.doc_id LIMIT 10
 """
 
-    o["ft_sloppy_matches"] = P + """
-SELECT p1.doc_id, count(*)::INT AS freq
-FROM pos p1
-WHERE p1.term = 'slow' AND EXISTS (
-  SELECT 1 FROM pos p2
-  WHERE p2.doc_id = p1.doc_id AND p2.term = 'fast'
-    AND p2.pos > p1.pos AND p2.pos - p1.pos - 1 <= 2)
-GROUP BY p1.doc_id
-"""
-
-    o["ft_interval_matches"] = P + """
-SELECT p1.doc_id, (min(abs(p1.pos - p2.pos)) - 1)::INT AS span
-FROM pos p1 JOIN pos p2
-  ON p1.doc_id = p2.doc_id AND p1.term = 'slow' AND p2.term = 'fast'
-GROUP BY p1.doc_id
-HAVING min(abs(p1.pos - p2.pos)) - 1 <= 2
+    o["ft_proximity_matches"] = P + """
+, ordm AS (
+  SELECT p1.doc_id, count(*)::INT AS ord_freq
+  FROM pos p1
+  WHERE p1.term = 'slow' AND EXISTS (
+    SELECT 1 FROM pos p2
+    WHERE p2.doc_id = p1.doc_id AND p2.term = 'fast'
+      AND p2.pos > p1.pos AND p2.pos - p1.pos - 1 <= 2)
+  GROUP BY p1.doc_id)
+, unord AS (
+  SELECT p1.doc_id, (min(abs(p1.pos - p2.pos)) - 1)::INT AS unord_span
+  FROM pos p1 JOIN pos p2
+    ON p1.doc_id = p2.doc_id AND p1.term = 'slow' AND p2.term = 'fast'
+  GROUP BY p1.doc_id
+  HAVING min(abs(p1.pos - p2.pos)) - 1 <= 2)
+SELECT coalesce(o.doc_id, u.doc_id) AS doc_id,
+       coalesce(o.ord_freq, -1) AS ord_freq,
+       coalesce(u.unord_span, -1) AS unord_span
+FROM ordm o FULL OUTER JOIN unord u ON o.doc_id = u.doc_id
 """
 
     o["ft_filtered_topk"] = P + f"""
@@ -786,13 +789,6 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
         WHERE NOT EXISTS (SELECT 1 FROM tf x
                           WHERE x.doc_id = p.doc_id AND x.term = 'dup'))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
-"""
-
-    o["ft_count_bool"] = P + """
-SELECT count(*)::BIGINT AS cnt FROM tf f
-WHERE f.term = 'slow'
-  AND NOT EXISTS (SELECT 1 FROM tf x
-                  WHERE x.doc_id = f.doc_id AND x.term = 'fast')
 """
 
     o["ft_search_after"] = P + f"""
@@ -1045,35 +1041,23 @@ FROM brutetop b LEFT JOIN inter i ON i.q_id = b.q_id
 GROUP BY b.q_id, i.ni
 """
 
-    o["text_token_stats"] = P + r"""
+    stop = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
+    o["text_analysis"] = P + rf"""
 SELECT d.doc_id, len(t.toks)::INT AS n_tokens,
        len(regexp_split_to_array(trim(d.text), '\s+'))::INT AS n_ws_tokens,
        length(d.text)::INT AS n_chars,
        length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::INT AS n_alpha,
-       length(regexp_replace(d.text, '[^0-9]', '', 'g'))::INT AS n_digit
-FROM documents d JOIN tok t USING (doc_id)
-"""
-
-    stop = "['the', 'a', 'of', 'and', 'to', 'in', 'is', 'it']"
-    o["text_quality"] = P + f"""
-SELECT t.doc_id, len(t.toks)::INT AS n_tokens,
+       length(regexp_replace(d.text, '[^0-9]', '', 'g'))::INT AS n_digit,
        round(length(regexp_replace(d.text, '[^A-Za-z]', '', 'g'))::DOUBLE
              / greatest(length(d.text), 1), 4) AS alpha_ratio,
        round(len(list_filter(t.toks, x -> list_contains({stop}, x)))::DOUBLE
              / greatest(len(t.toks), 1), 4) AS stopword_ratio,
        round(list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE
-             / greatest(len(t.toks), 1), 4) AS mean_token_len
-FROM tok t JOIN documents d USING (doc_id)
-"""
-
-    o["text_lang_id"] = P + f"""
-SELECT doc_id,
-       CASE WHEN list_has_any(toks, {stop}) THEN 'en' ELSE 'unk' END AS lang_pred
-FROM tok
-"""
-
-    o["text_fingerprint"] = P + """
-SELECT doc_id, md5(array_to_string(toks, ' ')) AS fp FROM tok
+             / greatest(len(t.toks), 1), 4) AS mean_token_len,
+       CASE WHEN list_has_any(t.toks, {stop}) THEN 'en' ELSE 'unk' END
+           AS lang_pred,
+       md5(array_to_string(t.toks, ' ')) AS fp
+FROM documents d JOIN tok t USING (doc_id)
 """
 
     o["mm_features"] = """
