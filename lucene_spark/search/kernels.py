@@ -33,7 +33,41 @@ from ..kernels.bm25 import BM25Scorer
 __all__ = ["TermChunk", "topk_select", "term_topk", "and_topk", "or_topk",
            "phrase_topk", "phrase_freqs", "sloppy_freqs", "min_span_freqs",
            "synonym_topk", "dismax_topk", "boolean_topk", "score_bucket",
-           "eval_tree"]
+           "eval_tree", "eval_tree_topk", "impact_block_bounds"]
+
+# decoded-blocks counter (diagnostics/tests): incremented on every
+# posting-block decode cache miss, so pruning wins are measurable
+# (pruned runs must decode strictly fewer blocks than exhaustive ones)
+DECODE_COUNTER = [0]
+
+
+def impact_block_bounds(blocks, scorer) -> np.ndarray:
+    """Per-block score upper bounds from the stored (freq, norm) impact
+    skylines under ``scorer`` — ONE vectorized score call over the
+    concatenated skylines + a segmented max, instead of a per-block
+    Python loop (the vectorized MaxScoreCache recompute,
+    core:search/MaxScoreCache.java:19-159)."""
+    n = len(blocks)
+    if n == 0:
+        return np.zeros(0, np.float32)
+    lens = np.fromiter((len(b["imp_freqs"]) for b in blocks),
+                       dtype=np.int64, count=n)
+    total = int(lens.sum())
+    out = np.zeros(n, dtype=np.float32)
+    if total == 0:
+        return out
+    freqs = np.concatenate([np.asarray(b["imp_freqs"], dtype=np.int64)
+                            for b in blocks])
+    norms = np.concatenate([np.asarray(b["imp_norms"], dtype=np.int64)
+                            for b in blocks])
+    s = scorer.score(freqs, norms).astype(np.float32)
+    starts = np.cumsum(lens) - lens
+    nz = lens > 0
+    # zero-length segments have start == end == the next segment's
+    # start, so reduceat over the nonzero starts spans each nonzero
+    # segment exactly
+    out[nz] = np.maximum.reduceat(s, starts[nz])
+    return out
 
 
 class TermChunk:
@@ -64,14 +98,13 @@ class TermChunk:
 
     def recompute_bounds(self, scorer):
         """Per-block upper bounds from the stored (freq, norm) impact
-        skylines under the given scorer."""
-        return [float(scorer.max_score_for_impacts(
-            np.asarray(b["imp_freqs"]), np.asarray(b["imp_norms"])))
-            for b in self.blocks]
+        skylines under the given scorer (vectorized across blocks)."""
+        return impact_block_bounds(self.blocks, scorer).tolist()
 
     def decode(self, i):
         d = self._decoded.get(i)
         if d is None:
+            DECODE_COUNTER[0] += 1
             d = self._decoded[i] = codec.decode_block_docs_tfs(self.blocks[i])
         return d
 
@@ -341,10 +374,10 @@ POS_OFF = np.int64(1) << 32
 
 
 def _inner_chunk(chunk):
-    """Unwrap MaskedChunk layers — positions of a surviving candidate
-    doc are identical in the raw chunk, so position gathering can use
-    the cached raw block decode."""
-    while isinstance(chunk, MaskedChunk):
+    """Unwrap MaskedChunk/RangeChunk layers — positions of a surviving
+    candidate doc are identical in the raw chunk, so position gathering
+    can use the cached raw block decode."""
+    while isinstance(chunk, (MaskedChunk, RangeChunk)):
         chunk = chunk.inner
     return chunk
 
@@ -724,6 +757,65 @@ class MaskedChunk:
         return self.inner.tf_at(doc_ids) * self.ds.tf_at(doc_ids)
 
 
+class RangeChunk:
+    """A chunk view restricted to a union of doc-id ranges
+    ``[(lo, hi))`` — the window-restriction device of the pruned tree
+    evaluator. Blocks outside every range are invisible: decode_all
+    never touches them, which is where block-max pruning saves decode
+    work. Wraps any chunk (TermChunk or MaskedChunk); position
+    gathering unwraps to the raw chunk via _inner_chunk."""
+
+    def __init__(self, inner, los: np.ndarray, his: np.ndarray):
+        self.inner = inner
+        self.los, self.his = los, his  # sorted, disjoint; hi exclusive
+        # visible blocks: any overlap with any range
+        keep = []
+        for bi in range(inner.n_blocks()):
+            f, l = int(inner.firsts[bi]), int(inner.lasts[bi])
+            j = int(np.searchsorted(his, f, side="right"))
+            if j < los.size and los[j] <= l:
+                keep.append(bi)
+        self._vis = keep
+        self.blocks = [inner.blocks[i] for i in keep]
+        self.firsts = inner.firsts[keep]
+        self.lasts = inner.lasts[keep]
+        self.block_max = inner.block_max[keep]
+        self._dec = {}
+
+    def n_blocks(self):
+        return len(self._vis)
+
+    def _member(self, docs):
+        idx = np.searchsorted(self.los, docs, side="right") - 1
+        ok = idx >= 0
+        idx_c = np.maximum(idx, 0)
+        return ok & (docs < self.his[idx_c])
+
+    def decode(self, i):
+        d = self._dec.get(i)
+        if d is None:
+            docs, tfs = self.inner.decode(self._vis[i])
+            keep = self._member(docs)
+            d = self._dec[i] = (docs[keep], tfs[keep])
+        return d
+
+    def decode_all(self):
+        parts = [self.decode(i) for i in range(len(self._vis))]
+        if not parts:
+            return np.zeros(0, np.int64), np.zeros(0, np.int64)
+        return (np.concatenate([p[0] for p in parts]),
+                np.concatenate([p[1] for p in parts]))
+
+    def blocks_overlapping(self, lo, hi):
+        i0 = int(np.searchsorted(self.lasts, lo, side="left"))
+        i1 = int(np.searchsorted(self.firsts, hi, side="right"))
+        return range(i0, i1)
+
+    def tf_at(self, doc_ids):
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        return self.inner.tf_at(doc_ids) * self._member(doc_ids)
+
+
 def constant_or_topk(chunks, boost, norms_arr, base_doc, k):
     """Constant-score union: docs matching ANY chunk score ``boost``
     (MultiTermQuery CONSTANT_SCORE rewrites / ConstantScoreQuery,
@@ -980,6 +1072,228 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
             return _empty_hits()
         return docs, total.astype(np.float32)
     raise ValueError(f"unknown plan node {kind}")
+
+
+# ---------------------------------------------------------------------------
+# block-max pruned tree evaluation (the WANDScorer / BooleanScorerSupplier
+# bound-composition applied to the nested plan tree,
+# core:search/WANDScorer.java:31-213, BooleanScorerSupplier.java:176-455)
+# ---------------------------------------------------------------------------
+
+
+def _tree_leaf_chunks(node, get_chunk, out: dict):
+    """All distinct (field, term) chunks a plan tree touches."""
+    kind = node[0]
+    if kind == "term":
+        out.setdefault((node[1], node[2]), get_chunk(node[1], node[2]))
+    elif kind in ("phrase", "synonym"):
+        for t in node[2]:
+            out.setdefault((node[1], t), get_chunk(node[1], t))
+    elif kind in ("and", "or"):
+        for c in node[1]:
+            _tree_leaf_chunks(c, get_chunk, out)
+    elif kind == "dismax":
+        for c in node[1]:
+            _tree_leaf_chunks(c, get_chunk, out)
+    elif kind == "const":
+        _tree_leaf_chunks(node[1], get_chunk, out)
+    elif kind == "bool":
+        for grp in node[1:5]:
+            for c in grp:
+                _tree_leaf_chunks(c, get_chunk, out)
+    else:
+        raise ValueError(f"unknown plan node {kind}")
+
+
+def _window_leaf_bounds(chunk, scorer, w_lo, bound_cache):
+    """Per-window upper bound of one (chunk, scorer) pair: the covering
+    block's impact-derived bound, 0 where no block covers the window.
+    Bounds come from the stored impacts under the NODE's scorer (exact
+    for any boost/similarity — baked floats are boost-1.0 BM25)."""
+    if chunk is None or chunk.n_blocks() == 0:
+        return np.zeros(w_lo.size, dtype=np.float64)
+    key = (id(chunk), id(scorer))
+    bb = bound_cache.get(key)
+    if bb is None:
+        bb = bound_cache[key] = impact_block_bounds(chunk.blocks, scorer)
+    out = np.zeros(w_lo.size, dtype=np.float64)
+    idx = np.searchsorted(chunk.lasts, w_lo, side="left")
+    idx_c = np.minimum(idx, chunk.n_blocks() - 1)
+    covers = (chunk.firsts[idx_c] <= w_lo) & (chunk.lasts[idx_c] >= w_lo)
+    out[covers] = bb[idx_c[covers]]
+    return out
+
+
+def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
+    """Combine per-window upper bounds bottom-up through the plan tree —
+    the scorer-tree analog of WANDScorer's sum-of-maxScore bounds:
+
+      term     -> covering-block bound under the leaf scorer
+      phrase   -> min over member terms (phrase freq <= each member tf,
+                  scored with the sum-idf phrase scorer; PhraseWeight's
+                  impacts-based bound)
+      synonym  -> sum over members (BM25 is concave with score(0)=0, so
+                  score(Σtf) <= Σ score(tf))
+      and/bool -> Σ children, 0 where any required child is 0
+      or       -> Σ children
+      dismax   -> max + tie * (Σ - max)
+      const    -> boost where the child can match
+      filters  -> mask windows where a filter child cannot match
+      must_not -> ignored (can only remove matches — bound stays valid)
+    """
+    kind = node[0]
+    B = _node_window_bounds
+    if kind == "term":
+        return _window_leaf_bounds(chunks[(node[1], node[2])], node[3],
+                                   w_lo, bound_cache)
+    if kind == "phrase":
+        vs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
+                                  bound_cache) for t in node[2]]
+        return np.minimum.reduce(vs)
+    if kind == "synonym":
+        vs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
+                                  bound_cache) for t in node[2]]
+        return np.add.reduce(vs)
+    if kind == "and":
+        vs = [B(c, chunks, w_lo, bound_cache) for c in node[1]]
+        out = np.add.reduce(vs)
+        for v in vs:
+            out[v <= 0] = 0.0
+        return out
+    if kind == "or":
+        return np.add.reduce([B(c, chunks, w_lo, bound_cache)
+                              for c in node[1]])
+    if kind == "dismax":
+        _, children, tie = node
+        vs = [B(c, chunks, w_lo, bound_cache) for c in children]
+        mx = np.maximum.reduce(vs)
+        if tie:
+            return mx + np.float64(tie) * (np.add.reduce(vs) - mx)
+        return mx
+    if kind == "const":
+        child = B(node[1], chunks, w_lo, bound_cache)
+        return np.where(child > 0, np.float64(max(node[2], 0.0)), 0.0)
+    if kind == "bool":
+        _, musts, shoulds, must_nots, filters, msm = node
+        svs = [B(c, chunks, w_lo, bound_cache) for c in shoulds]
+        s_sum = np.add.reduce(svs) if svs else np.zeros(w_lo.size)
+        if musts:
+            mvs = [B(c, chunks, w_lo, bound_cache) for c in musts]
+            out = np.add.reduce(mvs) + s_sum
+            for v in mvs:
+                out[v <= 0] = 0.0
+        else:
+            out = s_sum
+        need = max(msm, 0 if musts else 1)
+        if need > 0 and svs:
+            n_live = np.add.reduce([(v > 0).astype(np.int64) for v in svs])
+            out[n_live < need] = 0.0
+        elif not musts and not svs:
+            return np.zeros(w_lo.size)
+        for c in filters:
+            fv = B(c, chunks, w_lo, bound_cache)
+            out[fv <= 0] = 0.0
+        return out
+    raise ValueError(f"unknown plan node {kind}")
+
+
+def eval_tree_topk(node, get_chunk, norms_for, base_doc, k,
+                   theta0=-np.inf, after=None, window_batch: int = 16):
+    """Block-max pruned top-k evaluation of a compiled plan tree.
+
+    Windows are the elementary intervals of the union of every leaf
+    chunk's block edges (each leaf has 0 or 1 covering block per
+    window, like or_topk's WAND). Per-window upper bounds combine
+    bottom-up through the tree (_node_window_bounds); windows are
+    visited in descending bound order, evaluated in batches by running
+    the EXHAUSTIVE tree kernel over leaf chunks restricted to the
+    batch's doc ranges (RangeChunk), and evaluation stops once the next
+    window's bound cannot beat the running k-th score — rank-identical
+    to eval_tree + topk_select by the same argument as the flat WAND
+    kernel (bounds are exact score maxima from the stored impacts).
+
+    after: optional (score, doc_id) searchAfter cursor applied to each
+    batch's hits BEFORE the heap (the cursor filters hits, the
+    θ-pruning then works on post-cursor scores — deep pages prune as
+    well as page one).
+
+    Like the flat kernels, windows with bound <= 0 are never visited —
+    a similarity that clamps scores to 0 (LMDirichlet) treats
+    zero-score matches as non-competitive everywhere, consistently.
+    """
+    chunks: dict = {}
+    _tree_leaf_chunks(node, get_chunk, chunks)
+    live = [c for c in chunks.values() if c is not None and c.n_blocks()]
+    if not live:
+        return _empty_hits()
+    edges = np.unique(np.concatenate(
+        [c.firsts for c in live] + [c.lasts + 1 for c in live]))
+    w_lo, w_hi = edges[:-1], edges[1:]
+    bound_cache: dict = {}
+    ub = _node_window_bounds(node, chunks, w_lo, bound_cache)
+    order = np.argsort(-ub, kind="stable")
+    got_d, got_s = [], []
+    theta = theta0
+    count = 0
+    i = 0
+    n_w = order.size
+    while i < n_w:
+        batch = []
+        while i < n_w and len(batch) < window_batch:
+            wi = order[i]
+            if ub[wi] <= 0:
+                i = n_w
+                break
+            if ub[wi] < theta and (count >= k or ub[wi] < theta0):
+                i = n_w
+                break
+            batch.append(wi)
+            i += 1
+        if not batch:
+            break
+        bw = np.sort(np.asarray(batch))
+        los, his = w_lo[bw], w_hi[bw]
+        # merge adjacent windows into maximal disjoint ranges (tiny
+        # arrays — one pass per batch)
+        r_los, r_his = [int(los[0])], [int(his[0])]
+        for lo2, hi2 in zip(los[1:], his[1:]):
+            if int(lo2) == r_his[-1]:
+                r_his[-1] = int(hi2)
+            else:
+                r_los.append(int(lo2))
+                r_his.append(int(hi2))
+        r_lo = np.asarray(r_los, dtype=np.int64)
+        r_hi = np.asarray(r_his, dtype=np.int64)
+        rcache: dict = {}
+
+        def ranged(f, t):
+            got = rcache.get((f, t))
+            if got is None:
+                ch = chunks.get((f, t))
+                if ch is None:
+                    ch = get_chunk(f, t)
+                if ch is None:
+                    return None
+                got = rcache[(f, t)] = RangeChunk(ch, r_lo, r_hi)
+            return got
+
+        docs, scores = eval_tree(node, ranged, norms_for, base_doc)
+        if after is not None and docs.size:
+            s_a, d_a = np.float32(after[0]), np.int64(after[1])
+            keep_m = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+            docs, scores = docs[keep_m], scores[keep_m]
+        if docs.size:
+            got_d.append(docs)
+            got_s.append(scores)
+            count += docs.size
+            if count >= k:
+                merged = np.concatenate(got_s)
+                if merged.size >= k:
+                    theta = max(theta0,
+                                float(np.partition(merged, -k)[-k]))
+    if not got_d:
+        return _empty_hits()
+    return topk_select(np.concatenate(got_d), np.concatenate(got_s), k)
 
 
 def score_bucket(qtype, chunks, scorers, norms_arr, base_doc, k,

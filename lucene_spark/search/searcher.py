@@ -31,8 +31,9 @@ from pyspark.sql import functions as F
 from ..index.catalog import IndexCatalog, check_format, read_table
 from ..kernels.bm25 import BM25Scorer, sum_idf
 from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
-                      constant_or_topk, dismax_topk, eval_tree, pack_docset,
-                      phrase_freqs, score_bucket, topk_select)
+                      constant_or_topk, dismax_topk, eval_tree,
+                      eval_tree_topk, pack_docset, phrase_freqs,
+                      score_bucket, topk_select)
 from .query import (AndQuery, BooleanQuery, ConstantScoreQuery, DisMaxQuery,
                     FieldExistsQuery, MatchAllQuery, MultiTermQuery, OrQuery,
                     PhraseQuery, SynonymQuery, TermQuery, rewrite)
@@ -550,10 +551,11 @@ class IndexSearcher:
                      mode: str = "topk",
                      after: tuple | None = None) -> DataFrame:
         """Nested-query execution: compile the (rewritten, MTQ-expanded)
-        tree driver-side, evaluate it per bucket with the recursive
-        kernel (exhaustive within a bucket — no block-max pruning for
-        nested shapes; buckets are bounded so the per-task working set
-        is too), bucket-local top-k, Spark TakeOrderedAndProject merge.
+        tree driver-side, evaluate it per bucket with the BLOCK-MAX
+        PRUNED tree kernel (per-window upper bounds composed bottom-up
+        through the tree from the stored impacts — kernels.
+        eval_tree_topk; pass pruned=False for the exhaustive oracle
+        path), bucket-local top-k, Spark TakeOrderedAndProject merge.
 
         mode="count": each bucket emits ONE integer (its match count)
         and the plan reduces with a sum — no pandas materialization of
@@ -635,15 +637,21 @@ class IndexSearcher:
             def norms_for(f):
                 return ones if f in kw_fields else norms_arr
 
-            docs, scores = eval_tree(node, get_chunk, norms_for, base)
             if mode == "count":
+                # counting must see every match — exhaustive by design
+                docs, _ = eval_tree(node, get_chunk, norms_for, base)
                 return pd.DataFrame({"doc_id": np.array([docs.size], np.int64),
                                      "score": np.zeros(1, np.float32)})
-            if after is not None:
-                s_a, d_a = np.float32(after[0]), np.int64(after[1])
-                keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
-                docs, scores = docs[keep], scores[keep]
-            docs, scores = topk_select(docs, scores, k)
+            if pruned:
+                docs, scores = eval_tree_topk(node, get_chunk, norms_for,
+                                              base, k, after=after)
+            else:
+                docs, scores = eval_tree(node, get_chunk, norms_for, base)
+                if after is not None:
+                    s_a, d_a = np.float32(after[0]), np.int64(after[1])
+                    keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+                    docs, scores = docs[keep], scores[keep]
+                docs, scores = topk_select(docs, scores, k)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "score": scores.astype(np.float32)})
 
@@ -1027,11 +1035,17 @@ class IndexSearcher:
             out = []
             for qid, plan in plans.items():
                 if plan[0] == "tree":
-                    # nested query: recursive tree evaluation over the
-                    # shared (field, term) chunk dict, bucket-local topk
-                    docs, scores = eval_tree(plan[1], chunk_for,
-                                             norms_for, base)
-                    docs, scores = topk_select(docs, scores, k)
+                    # nested query: block-max pruned tree evaluation
+                    # over the shared (field, term) chunk dict (bounds
+                    # recomputed from impacts — safe under NRT-dirty /
+                    # boosts / any similarity), bucket-local topk
+                    if pruned:
+                        docs, scores = eval_tree_topk(plan[1], chunk_for,
+                                                      norms_for, base, k)
+                    else:
+                        docs, scores = eval_tree(plan[1], chunk_for,
+                                                 norms_for, base)
+                        docs, scores = topk_select(docs, scores, k)
                     if docs.size:
                         out.append(pd.DataFrame({
                             "query_id": qid,
