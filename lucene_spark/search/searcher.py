@@ -43,25 +43,6 @@ POSTING_SCHEMA = "doc_id bigint, tf int"
 PHRASE_SCHEMA = "doc_id bigint, freq int"
 
 
-def _levenshtein_le(a: str, b: str, k: int) -> bool:
-    """Banded Levenshtein: distance(a, b) <= k (FuzzyQuery's bounded
-    edit-distance acceptance, core:search/FuzzyQuery.java)."""
-    if abs(len(a) - len(b)) > k:
-        return False
-    prev = list(range(len(b) + 1))
-    for i, ca in enumerate(a, 1):
-        cur = [i] + [0] * len(b)
-        lo = len(b) + 1
-        for j, cb in enumerate(b, 1):
-            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
-                         prev[j - 1] + (ca != cb))
-            lo = min(lo, cur[j])
-        if lo > k:
-            return False
-        prev = cur
-    return prev[-1] <= k
-
-
 def _needs_tree(query) -> bool:
     """Shapes that require the recursive tree evaluator: boolean with
     sub-query clauses, constant-score wrappers, dismax over queries."""
@@ -245,38 +226,54 @@ class IndexSearcher:
                 if t in tstats else None for t in terms]
 
     # ---- multi-term expansion (the AutomatonTermsEnum analog) ------------
+    def _sorted_terms_for(self, field: str) -> list:
+        """Sorted term array of one field from the driver cache, built
+        ONCE per searcher (the in-memory term index) — not per query."""
+        st = getattr(self, "_sorted_terms", None)
+        if st is None:
+            st = self._sorted_terms = {}
+        if field not in st:
+            cache = self._termstats_cache()
+            st[field] = sorted(t for f, t in cache if f == field)
+        return st[field]
+
     def expand_terms(self, query: MultiTermQuery) -> list:
-        """Expand a MultiTermQuery against the term dictionary. The scan
-        is a pushed-down predicate over the (small) termstats table —
-        the Spark analog of an automaton intersecting the term dict
-        (core:index/AutomatonTermsEnum.java). Expansion order: term asc,
-        capped at max_expansions (BooleanQuery clause-cap analog)."""
+        """Expand a MultiTermQuery against the term dictionary.
+        Expansion order: term asc, capped at max_expansions
+        (BooleanQuery clause-cap analog).
+
+        Dictionary-SEEK kinds (prefix / range / set) use the driver
+        term cache when warm: a bisect on the sorted term array — the
+        BlockTree/FST seek, O(log |dict| + matches), never a full scan.
+
+        Dictionary-SCAN kinds (fuzzy / wildcard / regexp) ALWAYS run as
+        a pushed-down predicate over the termstats parquet on
+        EXECUTORS (F.levenshtein / rlike) — a Python loop over the
+        dictionary on the driver would serialize seconds of CPU per
+        query at 10^6+ terms, and the executor scan parallelizes with
+        the dictionary's partition count (the automaton-intersection
+        role of AutomatonTermsEnum, core:index/AutomatonTermsEnum.java,
+        executed as a Catalyst filter instead)."""
+        import bisect
         kind, pat = query.kind, query.pattern
-        cache = self._termstats_cache()
-        if cache is not None:
-            terms = sorted(t for f, t in cache if f == query.field)
-            if kind == "prefix":
-                sel = [t for t in terms if t.startswith(pat)]
-            elif kind == "wildcard":
-                rx = re.compile("^" + re.escape(pat).replace(r"\*", ".*")
-                                .replace(r"\?", ".") + "$")
-                sel = [t for t in terms if rx.match(t)]
-            elif kind == "regexp":
-                rx = re.compile("^" + pat + "$")
-                sel = [t for t in terms if rx.match(t)]
-            elif kind == "fuzzy":
-                sel = [t for t in terms
-                       if _levenshtein_le(t, pat, query.max_edits)]
-            elif kind == "range":
-                lo, hi = pat
-                sel = [t for t in terms if (lo is None or t >= lo)
-                       and (hi is None or t < hi)]
-            elif kind == "set":
-                sel = [t for t in sorted(set(pat))
-                       if (query.field, t) in cache]
-            else:
-                raise ValueError(f"unknown multi-term kind {kind}")
-            return sel[:query.max_expansions]
+        if kind in ("prefix", "range", "set"):
+            cache = self._termstats_cache()
+            if cache is not None:
+                if kind == "set":
+                    sel = [t for t in sorted(set(pat))
+                           if (query.field, t) in cache]
+                else:
+                    terms = self._sorted_terms_for(query.field)
+                    if kind == "prefix":
+                        lo, hi = pat, pat + "￿"
+                    else:
+                        lo, hi = pat
+                    i0 = (bisect.bisect_left(terms, lo)
+                          if lo is not None else 0)
+                    i1 = (bisect.bisect_left(terms, hi)
+                          if hi is not None else len(terms))
+                    sel = terms[i0:i1]
+                return sel[:query.max_expansions]
         ts = (self.spark.read.parquet(self.termstats_path)
               .filter(F.col("field") == query.field)
               .select("term"))

@@ -119,3 +119,37 @@ def test_count_df_match_all(spark, small_index):
     docstore = spark.read.parquet(
         IndexCatalog(small_index).table_path("docstore"))
     assert nf == docstore.filter("tool IS NOT NULL").count()
+
+
+# ---- executor-side multi-term expansion (round-2 verdict #3) ----------
+
+def test_fuzzy_regexp_wildcard_expand_executor_side(spark, small_index):
+    """Scan-kind expansions must not depend on the driver term cache —
+    they run as pushed-down executor predicates, so fuzzy latency
+    cannot scale with |dictionary| on the driver."""
+    s = IndexSearcher(spark, small_index)
+    base = T[5]
+    fuzzy = MultiTermQuery("fuzzy", base[:-1] + "x", max_edits=1)
+    wild = MultiTermQuery("wildcard", base[:3] + "*")
+    rex = MultiTermQuery("regexp", base[:3] + ".*")
+    warm = {k: s.expand_terms(q)
+            for k, q in (("f", fuzzy), ("w", wild), ("r", rex))}
+    assert warm["f"] and warm["w"] and warm["r"]
+    # poison the driver cache: an executor-side path is unaffected,
+    # the old driver-loop path would return []
+    s._ts_cache = {}
+    s._sorted_terms = {}
+    cold = {k: s.expand_terms(q)
+            for k, q in (("f", fuzzy), ("w", wild), ("r", rex))}
+    assert cold == warm
+
+
+def test_prefix_range_use_bisect_seek(spark, small_index):
+    s = IndexSearcher(spark, small_index)
+    pre = s.expand_terms(MultiTermQuery("prefix", T[5][:4]))
+    rng = s.expand_terms(MultiTermQuery("range", (T[2], T[9])))
+    # dict-seek results == pushed-down scan results
+    s._ts_cache = None  # force the Spark path
+    assert s.expand_terms(MultiTermQuery("prefix", T[5][:4])) == pre
+    assert s.expand_terms(MultiTermQuery("range", (T[2], T[9]))) == rng
+    assert pre and rng
