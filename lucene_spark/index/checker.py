@@ -84,8 +84,12 @@ def check_index(spark: SparkSession, index_dir: str, sample_terms: int = 200) ->
               .agg(F.sum("checked"), F.sum("bad")).collect()[0]
     assert res[1] == 0, f"{res[1]} bad posting chunks"
 
-    # --- termstats coherence ---
-    ts = spark.read.parquet(cat.table_path("termstats"))
+    # --- termstats coherence (delta generations aggregate at read) ---
+    ts = read_table(spark, cat.table_locations("termstats"))
+    if len(cat.table_locations("termstats")) > 1:
+        ts = (ts.groupBy("field", "term")
+              .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+                   F.max("max_score").alias("max_score")))
     again = post.groupBy("field", "term").agg(F.sum("df").alias("df2"),
                                               F.sum("ttf").alias("ttf2"))
     mism = (ts.join(again, ["field", "term"])

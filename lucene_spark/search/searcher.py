@@ -104,7 +104,10 @@ class IndexSearcher:
         self.norms_paths = self.catalog.table_locations("norms")
         self.docstore_paths = self.catalog.table_locations("docstore")
         self.postings_path = self.postings_paths[0]
-        self.termstats_path = self.catalog.table_path("termstats")
+        # termstats may be multi-generation after NRT appends (per-batch
+        # delta rows); _termstats_df() aggregates at read
+        self.termstats_paths = self.catalog.table_locations("termstats")
+        self.termstats_path = self.termstats_paths[0]
         self.norms_path = self.norms_paths[0]
         self.docstore_path = self.docstore_paths[0]
         # per-field collection stats (CollectionStatistics rows) — one
@@ -173,9 +176,26 @@ class IndexSearcher:
     TERMSTATS_CACHE_MAX = 1_000_000
 
     # ---- stats / weights -------------------------------------------------
+    def _termstats_df(self, pushed_filter=None) -> DataFrame:
+        """The term dictionary as a DataFrame. Single generation: the
+        raw (pushed-down-scannable) table. Multi-generation (NRT delta
+        rows): per-generation pushed-down scans unioned, then one
+        aggregate sums df/ttf and maxes max_score per (field, term) —
+        the filter still reaches each parquet scan BEFORE the shuffle,
+        so a seek for q query terms stays O(matching rows), not
+        O(vocabulary)."""
+        ts = read_table(self.spark, self.termstats_paths)
+        if pushed_filter is not None:
+            ts = ts.filter(pushed_filter)
+        if len(self.termstats_paths) > 1:
+            ts = (ts.groupBy("field", "term")
+                  .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+                       F.max("max_score").alias("max_score")))
+        return ts
+
     def _termstats_cache(self):
         if not hasattr(self, "_ts_cache"):
-            ts = self.spark.read.parquet(self.termstats_path)
+            ts = self._termstats_df()
             if ts.count() <= self.TERMSTATS_CACHE_MAX:
                 self._ts_cache = {
                     (r["field"], r["term"]): (int(r["df"]), int(r["ttf"]),
@@ -193,10 +213,9 @@ class IndexSearcher:
         if cache is not None:
             return {t: cache[(field, t)] for t in set(terms)
                     if (field, t) in cache}
-        rows = (self.spark.read.parquet(self.termstats_path)
-                .filter((F.col("field") == field)
-                        & F.col("term").isin(list(set(terms))))
-                .collect())
+        rows = self._termstats_df(
+            (F.col("field") == field)
+            & F.col("term").isin(list(set(terms)))).collect()
         return {r["term"]: (int(r["df"]), int(r["ttf"]), float(r["max_score"]))
                 for r in rows}
 
@@ -274,7 +293,7 @@ class IndexSearcher:
                           if hi is not None else len(terms))
                     sel = terms[i0:i1]
                 return sel[:query.max_expansions]
-        ts = (self.spark.read.parquet(self.termstats_path)
+        ts = (read_table(self.spark, self.termstats_paths)
               .filter(F.col("field") == query.field)
               .select("term"))
         if kind == "prefix":
@@ -297,6 +316,8 @@ class IndexSearcher:
             ts = ts.filter(F.col("term").isin(list(pat)))
         else:
             raise ValueError(f"unknown multi-term kind {kind}")
+        if len(self.termstats_paths) > 1:
+            ts = ts.distinct()  # NRT delta generations repeat terms
         rows = ts.orderBy("term").limit(query.max_expansions).collect()
         return [r["term"] for r in rows]
 

@@ -232,7 +232,7 @@ class NRTIndexWriter:
         p_path, p_rel = self.catalog.new_table_dir("postings")
         add.write.mode("overwrite").partitionBy("term_h").parquet(p_path)
 
-        # refresh stats + termstats: O(batch) incremental merge, not a
+        # refresh stats + termstats: O(batch) incremental, not a
         # full-corpus re-aggregation; every indexed field's row advances
         aggs = [F.count("*").alias("n"), F.sum("token_count").alias("s")]
         for kf in kw:
@@ -248,22 +248,19 @@ class NRTIndexWriter:
         st_path, st_rel = self.catalog.new_table_dir("stats")
         from ..index.builder import write_stats_rows
         write_stats_rows(st_path, st_rows)
-        delta = (spark.read.parquet(seg_path)
-                 .groupBy("field", "term")
-                 .agg(F.sum("df").alias("d_df"), F.sum("ttf").alias("d_ttf")))
-        old_ts = (spark.read.parquet(self.catalog.table_path("termstats"))
-                  .select("field", "term", "df", "ttf", "max_score"))
-        merged_ts = (old_ts.join(delta, ["field", "term"], "full_outer")
-                     .select("field", "term",
-                             (F.coalesce("df", F.lit(0))
-                              + F.coalesce("d_df", F.lit(0))).alias("df"),
-                             (F.coalesce("ttf", F.lit(0))
-                              + F.coalesce("d_ttf", F.lit(0))).alias("ttf"),
-                             F.coalesce("max_score",
-                                        F.lit(0.0).cast("float"))
-                             .alias("max_score")))
+        # termstats: write ONLY the batch's delta rows as a new
+        # GENERATION of the table (the same segments_N list model as
+        # postings/norms); readers sum df/ttf and max max_score across
+        # generations, and compact/compact_tiered squash them back to
+        # one. The previous design full-outer-joined the delta against
+        # the ENTIRE dictionary and rewrote it — an O(|vocabulary|)
+        # shuffle + write per micro-batch, fatal at 10^8-10^9 terms.
+        ts_delta = (spark.read.parquet(p_path)
+                    .groupBy("field", "term")
+                    .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+                         F.max("max_score").alias("max_score")))
         ts_path, ts_rel = self.catalog.new_table_dir("termstats")
-        merged_ts.write.mode("overwrite").parquet(ts_path)
+        ts_delta.write.mode("overwrite").parquet(ts_path)
         final_extra = {"max_bucket": b0 + n_new - 1,
                        "nrt_dirty": True,
                        "pending_buckets": None,
@@ -272,7 +269,8 @@ class NRTIndexWriter:
             final_extra["last_batch_id"] = int(batch_id)
         cat = self.catalog
         self.catalog.commit(
-            {"stats": st_rel, "termstats": ts_rel,
+            {"stats": st_rel,
+             "termstats": cat.table_rels("termstats") + [ts_rel],
              "docstore": cat.table_rels("docstore") + [ds_rel],
              "segments": cat.table_rels("segments") + [seg_rel],
              "norms": cat.table_rels("norms") + [nm_rel],
@@ -433,6 +431,19 @@ class NRTIndexWriter:
                   "segments": [cat.table_rels("segments")[0], seg_rel_new],
                   "norms": [cat.table_rels("norms")[0], nm_rel_new],
                   "postings": [cat.table_rels("postings")[0], p_rel_new]}
+
+        # termstats: squash the per-append delta generations back into
+        # ONE aggregated table (readers then skip the read-side merge);
+        # amortized here instead of per micro-batch
+        ts_locs = cat.table_locations("termstats")
+        if len(ts_locs) > 1:
+            ts_path_new, ts_rel_new = cat.new_table_dir("termstats")
+            (read_table(spark, ts_locs)
+             .groupBy("field", "term")
+             .agg(F.sum("df").alias("df"), F.sum("ttf").alias("ttf"),
+                  F.max("max_score").alias("max_score"))
+             .write.mode("overwrite").parquet(ts_path_new))
+            tables["termstats"] = ts_rel_new
 
         # livedocs: merge bitmaps of re-bucketed ids (bit-level concat;
         # a bucket without a bitmap is all-live)

@@ -70,6 +70,35 @@ def test_nrt_equals_full_rebuild(spark, nrt_setup, q):
         assert np.float32(gs) == np.float32(ws)
 
 
+def test_termstats_append_is_batch_sized(spark, nrt_setup):
+    """An append's termstats write must be O(batch-touched terms): each
+    append adds a DELTA generation whose rows are exactly the batch's
+    (field, term) pairs — never a rewrite of the whole dictionary."""
+    nrt_dir, full_dir = nrt_setup
+    cat = IndexCatalog(nrt_dir)
+    locs = cat.table_locations("termstats")
+    assert len(locs) == 3  # base + one delta per append
+    base_rows = spark.read.parquet(locs[0]).count()
+    batch2 = (transcripts_df(spark, n_convs=140, seed=42, partitions=4)
+              .filter(F.col("conv_id") >= "conv00000120"))
+    from lucene_spark.kernels.tokenizer import tokenize_one
+    batch_terms = set()
+    for r in batch2.select("text").collect():
+        batch_terms.update(tokenize_one(r["text"] or ""))
+    delta_rows = (spark.read.parquet(locs[2])
+                  .filter(F.col("field") == "text").count())
+    assert delta_rows == len(batch_terms)
+    assert delta_rows < base_rows  # strictly smaller than the dictionary
+    # aggregated view == full-rebuild dictionary (df/ttf per term;
+    # max_score legitimately differs — baked under different stats)
+    s, f = IndexSearcher(spark, nrt_dir), IndexSearcher(spark, full_dir)
+    probe = [T[i] for i in (0, 1, 2, 7, 19)]
+    sv, fv = s.term_stats(probe), f.term_stats(probe)
+    assert set(sv) == set(fv)
+    for t in sv:
+        assert sv[t][:2] == fv[t][:2], t
+
+
 def test_compact_clears_dirty_and_preserves_results(spark, nrt_setup):
     nrt_dir, full_dir = nrt_setup
     before = IndexSearcher(spark, nrt_dir).search(
