@@ -523,26 +523,42 @@ class IndexBuilder:
         OOM); this computes the same g_df with zero extra shuffles."""
 
         def bake(batches):
+            from ..search.kernels import impact_block_bounds
             scorer_cache = {}
 
             def process(pdf: pd.DataFrame):
                 g = pdf.groupby(["field", "term"], sort=False)["df"] \
                     .transform("sum")
-                maxs, block_maxs = [], []
-                for fld, g_df, blocks in zip(pdf["field"], g, pdf["blocks"]):
+                # vectorized impact baking: ONE scorer.score call per
+                # (field, g_df) group over the group's concatenated
+                # skylines + segmented max — the per-chunk-row Python
+                # loop was the merge's CPU floor at 10^9 chunks
+                n = len(pdf)
+                maxs = np.zeros(n, dtype=np.float32)
+                block_maxs: list = [None] * n
+                blocks_col = pdf["blocks"].tolist()
+                gkeys = pd.DataFrame({"fld": pdf["field"].to_numpy(),
+                                      "gdf": g.to_numpy()})
+                for (fld, g_df), ridx in gkeys.groupby(
+                        ["fld", "gdf"], sort=False).indices.items():
                     key = (fld, int(g_df))
                     sc = scorer_cache.get(key)
                     if sc is None:
                         dc, sttf = fstats[fld]
                         sc = scorer_cache[key] = BM25Scorer(int(g_df), dc,
                                                             sttf)
-                    bm = [float(sc.max_score_for_impacts(
-                        b["imp_freqs"], b["imp_norms"])) for b in blocks]
-                    block_maxs.append(bm)
-                    maxs.append(max(bm) if bm else 0.0)
+                    flat = [b for ri in ridx for b in blocks_col[ri]]
+                    bb = impact_block_bounds(flat, sc)
+                    off = 0
+                    for ri in ridx:
+                        ln = len(blocks_col[ri])
+                        bm = bb[off:off + ln]
+                        off += ln
+                        block_maxs[ri] = bm.tolist()
+                        maxs[ri] = bm.max() if ln else np.float32(0.0)
                 out = pdf[["field", "term", "bucket_id", "df", "ttf",
                            "blocks", "term_h"]].copy()
-                out["max_score"] = np.array(maxs, dtype=np.float32)
+                out["max_score"] = maxs
                 out["block_max_scores"] = block_maxs
                 return out[["field", "term", "bucket_id", "df", "ttf",
                             "max_score", "block_max_scores", "blocks",

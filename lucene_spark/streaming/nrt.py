@@ -200,26 +200,39 @@ class NRTIndexWriter:
         # a post-append searcher sees nrt_dirty and re-derives bounds
         # from the impacts (see module doc) — both rank-safe.
         def add_max_scores(batches):
+            # vectorized like the merge's bake: one score call per
+            # (field, df) group over concatenated skylines
+            from ..kernels.bm25 import BM25Scorer
+            from ..search.kernels import impact_block_bounds
             scorer_cache = {}
             for pdf in batches:
                 if not len(pdf):
                     continue
-                maxs, block_maxs = [], []
-                for fld, df_, blocks in zip(pdf["field"], pdf["df"],
-                                            pdf["blocks"]):
+                n = len(pdf)
+                maxs = np.zeros(n, dtype=np.float32)
+                block_maxs: list = [None] * n
+                blocks_col = pdf["blocks"].tolist()
+                gkeys = pd.DataFrame({"fld": pdf["field"].to_numpy(),
+                                      "gdf": pdf["df"].to_numpy()})
+                for (fld, df_), ridx in gkeys.groupby(
+                        ["fld", "gdf"], sort=False).indices.items():
                     key = (fld, int(df_))
                     sc = scorer_cache.get(key)
                     if sc is None:
-                        from ..kernels.bm25 import BM25Scorer
                         dc, sttf = fstats.get(fld, (doc_count, sum_ttf))
                         sc = scorer_cache[key] = BM25Scorer(
                             int(df_), dc, sttf)
-                    bm = [float(sc.max_score_for_impacts(
-                        b["imp_freqs"], b["imp_norms"])) for b in blocks]
-                    block_maxs.append(bm)
-                    maxs.append(max(bm) if bm else 0.0)
+                    flat = [b for ri in ridx for b in blocks_col[ri]]
+                    bb = impact_block_bounds(flat, sc)
+                    off = 0
+                    for ri in ridx:
+                        ln = len(blocks_col[ri])
+                        bm = bb[off:off + ln]
+                        off += ln
+                        block_maxs[ri] = bm.tolist()
+                        maxs[ri] = bm.max() if ln else np.float32(0.0)
                 out = pdf.copy()
-                out["max_score"] = np.array(maxs, dtype=np.float32)
+                out["max_score"] = maxs
                 out["block_max_scores"] = block_maxs
                 yield out[["field", "term", "bucket_id", "df", "ttf",
                            "max_score", "block_max_scores", "blocks",
