@@ -344,6 +344,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .select("doc_id", "n_intervals"))
     q["ft_intervals_contained"] = ft_intervals_contained
 
+    def ft_intervals_or_phrase(sp, sf):
+        # non-Term interval sources composing with the combinators
+        # (Intervals.or / Intervals.phrase): minimal ordered intervals
+        # (scan|sort) .. "slow fast" within 6 interior gaps
+        from lucene_spark.search.intervals import (MaxGaps, Or, Ordered,
+                                                   Phrase, Term)
+        src = MaxGaps(Ordered((Or((Term("scan"), Term("sort"))),
+                               Phrase(("slow", "fast")))), 6)
+        return (_searcher(sp, sf).interval_search(src)
+                .select("doc_id", "n_intervals", "min_width"))
+    q["ft_intervals_or_phrase"] = ft_intervals_or_phrase
+
     def ft_field_term(sp, sf):
         # TermQuery on an untokenized keyword field (StringField analog):
         # lang maps to the indexed 'role' keyword field; every match
@@ -856,6 +868,27 @@ FROM flt GROUP BY doc_id
                 AND d.pos BETWEEN b.p AND b.q
            WHERE d.term = 'data')
 SELECT doc_id, count(*)::INT AS n_intervals FROM hits GROUP BY doc_id
+"""
+
+    # ordered((scan|sort), "slow fast"): chain picks the FIRST phrase
+    # start q strictly after each or-position a; minimality keeps the
+    # dominant pairs (q = nearest phrase after a AND a = nearest
+    # or-position before q). width = (q+1) - a + 1; leaves = 1 + 2
+    o["ft_intervals_or_phrase"] = P + """
+, ab AS (SELECT doc_id, pos FROM pos WHERE term IN ('scan', 'sort'))
+, ph2 AS (SELECT p1.doc_id, p1.pos AS p FROM pos p1
+          JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.term = 'slow' AND p2.term = 'fast')
+, c1 AS (SELECT f.doc_id, f.p AS q, max(s.pos) AS a
+         FROM ph2 f JOIN ab s ON s.doc_id = f.doc_id AND s.pos < f.p
+         GROUP BY f.doc_id, f.p)
+, c2 AS (SELECT s.doc_id, s.pos AS a, min(f.p) AS q
+         FROM ab s JOIN ph2 f ON f.doc_id = s.doc_id AND f.p > s.pos
+         GROUP BY s.doc_id, s.pos)
+, mi AS (SELECT c1.doc_id, c1.a, c1.q FROM c1 JOIN c2 USING (doc_id, a, q))
+, flt AS (SELECT doc_id, a, q FROM mi WHERE (q - a + 2) - 3 <= 6)
+SELECT doc_id, count(*)::INT AS n_intervals, min(q - a + 2)::INT AS min_width
+FROM flt GROUP BY doc_id
 """
 
     # keyword field: tf=1, omitted norms => length 1, per-field stats

@@ -4,7 +4,12 @@ Intervals.java): composable positional sources with MINIMAL-interval
 semantics.
 
 Combinators: Term, Ordered, Unordered, MaxGaps, MaxWidth, Containing,
-NotContaining, ContainedBy, NotContainedBy.
+NotContaining, ContainedBy, NotContainedBy — plus non-Term interval
+SOURCES: Or (Intervals.or, union of child interval sets), Phrase
+(Intervals.phrase, one interval per exact-phrase occurrence) and
+Prefix (Intervals.prefix, resolved against the term dictionary to an
+Or of Term leaves by the searcher) — so proximity shapes like
+"ordered(or(a, b), c)" compose (Intervals.java:63-210).
 
 Every source evaluates — for ALL candidate docs of a bucket at once —
 to a doc-keyed minimal interval set: int64 arrays (starts, ends) with
@@ -28,9 +33,11 @@ import numpy as np
 
 from .kernels import POS_OFF, _conj_candidates, _inner_chunk
 
-__all__ = ["Term", "Ordered", "Unordered", "MaxGaps", "MaxWidth",
-           "Containing", "NotContaining", "ContainedBy", "NotContainedBy",
-           "eval_intervals", "leaf_terms", "required_terms"]
+__all__ = ["Term", "Or", "Phrase", "Prefix", "Ordered", "Unordered",
+           "MaxGaps", "MaxWidth", "Containing", "NotContaining",
+           "ContainedBy", "NotContainedBy", "eval_intervals",
+           "leaf_terms", "required_terms", "candidate_docs",
+           "resolve_prefixes"]
 
 
 # ---------------------------------------------------------------------------
@@ -40,6 +47,34 @@ __all__ = ["Term", "Ordered", "Unordered", "MaxGaps", "MaxWidth",
 @dataclass(frozen=True)
 class Term:
     term: str
+
+
+@dataclass(frozen=True)
+class Or:
+    """Union of child interval sets, minimalized (Intervals.or,
+    queries/intervals/DisjunctionIntervalsSource). Gap accounting for
+    an enclosing MaxGaps uses the FIRST child's leaf count — children
+    of different widths share the reference's subtlety that gaps
+    derive from matched widths; keep alternatives width-uniform when
+    exact gap semantics matter."""
+    sources: tuple
+
+
+@dataclass(frozen=True)
+class Phrase:
+    """One interval [p, p+m-1] per EXACT phrase occurrence
+    (Intervals.phrase over term leaves)."""
+    terms: tuple
+
+
+@dataclass(frozen=True)
+class Prefix:
+    """All positions of dictionary terms starting with ``prefix``
+    (Intervals.prefix). The searcher resolves it against the term
+    dictionary into Or(Term, ...) before kernel evaluation
+    (resolve_prefixes); evaluating an unresolved Prefix raises."""
+    prefix: str
+    max_expansions: int = 128
 
 
 @dataclass(frozen=True)
@@ -91,7 +126,9 @@ class NotContainedBy:
 def leaf_terms(src) -> set:
     if isinstance(src, Term):
         return {src.term}
-    if isinstance(src, (Ordered, Unordered)):
+    if isinstance(src, Phrase):
+        return set(src.terms)
+    if isinstance(src, (Ordered, Unordered, Or)):
         out = set()
         for s in src.sources:
             out |= leaf_terms(s)
@@ -102,15 +139,26 @@ def leaf_terms(src) -> set:
         return leaf_terms(src.big) | leaf_terms(src.small)
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return leaf_terms(src.small) | leaf_terms(src.big)
+    if isinstance(src, Prefix):
+        raise TypeError("Prefix must be resolved against the term "
+                        "dictionary first (resolve_prefixes)")
     raise TypeError(type(src))
 
 
 def required_terms(src) -> set:
     """Terms a doc MUST contain to yield any interval — the conjunction
     that prunes candidate docs. The `small` side of NotContaining /
-    NotContainedBy is NOT required (its absence lets everything pass)."""
+    NotContainedBy is NOT required (its absence lets everything pass);
+    an Or branch requires only what EVERY alternative requires."""
     if isinstance(src, Term):
         return {src.term}
+    if isinstance(src, Phrase):
+        return set(src.terms)
+    if isinstance(src, Or):
+        outs = [required_terms(s) for s in src.sources]
+        if not outs:
+            return set()
+        return set.intersection(*outs)
     if isinstance(src, (Ordered, Unordered)):
         out = set()
         for s in src.sources:
@@ -126,12 +174,21 @@ def required_terms(src) -> set:
         return required_terms(src.big)
     if isinstance(src, NotContainedBy):
         return required_terms(src.small)
+    if isinstance(src, Prefix):
+        raise TypeError("Prefix must be resolved against the term "
+                        "dictionary first (resolve_prefixes)")
     raise TypeError(type(src))
 
 
 def _n_leaves(src) -> int:
     if isinstance(src, Term):
         return 1
+    if isinstance(src, Phrase):
+        return len(src.terms)
+    if isinstance(src, Or):
+        # alternatives of one Or occupy ONE slot each occurrence; gap
+        # accounting uses the first child's leaf count (see Or doc)
+        return _n_leaves(src.sources[0]) if src.sources else 1
     if isinstance(src, (Ordered, Unordered)):
         return sum(_n_leaves(s) for s in src.sources)
     if isinstance(src, (MaxGaps, MaxWidth)):
@@ -140,6 +197,28 @@ def _n_leaves(src) -> int:
         return _n_leaves(src.big)
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return _n_leaves(src.small)
+    raise TypeError(type(src))
+
+
+def resolve_prefixes(src, expand):
+    """Replace Prefix leaves with Or(Term, ...) via ``expand(prefix,
+    max_expansions) -> [terms]`` (the term-dictionary rewrite)."""
+    R = lambda s: resolve_prefixes(s, expand)
+    if isinstance(src, Prefix):
+        return Or(tuple(Term(t) for t in expand(src.prefix,
+                                                src.max_expansions)))
+    if isinstance(src, (Term, Phrase)):
+        return src
+    if isinstance(src, (Ordered, Unordered, Or)):
+        return type(src)(tuple(R(s) for s in src.sources))
+    if isinstance(src, MaxGaps):
+        return MaxGaps(R(src.source), src.gaps)
+    if isinstance(src, MaxWidth):
+        return MaxWidth(R(src.source), src.width)
+    if isinstance(src, (Containing, NotContaining)):
+        return type(src)(R(src.big), R(src.small))
+    if isinstance(src, (ContainedBy, NotContainedBy)):
+        return type(src)(R(src.small), R(src.big))
     raise TypeError(type(src))
 
 
@@ -189,6 +268,31 @@ def eval_intervals(src, pos_of) -> tuple:
     if isinstance(src, Term):
         p = pos_of(src.term)
         return p, p
+    if isinstance(src, Or):
+        parts = [E(s, pos_of) for s in src.sources]
+        live = [p for p in parts if p[0].size]
+        if not live:
+            return _empty()
+        all_s = np.concatenate([p[0] for p in live])
+        all_e = np.concatenate([p[1] for p in live])
+        # sort by (end asc, start desc): among same-end intervals the
+        # tightest (largest start) comes first and survives the
+        # prefix-start minimality filter; duplicates collapse
+        order = np.lexsort((-all_s, all_e))
+        return _minimal_by_prefix_start(all_s[order], all_e[order])
+    if isinstance(src, Phrase):
+        parts = [pos_of(t) for t in src.terms]
+        if any(p.size == 0 for p in parts):
+            return _empty()
+        cur = parts[0]
+        for off, pk in enumerate(parts[1:], 1):
+            # pk - off stays intersectable only within the same doc key:
+            # an underflow across the key boundary yields a position
+            # ~2^32 that can never match a real position
+            cur = np.intersect1d(cur, pk - off, assume_unique=True)
+            if cur.size == 0:
+                return _empty()
+        return cur, cur + (len(src.terms) - 1)
     if isinstance(src, Ordered):
         parts = [E(s, pos_of) for s in src.sources]
         if any(p[0].size == 0 for p in parts):
@@ -308,6 +412,24 @@ def positions_sparse(chunk, cand):
     if not parts:
         return np.zeros(0, dtype=np.int64)
     return np.concatenate(parts)
+
+
+def candidate_docs(src, by_term: dict) -> np.ndarray:
+    """Candidate docs for one bucket: the conjunction of the source's
+    required terms when any exist; otherwise (a top-level Or with no
+    common requirement) the union of docs containing ANY leaf term."""
+    req = sorted(required_terms(src))
+    if req:
+        chunks = [by_term.get(t) for t in req]
+        if any(c is None for c in chunks):
+            return np.zeros(0, np.int64)
+        return _conj_candidates(chunks, pruned=True)
+    parts = [by_term[t].decode_all()[0] for t in sorted(leaf_terms(src))
+             if t in by_term]
+    parts = [p for p in parts if p.size]
+    if not parts:
+        return np.zeros(0, np.int64)
+    return np.unique(np.concatenate(parts))
 
 
 def match_bucket(src, by_term: dict, cand) -> tuple:

@@ -1375,42 +1375,43 @@ class IndexSearcher:
         """Interval algebra query (queries/intervals Intervals.java):
         evaluate a composable IntervalsSource (Ordered / Unordered /
         MaxGaps / MaxWidth / Containing / NotContaining / ContainedBy /
-        NotContainedBy over Term leaves) -> one row per matching doc
-        with the interval count and minimal width.
+        NotContainedBy over Term / Or / Phrase / Prefix leaves) -> one
+        row per matching doc with the interval count and minimal width.
 
-        Candidate docs are the conjunction of the source's REQUIRED
-        terms (pushed-down postings scan); interval evaluation is the
-        vectorized minimal-interval kernel (no per-doc loops)."""
-        from .intervals import leaf_terms, match_bucket, required_terms
+        Prefix leaves are resolved against the term dictionary first
+        (Intervals.prefix rewrite). Candidate docs are the conjunction
+        of the source's REQUIRED terms (pushed-down postings scan), or
+        the union of leaf docs when no term is required (top-level Or);
+        interval evaluation is the vectorized minimal-interval kernel
+        (no per-doc loops)."""
+        from .intervals import (candidate_docs, leaf_terms, match_bucket,
+                                required_terms, resolve_prefixes)
         spark = self.spark
+        source = resolve_prefixes(
+            source, lambda p, mx: self.expand_terms(
+                MultiTermQuery("prefix", p, field, max_expansions=mx)))
         req = sorted(required_terms(source))
         leaves = sorted(leaf_terms(source))
         tstats = self.term_stats(leaves, field)
-        if any(t not in tstats for t in req):
+        if any(t not in tstats for t in req) or not leaves:
             return spark.createDataFrame([], self.INTERVAL_SCHEMA)
         present = [t for t in leaves if t in tstats]
+        if not present:
+            return spark.createDataFrame([], self.INTERVAL_SCHEMA)
         chunks_df = (self._postings_for(present, field)
                      .select("term", "bucket_id", "blocks"))
         chunks_df, has_live = self._attach_live(chunks_df)
         live_docset = IndexSearcher._live_docset
-        req_t = list(req)
         src = source
 
         def run(pdf: pd.DataFrame) -> pd.DataFrame:
-            from .kernels import _conj_candidates
-            empty = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
-                                  "n_intervals": pd.Series(dtype="int32"),
-                                  "min_width": pd.Series(dtype="int32")})
             by_term = {t: TermChunk(b, [0.0] * len(b))
                        for t, b in zip(pdf["term"], pdf["blocks"])}
             live_ds = live_docset(pdf) if has_live else None
             if live_ds is not None:
                 by_term = {t: MaskedChunk(c, live_ds)
                            for t, c in by_term.items()}
-            req_chunks = [by_term.get(t) for t in req_t]
-            if any(c is None for c in req_chunks):
-                return empty
-            cand = _conj_candidates(req_chunks, pruned=True)
+            cand = candidate_docs(src, by_term)
             docs, n, w = match_bucket(src, by_term, cand)
             return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                  "n_intervals": n.astype(np.int32),

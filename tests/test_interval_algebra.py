@@ -11,8 +11,9 @@ from lucene_spark.kernels import codec
 from lucene_spark.search import IndexSearcher
 from lucene_spark.search.intervals import (ContainedBy, Containing, MaxGaps,
                                            MaxWidth, NotContainedBy,
-                                           NotContaining, Ordered, Term,
-                                           Unordered, match_bucket,
+                                           NotContaining, Or, Ordered,
+                                           Phrase, Term, Unordered,
+                                           candidate_docs, match_bucket,
                                            required_terms)
 from lucene_spark.search.kernels import TermChunk, _conj_candidates
 
@@ -23,6 +24,15 @@ def brute(tokens, src):
     """Minimal interval set of a source over one doc's token list."""
     if isinstance(src, Term):
         return [(i, i) for i, t in enumerate(tokens) if t == src.term]
+    if isinstance(src, Or):
+        out = []
+        for s in src.sources:
+            out.extend(brute(tokens, s))
+        return _minimal(out)
+    if isinstance(src, Phrase):
+        m = len(src.terms)
+        return [(i, i + m - 1) for i in range(len(tokens) - m + 1)
+                if tuple(tokens[i:i + m]) == tuple(src.terms)]
     if isinstance(src, Ordered):
         parts = [brute(tokens, s) for s in src.sources]
         if any(not p for p in parts):
@@ -82,6 +92,10 @@ def brute(tokens, src):
 def _leaves(src):
     if isinstance(src, Term):
         return 1
+    if isinstance(src, Phrase):
+        return len(src.terms)
+    if isinstance(src, Or):
+        return _leaves(src.sources[0])
     if isinstance(src, (Ordered, Unordered)):
         return sum(_leaves(s) for s in src.sources)
     if isinstance(src, (MaxGaps, MaxWidth)):
@@ -122,7 +136,7 @@ def check(corpus, src):
     if any(c is None for c in req):
         cand = np.zeros(0, np.int64)
     else:
-        cand = _conj_candidates(req, pruned=True)
+        cand = candidate_docs(src, by_term)
     docs, n, w = match_bucket(src, by_term, cand)
     got = {int(d): (int(c), int(mw)) for d, c, mw in zip(docs, n, w)}
     want = {}
@@ -156,6 +170,17 @@ CORPUS = [
     NotContainedBy(Term("b"), Ordered((Term("a"), Term("c")))),
     Containing(Unordered((Term("a"), Term("b"))), Term("c")),
     MaxGaps(Ordered((Term("a"), Unordered((Term("b"), Term("c"))))), 2),
+    # non-Term sources (Intervals.or / Intervals.phrase surface)
+    Or((Term("a"), Term("b"))),
+    Ordered((Or((Term("a"), Term("b"))), Term("c"))),
+    MaxGaps(Ordered((Or((Term("a"), Term("b"))), Term("c"))), 2),
+    Unordered((Or((Term("a"), Term("c"))), Term("b"))),
+    Phrase(("a", "b")),
+    Ordered((Phrase(("a", "b")), Term("c"))),
+    ContainedBy(Or((Term("b"), Term("c"))),
+                MaxWidth(Ordered((Term("a"), Term("c"))), 5)),
+    Containing(Ordered((Term("a"), Term("c"))), Or((Term("b"), Term("x")))),
+    Or((Phrase(("a", "b")), Phrase(("b", "c")))),
 ], ids=lambda s: type(s).__name__ + str(abs(hash(repr(s))) % 1000))
 def test_combinators_match_bruteforce(src):
     check(CORPUS, src)
@@ -173,6 +198,9 @@ def test_randomized_corpora():
         Containing(Unordered((Term("a"), Term("b"))), Term("e")),
         ContainedBy(Term("d"), MaxWidth(Ordered((Term("a"), Term("b"))), 6)),
         NotContaining(MaxGaps(Ordered((Term("a"), Term("c"))), 4), Term("b")),
+        Ordered((Or((Term("a"), Term("b"))), Term("c"))),
+        Or((Phrase(("a", "b")), Term("e"))),
+        Unordered((Or((Term("d"), Term("e"))), Phrase(("a", "b")))),
     ]
     for src in sources:
         check(corpus, src)
