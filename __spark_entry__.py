@@ -74,6 +74,33 @@ def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return IndexSearcher(spark, out)
 
 
+def _as_conversations(docs: DataFrame) -> DataFrame:
+    """documents -> MULTI-TURN transcripts: 5 docs per conversation
+    (conv = doc_id // 5, turn = doc_id % 5). The build's global
+    (conv_id, turn_idx) ordering keeps doc_id == documents.doc_id."""
+    return docs.select(
+        F.format_string("c%09d", (F.col("doc_id") / 5).cast("long"))
+        .alias("conv_id"),
+        (F.col("doc_id") % 5).cast("int").alias("turn_idx"),
+        F.col("lang").alias("role"),
+        F.col("text").alias("text"),
+        F.col("source").alias("tool"),
+        F.to_timestamp(F.lit("2026-01-01 00:00:00")).alias("ts"),
+    )
+
+
+def _searcher_conv(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index over the multi-turn conversation mapping (block-join
+    entries need parents with >1 child)."""
+    key = (_FORMAT_VERSION + "_conv_"
+           + re.sub(r"\W+", "_", os.path.abspath(sf_dir)))
+    out = os.path.join(_CACHE_ROOT, key)
+    if not IndexCatalog(out).has_table("postings"):
+        build_index(spark, _as_conversations(_docs(spark, sf_dir)), out,
+                    num_buckets=4)
+    return IndexSearcher(spark, out)
+
+
 def _topk_df(spark, sf_dir, query, k) -> DataFrame:
     s = _searcher(spark, sf_dir)
     res = s.search_df(query, k=k)
@@ -362,6 +389,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scores BM25 with tf=1, omitted norms (length 1), per-field stats
         return _topk_df(sp, sf, TermQuery("en", field="role"), 100000)
     q["ft_field_term"] = ft_field_term
+
+    def ft_block_join_topk(sp, sf):
+        # ToParentBlockJoinQuery (ScoreMode.Max): top conversations for
+        # a child-turn disjunction, over the 5-turn conversation index
+        s = _searcher_conv(sp, sf)
+        res = s.block_join_search(OrQuery(("scan", "merge")), k=10,
+                                  score_mode="max")
+        return res.select(
+            "conv_id", "n_children",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_block_join_topk"] = ft_block_join_topk
 
     def pc_percolate(sp, sf):
         # Monitor/percolator: documents matched against stored queries
@@ -901,6 +939,20 @@ i AS (SELECT ln(1 + ((SELECT n FROM st) - d + 0.5) / (d + 0.5)) AS idf FROM dfq)
 SELECT doc_id, round((SELECT idf FROM i) * 1.0 / (1.0 + 1.2 * (0.25 + 0.75)), 3)
        AS score_r
 FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 100000
+"""
+
+    # block join: child scores = OR-sum BM25 per doc; parent = doc//5;
+    # ScoreMode.Max = max child score; ties by conv_id asc
+    o["ft_block_join_topk"] = P + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN ('scan', 'merge')
+        GROUP BY f.doc_id)
+, par AS (SELECT 'c' || lpad((doc_id // 5)::VARCHAR, 9, '0') AS conv_id,
+          max(s) AS sc, count(*)::INT AS n_children
+          FROM m GROUP BY doc_id // 5)
+SELECT conv_id, n_children, round(sc, 3) AS score_r FROM par
+ORDER BY sc DESC, conv_id LIMIT 10
 """
 
     o["pc_percolate"] = P + _phrase_cte("slow", "fast") + """

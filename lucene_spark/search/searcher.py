@@ -579,6 +579,10 @@ class IndexSearcher:
         and the plan reduces with a sum — no pandas materialization of
         matches into the result, no global sort (the
         TotalHitCountCollector path, Weight#count fallback).
+
+        mode="matches": every matching (doc_id, score) leaves the
+        bucket kernel, unsorted (the exhaustive Scorer iteration that
+        consumers like ToParentBlockJoinQuery aggregate further).
         """
         spark = self.spark
         if mode == "count":
@@ -660,6 +664,10 @@ class IndexSearcher:
                 docs, _ = eval_tree(node, get_chunk, norms_for, base)
                 return pd.DataFrame({"doc_id": np.array([docs.size], np.int64),
                                      "score": np.zeros(1, np.float32)})
+            if mode == "matches":
+                docs, scores = eval_tree(node, get_chunk, norms_for, base)
+                return pd.DataFrame({"doc_id": docs.astype(np.int64),
+                                     "score": scores.astype(np.float32)})
             if pruned:
                 docs, scores = eval_tree_topk(node, get_chunk, norms_for,
                                               base, k, after=after)
@@ -679,6 +687,8 @@ class IndexSearcher:
             # one int per bucket -> global sum; no Sort in this plan
             return per_bucket.agg(
                 F.coalesce(F.sum("doc_id"), F.lit(0)).alias("n"))
+        if mode == "matches":
+            return per_bucket  # unsorted exhaustive match stream
         return (per_bucket
                 .orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
@@ -1419,6 +1429,56 @@ class IndexSearcher:
 
         return (chunks_df.groupBy("bucket_id")
                 .applyInPandas(run, schema=self.INTERVAL_SCHEMA))
+
+    def matches_df(self, query, doc_filter: str | None = None) -> DataFrame:
+        """ALL matching (doc_id, score) of any query shape, unsorted —
+        the exhaustive Scorer stream consumed by aggregating operators
+        (block join, percolation joins). One kernel pass per bucket,
+        no top-k heap, no global sort."""
+        return self._search_tree(rewrite(query), k=0, doc_filter=doc_filter,
+                                 mode="matches")
+
+    BLOCK_JOIN_SCHEMA = "conv_id string, score float, n_children int"
+
+    def block_join_search(self, child_query, k: int = 10,
+                          score_mode: str = "max",
+                          doc_filter: str | None = None) -> DataFrame:
+        """ToParentBlockJoinQuery: score PARENT conversations by their
+        matching child turns (join/src/java/org/apache/lucene/search/
+        join/ToParentBlockJoinQuery.java:68, BlockJoinScorer score
+        modes). Turns of one conversation are a contiguous doc block by
+        construction (conv-contiguous buckets ≙ Lucene doc blocks from
+        IndexWriter.addDocuments), and the parent key is the stored
+        conv_id, so the rollup is a declarative join + aggregate that
+        Catalyst executes with map-side partial aggregation:
+
+          score_mode: 'max' | 'total' | 'avg' | 'min'  (child scores
+          combined in double, cast to float — BlockJoinScorer's
+          double accumulation), or 'none' (parent matches if any child
+          does; constant score 0, ordered by conv_id).
+
+        Returns top-k (conv_id, score, n_children) by (score desc,
+        conv_id asc)."""
+        m = self.matches_df(child_query, doc_filter)
+        ds = read_table(self.spark, self.docstore_paths) \
+            .select("doc_id", "conv_id")
+        joined = m.join(ds, "doc_id")
+        if score_mode == "none":
+            per = (joined.groupBy("conv_id")
+                   .agg(F.count("*").alias("n_children"))
+                   .select("conv_id",
+                           F.lit(0.0).cast("float").alias("score"),
+                           F.col("n_children").cast("int")))
+            return per.orderBy(F.col("conv_id").asc()).limit(k)
+        agg = {"max": F.max, "total": F.sum, "avg": F.avg,
+               "min": F.min}[score_mode]
+        per = (joined.groupBy("conv_id")
+               .agg(agg(F.col("score").cast("double")).alias("_s"),
+                    F.count("*").alias("n_children"))
+               .select("conv_id", F.col("_s").cast("float").alias("score"),
+                       F.col("n_children").cast("int")))
+        return (per.orderBy(F.col("score").desc(), F.col("conv_id").asc())
+                .limit(k))
 
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        min_tf: int = 1, min_df: int = 2):
