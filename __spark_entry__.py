@@ -34,7 +34,7 @@ from lucene_spark.search.query import (AndQuery, BooleanQuery, DisMaxQuery,
                                        SynonymQuery, TermQuery)
 from lucene_spark.search.searcher import IndexSearcher
 
-_FORMAT_VERSION = "v7"  # v7: manifest format stamp; v6: keyword fields
+_FORMAT_VERSION = "v8"  # v8: (field, term_h) partitioned postings
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".idxcache")
 

@@ -623,7 +623,7 @@ class IndexBuilder:
 
         merged = self._merged_df(seg, fstats)
         p_path, p_rel = self.catalog.new_table_dir("postings")
-        merged.write.mode("overwrite").partitionBy("term_h").parquet(p_path)
+        merged.write.mode("overwrite").partitionBy("field", "term_h").parquet(p_path)
 
         # term max_score = max over chunks -> stored in termstats for WAND
         # (column-pruned scan of the written postings, no block decode)

@@ -293,6 +293,18 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
     sum of covering blocks' max scores; windows are processed in
     descending bound order and processing stops once the bound falls
     below the running k-th score (WANDScorer.java:31-213 capability).
+
+    Within a surviving window, terms are split into ESSENTIAL and
+    NON-ESSENTIAL lists once θ is live (MaxScoreBulkScorer.java:26-110):
+    the maximal ascending-bound suffix whose float32 bound sum is < θ
+    is non-essential — a doc matching only those terms cannot reach θ,
+    so candidates come from essential blocks only; non-essential blocks
+    are decoded lazily, best-bound first, with candidates re-filtered
+    against (partial + remaining bounds) after each, so weak windows
+    skip low-bound block decodes entirely. Float discipline: exclusion
+    only when float32(cap) < θ — float32 rounding of a true sum can
+    never exceed float32 of its upper bound, so ties at θ survive and
+    ranking stays identical to the exhaustive path.
     """
     live = [(c, s) for c, s in zip(chunks, scorers) if c is not None and c.n_blocks()]
     if not live:
@@ -335,24 +347,61 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
         if ub[wi] < theta and (count >= k or ub[wi] < theta0):
             break
         lo, hi = windows[wi]
+        cov_t = np.flatnonzero(cover[:, wi] >= 0)
+        t_bounds = np.array(
+            [float(live[ti][0].block_max[cover[ti, wi]]) for ti in cov_t],
+            dtype=np.float64)
+        order_t = np.argsort(-t_bounds, kind="stable")
+        ess_n = cov_t.size
+        # θ is the running local k-th (rank-safe) or the global θ₀
+        # (docs below it cannot enter the global top-k either)
+        th32 = np.float32(theta) if np.isfinite(theta) else None
+        if th32 is not None and cov_t.size > 1:
+            sorted_b = t_bounds[order_t]
+            suffix = np.cumsum(sorted_b[::-1])[::-1]
+            droppable = np.flatnonzero(suffix.astype(np.float32) < th32)
+            if droppable.size:
+                ess_n = max(int(droppable[0]), 1)
         parts_d, parts_s = [], []
-        for ti, (c, s) in enumerate(live):
-            bi = cover[ti, wi]
-            if bi < 0:
-                continue
-            docs, tfs = c.decode(int(bi))
+        for i in range(ess_n):
+            ti = int(cov_t[order_t[i]])
+            c, s = live[ti]
+            docs, tfs = c.decode(int(cover[ti, wi]))
             m0 = np.searchsorted(docs, lo, side="left")
             m1 = np.searchsorted(docs, hi, side="left")
             if m1 > m0:
                 d = docs[m0:m1]
                 parts_d.append(d)
-                parts_s.append(s.score(tfs[m0:m1], _norms_at(norms_arr, base_doc, d)))
+                parts_s.append(s.score(tfs[m0:m1],
+                                       _norms_at(norms_arr, base_doc, d)))
         if not parts_d:
             continue
         alld = np.concatenate(parts_d)
         udocs, inv = np.unique(alld, return_inverse=True)
         sums = np.zeros(udocs.size, dtype=np.float64)
         np.add.at(sums, inv, np.concatenate(parts_s).astype(np.float64))
+        if ess_n < cov_t.size:
+            rem = float(t_bounds[order_t[ess_n:]].sum())
+            keepm = (sums + rem).astype(np.float32) >= th32
+            udocs, sums = udocs[keepm], sums[keepm]
+            for i in range(ess_n, cov_t.size):
+                if udocs.size == 0:
+                    break
+                ti = int(cov_t[order_t[i]])
+                c, s = live[ti]
+                docs, tfs = c.decode(int(cover[ti, wi]))
+                idx = np.searchsorted(docs, udocs)
+                idx_c = np.minimum(idx, docs.size - 1)
+                hit = docs[idx_c] == udocs
+                if hit.any():
+                    sc = s.score(tfs[idx_c[hit]],
+                                 _norms_at(norms_arr, base_doc, udocs[hit]))
+                    sums[hit] += sc.astype(np.float64)
+                rem -= float(t_bounds[order_t[i]])
+                keepm = (sums + rem).astype(np.float32) >= th32
+                udocs, sums = udocs[keepm], sums[keepm]
+            if udocs.size == 0:
+                continue
         got_d.append(udocs)
         got_s.append(sums.astype(np.float32))
         count += udocs.size

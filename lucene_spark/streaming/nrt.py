@@ -93,7 +93,7 @@ class NRTIndexWriter:
         p_path, p_rel = cat.new_table_dir("postings")
         (spark.read.parquet(cat.table_path("postings"))
          .filter(~F.col("bucket_id").isin(list(pending)))
-         .write.mode("overwrite").partitionBy("term_h").parquet(p_path))
+         .write.mode("overwrite").partitionBy("field", "term_h").parquet(p_path))
         cat.commit({"norms": n_rel, "postings": p_rel},
                    extra={"pending_buckets": None})
 
@@ -243,7 +243,7 @@ class NRTIndexWriter:
                                               F.substring(F.md5("term"), 1, 2)))
                .mapInPandas(add_max_scores, POSTINGS_SCHEMA))
         p_path, p_rel = self.catalog.new_table_dir("postings")
-        add.write.mode("overwrite").partitionBy("term_h").parquet(p_path)
+        add.write.mode("overwrite").partitionBy("field", "term_h").parquet(p_path)
 
         # refresh stats + termstats: O(batch) incremental, not a
         # full-corpus re-aggregation; every indexed field's row advances
@@ -415,7 +415,7 @@ class NRTIndexWriter:
          .withColumn("bucket_id", map_expr[F.col("bucket_id")].cast("int"))
          .groupBy("field", "term", "bucket_id")
          .applyInPandas(merge_post, schema=POSTINGS_SCHEMA)
-         .write.mode("overwrite").partitionBy("term_h").parquet(p_path))
+         .write.mode("overwrite").partitionBy("field", "term_h").parquet(p_path))
 
         # norms: concat per group (contiguous doc ranges); kw_nn sums
         def merge_norms(pdf: pd.DataFrame) -> pd.DataFrame:
