@@ -74,6 +74,17 @@ def main():
                     num_buckets=suggest_buckets(n_turns))
         tr_build = time.time() - t0
 
+        def _dir_bytes(root):
+            total = 0
+            for dp, _, fns in os.walk(root):
+                for fn in fns:
+                    total += os.path.getsize(os.path.join(dp, fn))
+            return total
+
+        from lucene_spark.index.catalog import IndexCatalog
+        tr_cat = IndexCatalog(os.path.join(tmp, "tr_idx"))
+        postings_bytes = _dir_bytes(tr_cat.table_path("postings"))
+
         # --- headline queries over the documents index ----------------
         # swap the entry cache to the freshly built index
         searcher = IndexSearcher(spark, os.path.join(tmp, "docs_idx"))
@@ -174,7 +185,8 @@ def main():
                                 "docs_per_sec": round(n_docs / docs_build, 1)},
                 "transcripts": {"turns": n_turns,
                                 "sec": round(tr_build, 3),
-                                "turns_per_sec": round(n_turns / tr_build, 1)},
+                                "turns_per_sec": round(n_turns / tr_build, 1),
+                                "postings_bytes": postings_bytes},
             },
             "cpus": cpus,
         }

@@ -9,9 +9,12 @@ BLOCK_SIZE=256 (ForUtil.java:34) with per-block skip metadata
 bounds BM25 scores for block-max WAND.
 
 The byte layout is ours to define (we build capabilities, not the Lucene
-file format): each int array is packed at the smallest byte-aligned width
-(1/2/4/8) that fits its max — a FOR variant that trades a few % of space
-for pure-numpy ``frombuffer`` decode speed. Positions are per-doc
+file format): each int array is packed at the TRUE bit width of its max
+(b-bit FOR, ForUtil.java:34 capability) via vectorized
+packbits/unpackbits whenever that beats the byte-aligned 1/2/4/8 width
+— else the byte-aligned form is kept for pure ``frombuffer`` decode
+speed. Both forms are self-describing (header byte), so mixed blocks
+coexist (old indexes stay readable). Positions are per-doc
 delta-encoded and concatenated per block (the ``.pos`` analog,
 Lucene104PostingsWriter.java startTerm/finishDoc position path).
 
@@ -38,10 +41,21 @@ BLOCK_SIZE = 256  # matches Lucene104 ForUtil BLOCK_SIZE (ForUtil.java:34)
 _WIDTH_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
 
 
-def pack_ints(arr: np.ndarray) -> bytes:
-    """Pack a non-negative int array at the smallest byte-aligned width.
+_BIT_FLAG = 0x80  # header marker: bit-packed form, low bits = bit width
 
-    Layout: 1 header byte (the width: 1/2/4/8) + little-endian values.
+# escape hatch for size/speed A-B measurements (decode handles both
+# forms regardless): LUCENE_SPARK_NO_BITPACK=1 forces byte-aligned
+import os as _os
+_BITPACK = _os.environ.get("LUCENE_SPARK_NO_BITPACK") != "1"
+
+
+def pack_ints(arr: np.ndarray) -> bytes:
+    """Pack a non-negative int array at its true bit width when that is
+    smaller than the byte-aligned form, else byte-aligned.
+
+    Byte form:  [width:1|2|4|8] + little-endian values.
+    Bit form:   [0x80|b] [n:uint32 LE] + ceil(n*b/8) bytes of
+                LSB-first bit-packed values (numpy packbits).
     """
     a = np.asarray(arr, dtype=np.int64)
     if a.size == 0:
@@ -49,11 +63,21 @@ def pack_ints(arr: np.ndarray) -> bytes:
     mx = int(a.max())
     if mx < 0:
         raise ValueError("pack_ints requires non-negative values")
+    b = max(mx.bit_length(), 1)
     for width in (1, 2, 4, 8):
         if mx < (1 << (8 * width)):
             break
-    packed = a.astype(_WIDTH_DTYPES[width]).tobytes()
-    return bytes([width]) + packed
+    n = a.size
+    bit_size = 5 + (n * b + 7) // 8
+    byte_size = 1 + n * width
+    if _BITPACK and bit_size < byte_size:
+        u = a.astype(np.uint64)
+        bits = ((u[:, None] >> np.arange(b, dtype=np.uint64)) & 1) \
+            .astype(np.uint8)
+        packed = np.packbits(bits.ravel(), bitorder="little").tobytes()
+        return (bytes([_BIT_FLAG | b])
+                + np.uint32(n).tobytes() + packed)
+    return bytes([width]) + a.astype(_WIDTH_DTYPES[width]).tobytes()
 
 
 def unpack_ints(buf: bytes) -> np.ndarray:
@@ -61,6 +85,14 @@ def unpack_ints(buf: bytes) -> np.ndarray:
     if not buf:
         return np.zeros(0, dtype=np.int64)
     width = buf[0]
+    if width & _BIT_FLAG:
+        b = width & 0x7F
+        n = int(np.frombuffer(buf, dtype=np.uint32, offset=1, count=1)[0])
+        bits = np.unpackbits(np.frombuffer(buf, dtype=np.uint8, offset=5),
+                             count=n * b, bitorder="little")
+        vals = bits.reshape(n, b).astype(np.uint64)
+        vals <<= np.arange(b, dtype=np.uint64)
+        return vals.sum(axis=1).astype(np.int64)
     return np.frombuffer(buf, dtype=_WIDTH_DTYPES[width], offset=1).astype(np.int64)
 
 

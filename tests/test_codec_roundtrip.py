@@ -76,3 +76,41 @@ def test_singleton_and_empty():
     np.testing.assert_array_equal(t, [7])
     d0, t0 = decode_chunk_docs_tfs([])
     assert d0.size == 0 and t0.size == 0
+
+
+# ---- true bit-packed FOR (ForUtil.java:34 capability) ------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(1, 62),
+       st.integers(0, 600),
+       st.randoms(use_true_random=False))
+def test_bit_packing_roundtrip_property(bits, n, rnd):
+    import numpy as np
+    from lucene_spark.kernels.codec import pack_ints, unpack_ints
+    vals = np.array([rnd.randrange(0, 1 << bits) for _ in range(n)],
+                    dtype=np.int64)
+    assert np.array_equal(unpack_ints(pack_ints(vals)), vals)
+
+
+def test_bit_packing_beats_byte_alignment():
+    import numpy as np
+    from lucene_spark.kernels.codec import pack_ints
+    rng = np.random.default_rng(1)
+    for bits, byte_w in ((3, 1), (10, 2), (20, 4), (33, 8)):
+        vals = rng.integers(1 << (bits - 1), 1 << bits, 256).astype(np.int64)
+        got = len(pack_ints(vals))
+        byte_form = 1 + 256 * byte_w
+        assert got < byte_form, (bits, got, byte_form)
+        assert got <= 5 + (256 * bits + 7) // 8
+
+
+def test_legacy_byte_aligned_blocks_still_decode():
+    import numpy as np
+    from lucene_spark.kernels import codec
+    vals = np.array([5, 300, 70000], dtype=np.int64)  # forces 4-byte width
+    legacy = bytes([4]) + vals.astype(np.uint32).tobytes()
+    assert np.array_equal(codec.unpack_ints(legacy), vals)
