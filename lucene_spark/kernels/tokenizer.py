@@ -6,14 +6,26 @@ StandardTokenizer (UAX#29 word break, StandardTokenizer.java:31-76)
 maxTokenLength = 255 (tokens longer than the limit are split at
 maxTokenLength-char intervals).
 
-Scope: for ASCII alphanumeric corpora (the transcript fixture vocabulary —
-lowercase words, digit runs, mixed-case variants) UAX#29 word break reduces
-to runs of [0-9A-Za-z]. We implement exactly that subset, vectorized via
-pandas ``str.findall`` (no per-row Python lambdas on the hot path), and
-keep the tokenizer pluggable per field for richer analyzers later.
+Scope: one vectorized regex (pandas ``str.findall`` — no per-row Python
+on the hot path) approximating the UAX#29 word-break rules
+(StandardTokenizerImpl.jflex) that real corpora hit:
 
-Parity notes vs UAX#29 for full Unicode: apostrophes/hyphens/CJK are NOT
-handled; the fixture generator never emits them (FIXTURES.md §1).
+- Unicode letter/digit/underscore runs (ALetter/Numeric/ExtendNumLet;
+  WB5/8/9/10/13a/13b) — accented letters, mixed alphanumerics;
+- MidNumLet ' ’ . between word chars joins (WB6/7, WB11/12):
+  "don't", "o’clock", "u.s.a", "3.14" are single tokens;
+- MidNum , between digits joins: "1,000"; MidLetter : between letters
+  joins: Swedish "a:b" — but "1:2" and "a,b" split, like the reference;
+- hyphens SPLIT ("state-of-the-art" -> 4 tokens) — UAX#29 behavior;
+- Han and Hiragana emit one token PER CHARACTER (WB999), Katakana
+  emits runs (WB13) — the reference's CJK behavior;
+- everything else (punctuation, symbols, emoji) is dropped.
+
+Known deviations, documented: the exotic MidLetter set (U+00B7 etc.)
+beyond ':' is not joined; Extend/Format (combining marks, ZWJ) are not
+made transparent; regional-indicator pairs are dropped. ASCII-alnum
+corpora (the fixtures and the DuckDB oracle prelude) tokenize
+identically to the previous [0-9A-Za-z]+ subset.
 """
 
 from __future__ import annotations
@@ -26,7 +38,19 @@ import pandas as pd
 __all__ = ["MAX_TOKEN_LENGTH", "tokenize_series", "token_counts", "tokenize_one"]
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:52
-_WORD_RE = re.compile(r"[0-9A-Za-z]+")
+
+# word chars excluding Han/Hiragana/Katakana (handled by their own
+# alternatives): [^\W...] = \w AND NOT kana/han
+_W = r"[^\W぀-ヿ一-鿿]"
+_LET = r"[^\W\d_぀-ヿ一-鿿]"  # letters only
+_WORD_RE = re.compile(
+    r"[゠-ヿ]+"                      # Katakana run (WB13)
+    r"|[぀-ゟ一-鿿]"         # Hiragana/Han single (WB999)
+    rf"|{_W}+(?:"
+    rf"['’.]{_W}+"                      # MidNumLet between word chars
+    rf"|(?<=\d),\d+"                         # MidNum between digits
+    rf"|(?<={_LET}):{_LET}+"                 # MidLetter between letters
+    r")*")
 
 
 def _split_long(tokens: list) -> list:
