@@ -32,7 +32,8 @@ import numpy as np
 from .smallfloat import LENGTH_TABLE
 
 __all__ = ["idf", "sum_idf", "avg_field_length", "norm_inverse_cache",
-           "bm25_score", "BM25Scorer", "ClassicScorer", "LMDirichletScorer"]
+           "bm25_score", "BM25Scorer", "ClassicScorer", "LMDirichletScorer",
+           "LMJelinekMercerScorer", "AxiomaticF2EXPScorer"]
 
 K1_DEFAULT = np.float32(1.2)
 B_DEFAULT = np.float32(0.75)
@@ -117,6 +118,64 @@ class LMDirichletScorer:
         s = np.float64(self.boost) * (np.log1p(f / (self.mu * self.p_col))
                                       + ln)
         return np.maximum(s, 0.0).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
+class LMJelinekMercerScorer:
+    """LM Jelinek-Mercer smoothing (core:search/similarities/
+    LMJelinekMercerSimilarity.java:55-65): score = boost * log(1 +
+    ((1 - λ) * tf / dl) / (λ * p_col)) with the LMSimilarity collection
+    model p_col = (ttf + 1) / (sum_ttf + 1) and the decoded SmallFloat
+    length dl. λ defaults to 0.1 (title-query guidance). Scores are
+    always > 0 for tf > 0."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0, lam: float = 0.1):
+        self.lam = np.float64(lam)
+        self.p_col = np.float64(ttf + 1.0) / np.float64(sum_ttf + 1.0)
+        self.boost = np.float32(boost)
+        self.idf = np.float32(-np.log(self.p_col))  # for explain()
+        self.weight = self.boost
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        s = np.float64(self.boost) * np.log1p(
+            ((1.0 - self.lam) * f / np.maximum(dl, 1.0))
+            / (self.lam * self.p_col))
+        return s.astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
+class AxiomaticF2EXPScorer:
+    """Axiomatic F2EXP (core:search/similarities/AxiomaticF2EXP.java):
+    score = boost * tf/(tf + s + s*dl/avgdl) * ((N + 1)/df)^k with
+    s = 0.5, k = 0.35 — the axiomatic retrieval family's length-
+    normalized tf times a power idf. Double interior, float32 out."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0,
+                 s: float = 0.5, k: float = 0.35):
+        self.s = np.float64(s)
+        self.avgdl = np.float64(avg_field_length(sum_ttf, doc_count))
+        self.idf = np.float32(
+            np.power((doc_count + 1.0) / np.float64(doc_freq), k))
+        self.boost = np.float32(boost)
+        self.weight = np.float32(np.float32(boost) * self.idf)
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        tfn = f / (f + self.s + self.s * dl / self.avgdl)
+        return (np.float64(self.weight) * tfn).astype(np.float32)
 
     def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
         s = self.score(np.asarray(freqs), np.asarray(norm_codes))

@@ -57,3 +57,82 @@ def highlight(retrieved: DataFrame, terms: list, text_col: str = "text",
 
     return (retrieved.select("doc_id", text_col)
             .mapInPandas(run, schema=SNIPPET_SCHEMA))
+
+
+PASSAGE_SCHEMA = ("doc_id bigint, passage string, p_score float, "
+                  "p_start int, n_hits int")
+
+_SENT_RE = re.compile(r"[^.!?\n]+[.!?\n]?")
+
+
+def _passage_score(tf_by_term: dict, weights: dict, start: int,
+                   plen: int, k1: float = 1.2, b: float = 0.75,
+                   pivot: int = 87) -> float:
+    """BM25-family passage score (highlighter/.../uhighlight/
+    PassageScorer.java): position-decay norm(start) = 1 + 1/ln(pivot +
+    start) times Σ_t idf_t * (k1+1)·tf / (tf + k1·(1 - b + b·len/pivot)).
+    pivot plays avgdl's role (the reference's default pivot=87)."""
+    import math
+    norm = 1.0 + 1.0 / math.log(pivot + start + 2)
+    total = 0.0
+    for t, tf in tf_by_term.items():
+        w = weights.get(t, 0.0)
+        total += w * ((k1 + 1.0) * tf
+                      / (tf + k1 * (1.0 - b + b * plen / pivot)))
+    return norm * total
+
+
+def highlight_passages(retrieved: DataFrame, terms: list, df_by_term: dict,
+                       doc_count: int, text_col: str = "text",
+                       max_passages: int = 1, pre: str = "<b>",
+                       post: str = "</b>") -> DataFrame:
+    """UnifiedHighlighter passage selection (highlighter/.../uhighlight/
+    FieldHighlighter.java + PassageScorer.java): split each retrieved
+    doc into sentence-bounded passages, score every passage with the
+    BM25-family passage scorer (idf weights from the supplied per-term
+    df + collection doc_count), return the top ``max_passages`` per doc
+    with matched terms wrapped.
+
+    Post-processing over k retrieved rows, like the reference (only
+    returned documents are re-analyzed)."""
+    import math
+    tset = {t.lower() for t in terms}
+    weights = {t: math.log(1.0 + (doc_count - df_by_term.get(t, 0) + 0.5)
+                           / (df_by_term.get(t, 0) + 0.5))
+               for t in tset}
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
+                best = []
+                for m in _SENT_RE.finditer(text or ""):
+                    seg = m.group(0)
+                    toks = [(w.group(0), w.start()) for w in
+                            _WORD_RE.finditer(seg)]
+                    tf: dict = {}
+                    for w, _ in toks:
+                        lw = w.lower()
+                        if lw in tset:
+                            tf[lw] = tf.get(lw, 0) + 1
+                    if not tf:
+                        continue
+                    sc = _passage_score(tf, weights, m.start(), len(toks))
+                    best.append((sc, m.start(), seg, sum(tf.values())))
+                best.sort(key=lambda r: (-r[0], r[1]))
+                for sc, start, seg, nh in best[:max_passages]:
+                    marked = _WORD_RE.sub(
+                        lambda w: (f"{pre}{w.group(0)}{post}"
+                                   if w.group(0).lower() in tset
+                                   else w.group(0)), seg).strip()
+                    rows.append((int(doc_id), marked, float(sc),
+                                 int(start), int(nh)))
+            import numpy as np
+            yield pd.DataFrame(rows, columns=["doc_id", "passage",
+                                              "p_score", "p_start",
+                                              "n_hits"]).astype(
+                {"doc_id": "int64", "p_score": "float32",
+                 "p_start": "int32", "n_hits": "int32"})
+
+    return (retrieved.select("doc_id", text_col)
+            .mapInPandas(run, schema=PASSAGE_SCHEMA))

@@ -54,3 +54,41 @@ def test_highlight_snippets(spark, small_index):
     for r in sn:
         assert r["n_hits"] >= 1
         assert f"<b>{T[2]}</b>" in r["snippet"]
+
+
+# ---- passage-scored highlighting (UnifiedHighlighter FieldHighlighter
+# + PassageScorer analog) ------------------------------------------------
+
+def test_passage_scoring_picks_best_passage(spark):
+    from lucene_spark.search.highlight import highlight_passages
+    rows = [
+        (0, "nothing here. slow appears once. slow fast slow fast here!"),
+        (1, "fast at the very start. filler text only in this one."),
+        (2, "no matches at all in this document."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = highlight_passages(df, ["slow", "fast"],
+                             {"slow": 10, "fast": 20}, 100,
+                             max_passages=1).collect()
+    by_doc = {r["doc_id"]: r for r in out}
+    # doc 0: the dense 2nd-hit passage must win over the single-hit one
+    assert "slow fast slow fast" in by_doc[0]["passage"].replace(
+        "<b>", "").replace("</b>", "")
+    assert by_doc[0]["n_hits"] == 4
+    assert "<b>slow</b>" in by_doc[0]["passage"]
+    # doc 1 returns its only matching passage; doc 2 yields no row
+    assert by_doc[1]["n_hits"] == 1
+    assert 2 not in by_doc
+
+
+def test_passage_position_decay(spark):
+    """Equal-content passages: the EARLIER one scores higher
+    (PassageScorer's norm(start) position decay)."""
+    from lucene_spark.search.highlight import highlight_passages
+    txt = "slow fast here. " + "filler words only. " * 5 + "slow fast here."
+    df = spark.createDataFrame([(0, txt)], "doc_id bigint, text string")
+    out = highlight_passages(df, ["slow", "fast"], {"slow": 5, "fast": 5},
+                             100, max_passages=2).collect()
+    assert len(out) == 2
+    assert out[0]["p_start"] < out[1]["p_start"]
+    assert out[0]["p_score"] > out[1]["p_score"]
