@@ -530,8 +530,13 @@ def sloppy_freqs(chunks, slop, pruned=True):
 
     m == 2 is evaluated for ALL candidate docs at once via the
     merge-path characterization of the sweep's visited pairs
-    ((i, j) visited iff A[i-1] <= B[j] and B[j-1] < A[i]); m > 2 falls
-    back to a per-doc sweep (rare shape; bounded by bucket size).
+    ((i, j) visited iff A[i-1] <= B[j] and B[j-1] < A[i]). m > 2 is
+    ALSO fully vectorized via the global-sort characterization of the
+    pq sweep: minima are popped in ascending (value, term-index) order,
+    so the sweep's t-th state pins each list's pointer at its first
+    element with sort rank >= t — one reverse min-accumulate per term
+    recovers every state's pointed values, and states are valid while
+    every list still holds an in-doc element.
 
     KNOWN DEVIATION (documented; the oracle replicates the same sweep,
     so the gate is internally consistent): phrases with REPEATED terms
@@ -582,25 +587,28 @@ def sloppy_freqs(chunks, slop, pruned=True):
             w = 1.0 / (1.0 + d[emit].astype(np.float64))
             np.add.at(freqs64, (A[i_idx[emit]] >> 32).astype(np.int64), w)
     else:
-        # per-doc sweep fallback (kept faithful to the pq algorithm)
-        seglists = []
-        for pk in plists:
-            b = np.searchsorted(pk >> 32, np.arange(cand.size + 1))
-            seglists.append((pk, b))
-        for ci in range(cand.size):
-            pls = [pk[b[ci]:b[ci + 1]] for pk, b in seglists]
-            ptr = [0] * m
-            f = 0.0
-            while True:
-                vals = [int(pls[i][ptr[i]]) for i in range(m)]
-                mn, mx = min(vals), max(vals)
-                if mx - mn <= slop:
-                    f += 1.0 / (1 + mx - mn)
-                i_min = vals.index(mn)
-                ptr[i_min] += 1
-                if ptr[i_min] >= pls[i_min].size:
-                    break
-            freqs64[ci] = f
+        # global-sort sweep: state t's min is the t-th element of the
+        # (value, term-index)-sorted union; each list's pointed value is
+        # its first element at sort rank >= t (reverse min-accumulate —
+        # values ascend, so the future minimum IS the next element)
+        vals_all = np.concatenate(plists)
+        tags = np.concatenate([np.full(p.size, i, dtype=np.int64)
+                               for i, p in enumerate(plists)])
+        order = np.lexsort((tags, vals_all))
+        v, g = vals_all[order], tags[order]
+        INF = np.iinfo(np.int64).max
+        maxv = v.copy()
+        valid = np.ones(v.size, dtype=bool)
+        vdoc = v >> 32
+        for j in range(m):
+            w = np.where(g == j, v, INF)
+            nxt = np.minimum.accumulate(w[::-1])[::-1]
+            valid &= (nxt != INF) & ((nxt >> 32) == vdoc)
+            maxv = np.maximum(maxv, np.where(nxt == INF, v, nxt))
+        d = maxv - v
+        emit = valid & (d <= slop)
+        w = 1.0 / (1.0 + d[emit].astype(np.float64))
+        np.add.at(freqs64, vdoc[emit].astype(np.int64), w)
     hit = freqs64 > 0
     return cand[hit], freqs64[hit].astype(np.float32)
 

@@ -129,3 +129,64 @@ def test_engine_sloppy_topk_matches_oracle(spark, small_index):
                         "slop": 3, "k": 10})
     assert got == want
     assert got  # reorderable semantics actually matched something
+
+
+# ---- m > 2: vectorized global-sort sweep == literal pq sweep -----------
+
+def test_m_gt_2_vectorized_sweep_matches_pq():
+    import numpy as np
+    from lucene_spark.kernels import codec
+    from lucene_spark.search.kernels import TermChunk, sloppy_freqs
+
+    rng = np.random.default_rng(17)
+
+    def pq_sweep(pls, slop):
+        m = len(pls)
+        ptr = [0] * m
+        f = 0.0
+        while True:
+            vals = [pls[i][ptr[i]] for i in range(m)]
+            mn, mx = min(vals), max(vals)
+            if mx - mn <= slop:
+                f += 1.0 / (1 + mx - mn)
+            i_min = vals.index(mn)
+            ptr[i_min] += 1
+            if ptr[i_min] >= len(pls[i_min]):
+                break
+        return f
+
+    for trial in range(150):
+        m = int(rng.integers(3, 5))
+        n_docs = int(rng.integers(1, 6))
+        slop = int(rng.integers(0, 8))
+        corpus = [rng.integers(0, m + 2, int(rng.integers(m, 25)))
+                  for _ in range(n_docs)]
+        chunks = []
+        for t in range(m):
+            docs, tfs, poss = [], [], []
+            for d, toks in enumerate(corpus):
+                pl = np.flatnonzero(toks == t)
+                if pl.size:
+                    docs.append(d)
+                    tfs.append(pl.size)
+                    poss.append(pl.tolist())
+            if not docs:
+                chunks = None
+                break
+            blocks = codec.encode_chunk(np.array(docs), np.array(tfs),
+                                        np.ones(len(docs)), poss)
+            chunks.append(TermChunk(blocks, [0.0] * len(blocks)))
+        if chunks is None:
+            continue
+        gd, gf = sloppy_freqs(chunks, slop, pruned=True)
+        got = {int(d): np.float32(f) for d, f in zip(gd, gf)}
+        want = {}
+        for d, toks in enumerate(corpus):
+            pls = [(np.flatnonzero(toks == t) - t + m).tolist()
+                   for t in range(m)]
+            if any(not p for p in pls):
+                continue
+            f = pq_sweep(pls, slop)
+            if f > 0:
+                want[d] = np.float32(f)
+        assert got == want, (trial, m, slop)
