@@ -7,11 +7,17 @@ one scan, no shuffle of the corpus, dot products inside whole-stage
 codegen (zip_with/aggregate in double). This is the exact baseline and
 the oracle for the approximate path.
 
-Scale path (100 TB corpora): random-hyperplane LSH — sign-bit sketch
-from md5-derived pseudo-random hyperplanes, bucket join on band keys,
-exact cosine re-rank only within colliding buckets. Corpus sketches are
-a single projection; the join input shrinks from |corpus| to candidate
-buckets.
+Scale paths (100 TB corpora):
+
+- random-hyperplane LSH — sign-bit sketch from md5-derived
+  pseudo-random hyperplanes, bucket join on band keys, exact cosine
+  re-rank only within colliding buckets;
+- IVF-flat — a deterministic coarse quantizer (seed centroids = the
+  vectors with smallest md5(vec_id), fixed Lloyd iterations as
+  DataFrame jobs), corpus partitioned by nearest centroid, queries
+  probe their n_probe nearest cells and re-rank exactly. Candidates
+  shrink to ~n_probe/|C| of the corpus; the centroid table is tiny and
+  broadcast.
 """
 
 from __future__ import annotations
@@ -87,6 +93,77 @@ def sketch_expr(vec_col: str, dim: int, n_planes: int = 16) -> F.Column:
         f"named_struct('acc', 0L, 'i', 0), "
         f"(s, b) -> named_struct('acc', s.acc + shiftleft(cast(b as bigint), s.i), "
         f"'i', s.i + 1)).acc")
+
+
+def _nearest_cells(df: DataFrame, centroids: DataFrame, id_col: str,
+                   vec_col: str, n_probe: int) -> DataFrame:
+    """(id, cid) pairs: each row's n_probe nearest centroids by cosine
+    (ties by cid asc). Centroids are broadcast — no corpus shuffle."""
+    c = centroids.select(F.col("cid"), F.col("centroid").alias("_cv"))
+    dot = _DOT.format(a=vec_col, b="_cv")
+    cos = F.expr(f"{dot} / ({_norm_sql(vec_col)} * {_norm_sql('_cv')})")
+    scored = (df.join(F.broadcast(c))
+              .select(F.col(id_col), F.col("cid"), cos.alias("_cc")))
+    w = Window.partitionBy(id_col).orderBy(F.col("_cc").desc(),
+                                           F.col("cid").asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= n_probe)
+            .select(id_col, "cid"))
+
+
+def ivf_train(vectors: DataFrame, n_centroids: int = 16, iters: int = 2,
+              id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Deterministic IVF coarse quantizer -> (cid, centroid).
+
+    Seeds are the n_centroids vectors with the smallest md5(vec_id)
+    (reproducible pseudo-random sample); each Lloyd iteration is one
+    assign (broadcast argmax) + one per-dimension mean (posexplode +
+    groupBy — map-side combined). No RNG, no collect of the corpus."""
+    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
+    cents = (vectors
+             .withColumn("cid", F.row_number().over(w))
+             .filter(F.col("cid") <= n_centroids)
+             .select("cid", F.expr(
+                 f"transform({vec_col}, x -> cast(x as double))")
+                 .alias("centroid")))
+    for _ in range(iters):
+        assign = _nearest_cells(vectors, cents, id_col, vec_col, 1)
+        cents = (vectors.join(assign, id_col)
+                 .select("cid", F.posexplode(vec_col).alias("pos", "v"))
+                 .groupBy("cid", "pos")
+                 .agg(F.avg("v").alias("m"))
+                 .groupBy("cid")
+                 .agg(F.expr("transform(array_sort(collect_list("
+                             "struct(pos, m))), s -> s.m)")
+                      .alias("centroid")))
+    return cents
+
+
+def ivf_cosine_topk(vectors: DataFrame, queries: DataFrame,
+                    centroids: DataFrame, k: int = 10, n_probe: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """IVF-flat approximate top-k: corpus rows live in their nearest
+    centroid's cell; each query probes its n_probe nearest cells and
+    re-ranks candidates with exact cosine. Returns (q_id, vec_id, cos)."""
+    v_cell = _nearest_cells(vectors, centroids, id_col, vec_col, 1)
+    q = queries.select(F.col(q_id_col), F.col(vec_col).alias("_qv"))
+    q_cell = _nearest_cells(
+        queries.select(q_id_col, vec_col), centroids, q_id_col, vec_col,
+        n_probe)
+    cand_ids = (v_cell.join(F.broadcast(q_cell), "cid")
+                .select(q_id_col, id_col).dropDuplicates())
+    dot = _DOT.format(a=vec_col, b="_qv")
+    cos = F.expr(f"{dot} / ({_norm_sql(vec_col)} * {_norm_sql('_qv')})")
+    scored = (vectors.join(cand_ids, id_col)
+              .join(F.broadcast(q), q_id_col)
+              .filter(F.col(id_col) != F.col(q_id_col))
+              .select(q_id_col, id_col, cos.alias("cos")))
+    w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
+                                             F.col(id_col).asc())
+    return (scored.withColumn("_rk", F.row_number().over(w))
+            .filter(F.col("_rk") <= k)
+            .drop("_rk"))
 
 
 def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, dim: int,

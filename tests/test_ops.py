@@ -153,3 +153,34 @@ def test_multimodal_real_decoder_is_stubbed(docs):
     packed = pack_binary(docs, "text", "doc_id").limit(1)
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         extract_features(packed, use_real_decoder=True).collect()
+
+
+# ---- IVF-flat ANN scale path ------------------------------------------
+
+def test_ivf_cosine_topk_recall(spark):
+    from lucene_spark.ops import similarity as SIM
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = (emb.filter(F.col("vec_id") < 5)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    cents = SIM.ivf_train(emb, n_centroids=8, iters=2)
+    n_c = cents.count()
+    assert 1 < n_c <= 8
+    # deterministic: training twice gives identical centroids
+    again = SIM.ivf_train(emb, n_centroids=8, iters=2)
+    a = {r["cid"]: r["centroid"] for r in cents.collect()}
+    b = {r["cid"]: r["centroid"] for r in again.collect()}
+    assert a == b
+    ivf = SIM.ivf_cosine_topk(emb, qs, cents, k=5, n_probe=4)
+    brute = SIM.cosine_topk(emb, qs, k=5)
+    got = {(r["q_id"], r["vec_id"]) for r in ivf.collect()}
+    want = {(r["q_id"], r["vec_id"]) for r in brute.collect()}
+    recall = len(got & want) / len(want)
+    # synthetic embeddings are near-random; probing half the cells must
+    # still recover the majority of true neighbors
+    assert recall >= 0.5, recall
+    # and the probe actually prunes: fewer candidates than |corpus|*|q|
+    n_corpus = emb.count()
+    v_cell = SIM._nearest_cells(emb, cents, "vec_id", "embedding", 1)
+    sizes = v_cell.groupBy("cid").count().collect()
+    assert max(r["count"] for r in sizes) < n_corpus
