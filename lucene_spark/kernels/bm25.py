@@ -33,7 +33,8 @@ from .smallfloat import LENGTH_TABLE
 
 __all__ = ["idf", "sum_idf", "avg_field_length", "norm_inverse_cache",
            "bm25_score", "BM25Scorer", "ClassicScorer", "LMDirichletScorer",
-           "LMJelinekMercerScorer", "AxiomaticF2EXPScorer"]
+           "LMJelinekMercerScorer", "AxiomaticF2EXPScorer",
+           "DFRInLH2Scorer", "IBLLDScorer"]
 
 K1_DEFAULT = np.float32(1.2)
 B_DEFAULT = np.float32(0.75)
@@ -176,6 +177,66 @@ class AxiomaticF2EXPScorer:
         dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
         tfn = f / (f + self.s + self.s * dl / self.avgdl)
         return (np.float64(self.weight) * tfn).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
+class DFRInLH2Scorer:
+    """DFR similarity, BasicModel I(n) + AfterEffect L + Normalization
+    H2 (core:search/similarities/DFRSimilarity.java:127-131,
+    BasicModelIn.java:34-44, AfterEffectL.java:32 [scoreTimes1pTfn = 1],
+    NormalizationH2.java:57): tfn = tf·log2(1 + c·avgdl/dl) with c=1;
+    score = boost · log2((N+1)/(df+0.5)) · tfn/(1+tfn). Double interior
+    like SimilarityBase, float32 cast at the end."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0, c: float = 1.0):
+        self.A = np.float64(np.log2((doc_count + 1.0) / (doc_freq + 0.5)))
+        self.avgdl = np.float64(sum_ttf) / np.float64(doc_count)
+        self.c = np.float64(c)
+        self.boost = np.float32(boost)
+        self.idf = np.float32(self.A)  # for explain()
+        self.weight = np.float32(np.float32(boost) * self.idf)
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        tfn = f * np.log2(1.0 + self.c * self.avgdl / np.maximum(dl, 1.0))
+        s = np.float64(self.boost) * self.A * (1.0 - 1.0 / (1.0 + tfn))
+        return s.astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
+class IBLLDScorer:
+    """Information-based similarity, Distribution LL + Lambda DF +
+    Normalization H2 (core:search/similarities/IBSimilarity.java:115-117,
+    DistributionLL.java:33-34, LambdaDF.java:32-39): λ = float32((df+1)/
+    (N+1)); tfn = tf·log2(1 + avgdl/dl); score = boost · −ln(λ/(tfn+λ))."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0):
+        lam = np.float32((doc_freq + 1.0) / (doc_count + 1.0))
+        if lam == np.float32(1.0):
+            lam = np.nextafter(lam, np.float32(0.0))
+        self.lam = np.float64(lam)
+        self.avgdl = np.float64(sum_ttf) / np.float64(doc_count)
+        self.boost = np.float32(boost)
+        self.idf = np.float32(-np.log(self.lam))  # for explain()
+        self.weight = self.boost
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        tfn = f * np.log2(1.0 + self.avgdl / np.maximum(dl, 1.0))
+        s = np.float64(self.boost) * -np.log(self.lam / (tfn + self.lam))
+        return s.astype(np.float32)
 
     def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
         s = self.score(np.asarray(freqs), np.asarray(norm_codes))

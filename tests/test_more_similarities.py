@@ -1,7 +1,7 @@
-"""Additional similarity plug-ins: LM Jelinek-Mercer and Axiomatic
-F2EXP (core:search/similarities/LMJelinekMercerSimilarity.java,
-AxiomaticF2EXP.java) — formula golden checks, brute-force search
-parity, pruned==exhaustive under bound recompute."""
+"""Additional similarity plug-ins: LM Jelinek-Mercer, Axiomatic F2EXP,
+DFR I(n)/L/H2 and IB LL/D/H2 (core:search/similarities/) — formula
+golden checks, brute-force search parity, pruned==exhaustive under
+bound recompute."""
 
 import numpy as np
 import pytest
@@ -9,6 +9,7 @@ import pytest
 from lucene_spark.fixtures.transcripts import term_string
 from lucene_spark.index.catalog import IndexCatalog
 from lucene_spark.kernels.bm25 import (AxiomaticF2EXPScorer,
+                                       DFRInLH2Scorer, IBLLDScorer,
                                        LMJelinekMercerScorer)
 from lucene_spark.kernels.smallfloat import LENGTH_TABLE, int_to_byte4
 from lucene_spark.search import IndexSearcher
@@ -41,7 +42,8 @@ def test_axiomatic_f2exp_formula():
 
 
 @pytest.mark.parametrize("scorer_cls", [LMJelinekMercerScorer,
-                                        AxiomaticF2EXPScorer])
+                                        AxiomaticF2EXPScorer,
+                                        DFRInLH2Scorer, IBLLDScorer])
 def test_search_matches_bruteforce(spark, small_index, scorer_cls):
     s = IndexSearcher(spark, small_index, similarity=scorer_cls)
     cat = IndexCatalog(small_index)
@@ -64,8 +66,32 @@ def test_search_matches_bruteforce(spark, small_index, scorer_cls):
 
 
 @pytest.mark.parametrize("scorer_cls", [LMJelinekMercerScorer,
-                                        AxiomaticF2EXPScorer])
+                                        AxiomaticF2EXPScorer,
+                                        DFRInLH2Scorer, IBLLDScorer])
 def test_pruned_equals_exhaustive(spark, small_index, scorer_cls):
     s = IndexSearcher(spark, small_index, similarity=scorer_cls)
     q = OrQuery((T[1], T[4], T[8]))
     assert s.search(q, k=10, pruned=True) == s.search(q, k=10, pruned=False)
+
+
+def test_dfr_in_l_h2_formula():
+    import numpy as np
+    sc = DFRInLH2Scorer(doc_freq=10, doc_count=100, sum_ttf=5000)
+    code = int(int_to_byte4(np.array([30]))[0])
+    got = float(sc.score(np.array([3]), np.array([code]))[0])
+    dl = float(LENGTH_TABLE[code])
+    tfn = 3.0 * np.log2(1.0 + (5000.0 / 100.0) / dl)
+    want = np.log2(101.0 / 10.5) * tfn / (1.0 + tfn)
+    assert got == pytest.approx(want, rel=1e-6)
+
+
+def test_ib_ll_d_formula():
+    import numpy as np
+    sc = IBLLDScorer(doc_freq=10, doc_count=100, sum_ttf=5000)
+    code = int(int_to_byte4(np.array([30]))[0])
+    got = float(sc.score(np.array([3]), np.array([code]))[0])
+    dl = float(LENGTH_TABLE[code])
+    lam = float(np.float32(11.0 / 101.0))
+    tfn = 3.0 * np.log2(1.0 + (5000.0 / 100.0) / dl)
+    want = -np.log(lam / (tfn + lam))
+    assert got == pytest.approx(want, rel=1e-6)
