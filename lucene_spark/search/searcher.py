@@ -304,8 +304,15 @@ class IndexSearcher:
         elif kind == "regexp":
             ts = ts.filter(F.col("term").rlike("^" + pat + "$"))
         elif kind == "fuzzy":
-            ts = ts.filter(F.levenshtein(F.col("term"), F.lit(pat))
-                           <= query.max_edits)
+            # banded acceptance like the Levenshtein automaton's length
+            # bound: |len(t) - len(pat)| <= k is NECESSARY for distance
+            # <= k, pushes to the parquet scan, and cuts the rows that
+            # reach the (thresholded, early-exiting) levenshtein
+            k = query.max_edits
+            L = len(pat)
+            ts = ts.filter(
+                F.length("term").between(L - k, L + k)
+                & (F.levenshtein(F.col("term"), F.lit(pat), k) >= 0))
         elif kind == "range":
             lo, hi = pat
             if lo is not None:
