@@ -116,16 +116,26 @@ def ivf_train(vectors: DataFrame, n_centroids: int = 16, iters: int = 2,
     """Deterministic IVF coarse quantizer -> (cid, centroid).
 
     Seeds are the n_centroids vectors with the smallest md5(vec_id)
-    (reproducible pseudo-random sample); each Lloyd iteration is one
-    assign (broadcast argmax) + one per-dimension mean (posexplode +
-    groupBy — map-side combined). No RNG, no collect of the corpus."""
-    w = Window.orderBy(F.md5(F.col(id_col).cast("string")))
-    cents = (vectors
-             .withColumn("cid", F.row_number().over(w))
-             .filter(F.col("cid") <= n_centroids)
-             .select("cid", F.expr(
-                 f"transform({vec_col}, x -> cast(x as double))")
-                 .alias("centroid")))
+    (reproducible pseudo-random sample), selected with orderBy().limit()
+    — a distributed TakeOrderedAndProject partial top-k, NOT a global
+    un-partitioned Window (advisor r03: row_number() over
+    Window.orderBy(md5) forced the whole corpus through one task). The
+    n_centroids winning rows (metadata-sized) are collected to assign
+    dense cids; each Lloyd iteration is one assign (broadcast argmax) +
+    one per-dimension mean (posexplode + groupBy — map-side combined).
+    No RNG, no collect of the corpus."""
+    seed_rows = (vectors
+                 .select(F.md5(F.col(id_col).cast("string")).alias("_h"),
+                         F.expr(f"transform({vec_col}, "
+                                "x -> cast(x as double))")
+                         .alias("centroid"))
+                 .orderBy("_h")
+                 .limit(n_centroids)
+                 .collect())
+    spark = vectors.sparkSession
+    cents = spark.createDataFrame(
+        [(i + 1, list(r["centroid"])) for i, r in enumerate(seed_rows)],
+        "cid int, centroid array<double>")
     for _ in range(iters):
         assign = _nearest_cells(vectors, cents, id_col, vec_col, 1)
         cents = (vectors.join(assign, id_col)

@@ -1163,12 +1163,16 @@ def _tree_leaf_chunks(node, get_chunk, out: dict):
 
 
 def _window_leaf_bounds(chunk, scorer, w_lo, bound_cache):
-    """Per-window upper bound of one (chunk, scorer) pair: the covering
-    block's impact-derived bound, 0 where no block covers the window.
+    """Per-window (bound, coverage) of one (chunk, scorer) pair: the
+    covering block's impact-derived bound, 0 where no block covers the
+    window; coverage = a block covers the window AT ALL (independent of
+    the bound's value — a zero-clamping similarity like LMDirichlet can
+    bound a block at 0 while its docs still MATCH with score 0).
     Bounds come from the stored impacts under the NODE's scorer (exact
     for any boost/similarity — baked floats are boost-1.0 BM25)."""
     if chunk is None or chunk.n_blocks() == 0:
-        return np.zeros(w_lo.size, dtype=np.float64)
+        z = np.zeros(w_lo.size, dtype=np.float64)
+        return z, np.zeros(w_lo.size, dtype=bool)
     key = (id(chunk), id(scorer))
     bb = bound_cache.get(key)
     if bb is None:
@@ -1178,24 +1182,35 @@ def _window_leaf_bounds(chunk, scorer, w_lo, bound_cache):
     idx_c = np.minimum(idx, chunk.n_blocks() - 1)
     covers = (chunk.firsts[idx_c] <= w_lo) & (chunk.lasts[idx_c] >= w_lo)
     out[covers] = bb[idx_c[covers]]
-    return out
+    return out, covers
 
 
 def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
-    """Combine per-window upper bounds bottom-up through the plan tree —
-    the scorer-tree analog of WANDScorer's sum-of-maxScore bounds:
+    """Combine per-window (upper bound, coverage) bottom-up through the
+    plan tree — the scorer-tree analog of WANDScorer's sum-of-maxScore
+    bounds. Returns (bounds float64[n_w], coverage bool[n_w]) where
+    coverage means "some doc in the window COULD match this node" —
+    required-clause gating uses COVERAGE, not bound > 0, so a required
+    term whose block bound is 0 under a zero-clamping similarity
+    (LMDirichlet) does not wrongly zero a window whose siblings score
+    positively (advisor r03 finding #2):
 
       term     -> covering-block bound under the leaf scorer
-      phrase   -> min over member terms (phrase freq <= each member tf,
-                  scored with the sum-idf phrase scorer; PhraseWeight's
-                  impacts-based bound)
+      phrase   -> exact (slop=0): min over member terms (phrase freq <=
+                  each member tf; PhraseWeight's impacts-based bound);
+                  sloppy (slop>0): SUM over member terms — sloppy freq
+                  can exceed any single member's tf but is <= Σ member
+                  freqs (SloppyPhraseMatcher.java maxFreq,
+                  PhraseScorer.java:57-62), and score(Σtf) <= Σscore(tf)
+                  for the concave score(0)=0 similarities (same argument
+                  as the synonym bound). Coverage: all members covered.
       synonym  -> sum over members (BM25 is concave with score(0)=0, so
-                  score(Σtf) <= Σ score(tf))
-      and/bool -> Σ children, 0 where any required child is 0
-      or       -> Σ children
-      dismax   -> max + tie * (Σ - max)
-      const    -> boost where the child can match
-      filters  -> mask windows where a filter child cannot match
+                  score(Σtf) <= Σ score(tf)); coverage: any member
+      and/bool -> Σ children, 0 where any required child is UNCOVERED
+      or       -> Σ children; coverage: any child
+      dismax   -> max + tie * (Σ - max); coverage: any child
+      const    -> boost where the child is covered
+      filters  -> mask windows where a filter child is uncovered
       must_not -> ignored (can only remove matches — bound stays valid)
     """
     kind = node[0]
@@ -1204,53 +1219,67 @@ def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
         return _window_leaf_bounds(chunks[(node[1], node[2])], node[3],
                                    w_lo, bound_cache)
     if kind == "phrase":
-        vs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
-                                  bound_cache) for t in node[2]]
-        return np.minimum.reduce(vs)
+        pairs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
+                                     bound_cache) for t in node[2]]
+        cov = np.logical_and.reduce([c for _, c in pairs])
+        vs = [v for v, _ in pairs]
+        slop = node[4]
+        out = np.add.reduce(vs) if slop > 0 else np.minimum.reduce(vs)
+        out = np.where(cov, out, 0.0)
+        return out, cov
     if kind == "synonym":
-        vs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
-                                  bound_cache) for t in node[2]]
-        return np.add.reduce(vs)
+        pairs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
+                                     bound_cache) for t in node[2]]
+        return (np.add.reduce([v for v, _ in pairs]),
+                np.logical_or.reduce([c for _, c in pairs]))
     if kind == "and":
-        vs = [B(c, chunks, w_lo, bound_cache) for c in node[1]]
-        out = np.add.reduce(vs)
-        for v in vs:
-            out[v <= 0] = 0.0
-        return out
+        pairs = [B(c, chunks, w_lo, bound_cache) for c in node[1]]
+        out = np.add.reduce([v for v, _ in pairs])
+        cov = np.logical_and.reduce([c for _, c in pairs])
+        out = np.where(cov, out, 0.0)
+        return out, cov
     if kind == "or":
-        return np.add.reduce([B(c, chunks, w_lo, bound_cache)
-                              for c in node[1]])
+        pairs = [B(c, chunks, w_lo, bound_cache) for c in node[1]]
+        return (np.add.reduce([v for v, _ in pairs]),
+                np.logical_or.reduce([c for _, c in pairs]))
     if kind == "dismax":
         _, children, tie = node
-        vs = [B(c, chunks, w_lo, bound_cache) for c in children]
+        pairs = [B(c, chunks, w_lo, bound_cache) for c in children]
+        vs = [v for v, _ in pairs]
+        cov = np.logical_or.reduce([c for _, c in pairs])
         mx = np.maximum.reduce(vs)
         if tie:
-            return mx + np.float64(tie) * (np.add.reduce(vs) - mx)
-        return mx
+            return mx + np.float64(tie) * (np.add.reduce(vs) - mx), cov
+        return mx, cov
     if kind == "const":
-        child = B(node[1], chunks, w_lo, bound_cache)
-        return np.where(child > 0, np.float64(max(node[2], 0.0)), 0.0)
+        _, child_cov = B(node[1], chunks, w_lo, bound_cache)
+        return (np.where(child_cov, np.float64(max(node[2], 0.0)), 0.0),
+                child_cov)
     if kind == "bool":
         _, musts, shoulds, must_nots, filters, msm = node
-        svs = [B(c, chunks, w_lo, bound_cache) for c in shoulds]
-        s_sum = np.add.reduce(svs) if svs else np.zeros(w_lo.size)
+
+        spairs = [B(c, chunks, w_lo, bound_cache) for c in shoulds]
+        s_sum = (np.add.reduce([v for v, _ in spairs]) if spairs
+                 else np.zeros(w_lo.size))
         if musts:
-            mvs = [B(c, chunks, w_lo, bound_cache) for c in musts]
-            out = np.add.reduce(mvs) + s_sum
-            for v in mvs:
-                out[v <= 0] = 0.0
+            mpairs = [B(c, chunks, w_lo, bound_cache) for c in musts]
+            out = np.add.reduce([v for v, _ in mpairs]) + s_sum
+            cov = np.logical_and.reduce([c for _, c in mpairs])
         else:
             out = s_sum
+            cov = np.ones(w_lo.size, dtype=bool)
         need = max(msm, 0 if musts else 1)
-        if need > 0 and svs:
-            n_live = np.add.reduce([(v > 0).astype(np.int64) for v in svs])
-            out[n_live < need] = 0.0
-        elif not musts and not svs:
-            return np.zeros(w_lo.size)
+        if need > 0 and spairs:
+            n_cov = np.add.reduce([c.astype(np.int64) for _, c in spairs])
+            cov = cov & (n_cov >= need)
+        elif not musts and not spairs:
+            return (np.zeros(w_lo.size),
+                    np.zeros(w_lo.size, dtype=bool))
         for c in filters:
-            fv = B(c, chunks, w_lo, bound_cache)
-            out[fv <= 0] = 0.0
-        return out
+            _, fcov = B(c, chunks, w_lo, bound_cache)
+            cov = cov & fcov
+        out = np.where(cov, out, 0.0)
+        return out, cov
     raise ValueError(f"unknown plan node {kind}")
 
 
@@ -1287,7 +1316,7 @@ def eval_tree_topk(node, get_chunk, norms_for, base_doc, k,
         [c.firsts for c in live] + [c.lasts + 1 for c in live]))
     w_lo, w_hi = edges[:-1], edges[1:]
     bound_cache: dict = {}
-    ub = _node_window_bounds(node, chunks, w_lo, bound_cache)
+    ub, _ = _node_window_bounds(node, chunks, w_lo, bound_cache)
     order = np.argsort(-ub, kind="stable")
     got_d, got_s = [], []
     theta = theta0

@@ -284,7 +284,12 @@ class IndexSearcher:
                 else:
                     terms = self._sorted_terms_for(query.field)
                     if kind == "prefix":
-                        lo, hi = pat, pat + "￿"
+                        # exclusive upper bound above every code point
+                        # that can follow the prefix — U+10FFFF, not
+                        # U+FFFF: supplementary-plane letters (emitted
+                        # by the \w tokenizer) sort above '￿'
+                        # (advisor r03 finding #3)
+                        lo, hi = pat, pat + chr(0x10FFFF)
                     else:
                         lo, hi = pat
                     i0 = (bisect.bisect_left(terms, lo)
