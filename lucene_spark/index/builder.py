@@ -46,7 +46,7 @@ from pyspark.storagelevel import StorageLevel
 from ..kernels import codec
 from ..kernels.bm25 import BM25Scorer
 from ..kernels.smallfloat import int_to_byte4
-from ..kernels.tokenizer import tokenize_series
+from ..kernels.tokenizer import analyze_series, tokenize_series
 from .catalog import IndexCatalog, read_table
 
 DOCSTORE_SCHEMA = ("doc_id bigint, conv_id string, turn_idx int, role string, "
@@ -156,7 +156,8 @@ def _invert_keyword_field(pdf: pd.DataFrame, field: str) -> pd.DataFrame:
 
 
 def _invert_bucket(pdf: pd.DataFrame, field: str = "text",
-                   keyword_fields: tuple = ()) -> pd.DataFrame:
+                   keyword_fields: tuple = (),
+                   analyzer: str = "standard") -> pd.DataFrame:
     """The indexing-chain kernel: one bucket's rows -> posting chunk rows.
 
     Fully vectorized: every quantity (posting boundaries, tf, doc/pos
@@ -178,7 +179,7 @@ def _invert_bucket(pdf: pd.DataFrame, field: str = "text",
     doc_ids = pdf["doc_id"].to_numpy()
     norms = pdf["norm"].to_numpy()
     base = int(doc_ids[0])
-    toks = tokenize_series(pdf[field])
+    toks = analyze_series(pdf[field], analyzer)
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -309,10 +310,18 @@ class IndexBuilder:
     def __init__(self, spark: SparkSession, out_dir: str, num_buckets: int = 16,
                  field: str = "text", wave_size: int = 64,
                  merge_partitions: int | None = None,
-                 keyword_fields: tuple = ()):
+                 keyword_fields: tuple = (),
+                 analyzers: dict | None = None):
         """keyword_fields: docstore columns indexed as untokenized
         keyword fields alongside the analyzed text field (per-field
-        index options, core:index/FieldInfos.java)."""
+        index options, core:index/FieldInfos.java).
+
+        analyzers: per-field analyzer chain names, e.g.
+        {"text": "porter"} for StandardAnalyzer + PorterStemFilter
+        (the PerFieldAnalyzerWrapper capability,
+        analysis/common/.../miscellaneous/PerFieldAnalyzerWrapper.java;
+        EnglishAnalyzer's stemming slice). Persisted in the commit
+        manifest so searchers and NRT writers analyze consistently."""
         self.spark = spark
         self.catalog = IndexCatalog(out_dir)
         self.num_buckets = num_buckets
@@ -320,6 +329,8 @@ class IndexBuilder:
         self.wave_size = wave_size
         self.merge_partitions = merge_partitions or num_buckets
         self.keyword_fields = tuple(keyword_fields)
+        self.analyzers = dict(analyzers or {})
+        self.analyzer = self.analyzers.get(field, "standard")
 
     # ---- stage 1: docstore (doc_id assignment + norms) -------------------
     def build_docstore(self, transcripts: DataFrame) -> str:
@@ -418,6 +429,7 @@ class IndexBuilder:
                             extra={"num_buckets": self.num_buckets,
                                    "field": self.field,
                                    "keyword_fields": list(self.keyword_fields),
+                                   "analyzers": self.analyzers,
                                    "format": INDEX_FORMAT_VERSION})
         return path
 
@@ -455,6 +467,7 @@ class IndexBuilder:
         todo = [b for b in range(self.num_buckets) if b not in done]
         field = self.field
         kw = self.keyword_fields
+        an = self.analyzer
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         for w in range(0, len(todo), self.wave_size):
             wave = todo[w:w + self.wave_size]
@@ -463,7 +476,7 @@ class IndexBuilder:
                   .filter(F.col("bucket_id").isin(wave))
                   .select("doc_id", "norm", "bucket_id", field, *kw))
             seg = ds.groupBy("bucket_id").applyInPandas(
-                lambda pdf: _invert_bucket(pdf, field, kw),
+                lambda pdf: _invert_bucket(pdf, field, kw, an),
                 schema=SEGMENTS_SCHEMA)
             (seg.write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path))
             wall = int((time.time() - t0) * 1000)

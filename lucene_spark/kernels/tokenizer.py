@@ -35,7 +35,9 @@ import re
 import numpy as np
 import pandas as pd
 
-__all__ = ["MAX_TOKEN_LENGTH", "tokenize_series", "token_counts", "tokenize_one"]
+__all__ = ["MAX_TOKEN_LENGTH", "tokenize_series", "token_counts",
+           "tokenize_one", "analyze_series", "analyze_one", "analyze_term",
+           "ANALYZERS"]
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:52
 
@@ -89,3 +91,65 @@ def token_counts(texts: pd.Series) -> np.ndarray:
 def tokenize_one(text: str) -> list:
     """Single-string helper for tests/driver-side use."""
     return _split_long(_WORD_RE.findall((text or "").lower()))
+
+
+# ---------------------------------------------------------------------------
+# analyzer chains (per-field analyzers, core:index/FieldInfos.java;
+# PorterStemFilter, analysis/common/.../en/PorterStemFilter.java)
+# ---------------------------------------------------------------------------
+
+ANALYZERS = ("standard", "porter")
+
+
+def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
+    """text -> list[str] tokens through the named analyzer chain.
+
+    'standard' = StandardAnalyzer (tokenize + lowercase, empty stopset);
+    'porter'   = standard + PorterStemFilter. Stemming is vectorized at
+    the batch-vocabulary level: flatten, factorize, stem only the
+    UNIQUE tokens (Zipf: orders of magnitude fewer than total), take.
+    Token COUNT is analyzer-invariant (PorterStemFilter rewrites tokens,
+    never drops them), so norms/token_count stay chain-independent.
+    """
+    toks = tokenize_series(texts)
+    if analyzer == "standard":
+        return toks
+    if analyzer != "porter":
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    from .stem import stem_unique
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return toks
+    flat = np.concatenate([np.asarray(t, dtype=object) if t
+                           else np.empty(0, object) for t in toks])
+    import pandas as _pd
+    codes, uniq = _pd.factorize(flat)
+    stemmed = stem_unique(uniq)[codes]
+    bounds = np.cumsum(lens)[:-1]
+    return pd.Series([list(x) for x in np.split(stemmed, bounds)],
+                     index=toks.index)
+
+
+def analyze_one(text: str, analyzer: str = "standard") -> list:
+    """Single-string analyzer chain (query/driver side)."""
+    toks = tokenize_one(text)
+    if analyzer == "standard":
+        return toks
+    if analyzer != "porter":
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    from .stem import porter_stem
+    return [porter_stem(t) if t.isascii() and t.isalpha() else t
+            for t in toks]
+
+
+def analyze_term(term: str, analyzer: str = "standard") -> str:
+    """One already-tokenized query term through the chain's filters
+    (lowercase + stem) — what QueryParser does to a single term slot."""
+    if analyzer == "standard":
+        return term
+    if analyzer != "porter":
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    from .stem import porter_stem
+    t = term.lower()
+    return porter_stem(t) if t.isascii() and t.isalpha() else t

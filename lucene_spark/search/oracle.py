@@ -45,9 +45,11 @@ def _o_union_sum(parts):
 
 class BruteForceOracle:
     def __init__(self, docs: pd.DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text"):
+                 text_col: str = "text", analyzer: str = "standard"):
+        from ..kernels.tokenizer import analyze_one
         self.doc_ids = docs[id_col].to_numpy(dtype=np.int64)
-        self.tokens = [tokenize_one(t) for t in docs[text_col].fillna("")]
+        self.tokens = [analyze_one(t, analyzer)
+                       for t in docs[text_col].fillna("")]
         self.tfs = [Counter(t) for t in self.tokens]
         self.lengths = np.array([len(t) for t in self.tokens], dtype=np.int64)
         self.norms = np.asarray(int_to_byte4(self.lengths), dtype=np.uint8)

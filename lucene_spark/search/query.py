@@ -150,6 +150,18 @@ class FieldExistsQuery:
 
 
 @dataclass(frozen=True)
+class PreAnalyzed:
+    """Marks a query whose leaf terms are already INDEX terms (e.g.
+    built from the term dictionary, like more_like_this output) — the
+    searcher's query-analysis pass unwraps it without re-analyzing.
+    Lucene parity: queries constructed from TermsEnum/term-vector terms
+    are never re-analyzed (MoreLikeThis.java builds TermQuerys from
+    stored terms directly). Porter stems are not idempotent
+    ("convers" -> "conver"), so re-analysis would corrupt them."""
+    query: object
+
+
+@dataclass(frozen=True)
 class ConstantScoreQuery:
     """Wraps any query: matching docs score ``boost``, sub-scores
     discarded (core:search/ConstantScoreQuery.java)."""

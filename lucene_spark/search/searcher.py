@@ -36,7 +36,8 @@ from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       score_bucket, topk_select)
 from .query import (AndQuery, BooleanQuery, ConstantScoreQuery, DisMaxQuery,
                     FieldExistsQuery, MatchAllQuery, MultiTermQuery, OrQuery,
-                    PhraseQuery, SynonymQuery, TermQuery, rewrite)
+                    PhraseQuery, PreAnalyzed, SynonymQuery, TermQuery,
+                    rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -118,6 +119,12 @@ class IndexSearcher:
         extra0 = c.get("extra") or {}
         self.field = extra0.get("field") or next(iter(self.field_stats))
         self.keyword_fields = set(extra0.get("keyword_fields") or ())
+        # per-field analyzer chains (PerFieldAnalyzerWrapper): query
+        # terms of analyzed fields go through the same chain the build
+        # used (QueryBuilder analysis parity); empty for legacy indexes
+        self.analyzers = dict(extra0.get("analyzers") or {})
+        self._needs_analysis = any(v != "standard"
+                                   for v in self.analyzers.values())
         self.doc_count, self.sum_ttf = self.field_stats[self.field]
         # NRT appends leave baked block-max floats stale (global df and
         # avgdl moved); when dirty, bounds are re-derived from the stored
@@ -444,6 +451,57 @@ class IndexSearcher:
 
     # ---- nested-query compilation (BooleanQuery.Builder.add(Query, Occur)
     # surface, core:search/BooleanQuery.java:125-147) ----------------------
+    def _analyze_query(self, q):
+        """Rewrite leaf terms of analyzed fields through the field's
+        analyzer chain (the QueryBuilder/QueryParser analysis step,
+        core:util/QueryBuilder.java) so "merging" finds docs indexed as
+        "merg" on a porter-analyzed field. No-op for standard-analyzer
+        indexes. MultiTermQuery patterns are NOT analyzed (Lucene MTQs
+        match the dictionary as stored); keyword fields are never
+        analyzed; PreAnalyzed unwraps without rewriting (stems are not
+        idempotent, so double analysis would corrupt them)."""
+        if isinstance(q, PreAnalyzed):
+            return q.query
+        if not self._needs_analysis:
+            return q
+        return self._an_node(q, self.field)
+
+    def _an_node(self, q, parent_field: str):
+        import dataclasses
+        from ..kernels.tokenizer import analyze_term
+
+        def chain(fld):
+            if fld in self.keyword_fields:
+                return "standard"
+            return self.analyzers.get(fld, "standard")
+
+        if isinstance(q, str):
+            return analyze_term(q, chain(parent_field))
+        if isinstance(q, TermQuery):
+            an = chain(q.field)
+            if an == "standard":
+                return q
+            return dataclasses.replace(q, term=analyze_term(q.term, an))
+        if isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery)):
+            an = chain(q.field)
+            if an == "standard":
+                return q
+            return dataclasses.replace(
+                q, terms_=tuple(analyze_term(t, an) for t in q.terms_))
+        if isinstance(q, DisMaxQuery):
+            return dataclasses.replace(
+                q, terms_=tuple(self._an_node(c, q.field)
+                                for c in q.terms_))
+        if isinstance(q, BooleanQuery):
+            fx = lambda cs: tuple(self._an_node(c, q.field) for c in cs)
+            return dataclasses.replace(
+                q, must=fx(q.must), should=fx(q.should),
+                must_not=fx(q.must_not), filter_=fx(q.filter_))
+        if isinstance(q, ConstantScoreQuery):
+            return dataclasses.replace(
+                q, query=self._an_node(q.query, q.field))
+        return q  # MTQ / MatchAll / FieldExists: not analyzed
+
     def _expand_mtq_tree(self, q):
         """Replace MultiTermQuery nodes with their term-dictionary
         expansion (OrQuery for scoring_boolean, ConstantScoreQuery(Or)
@@ -709,6 +767,14 @@ class IndexSearcher:
     def search_df(self, query, k: int = 10, pruned: bool = True,
                   doc_filter: str | None = None,
                   two_pass: bool = False) -> DataFrame:
+        """Public search entry: analyzes query terms once (per-field
+        analyzer chains), then runs the plan. See _search_df_impl."""
+        return self._search_df_impl(self._analyze_query(query), k, pruned,
+                                    doc_filter, two_pass)
+
+    def _search_df_impl(self, query, k: int = 10, pruned: bool = True,
+                        doc_filter: str | None = None,
+                        two_pass: bool = False) -> DataFrame:
         """Returns the top-k DataFrame (doc_id, score), globally ordered.
 
         doc_filter: optional SQL predicate over docstore metadata
@@ -734,13 +800,14 @@ class IndexSearcher:
             rq = rewrite(query)
             if _needs_tree(rq):
                 return self._search_tree(rq, k, pruned, doc_filter)
-            return self.search_df(rq, k, pruned, doc_filter, two_pass)
+            return self._search_df_impl(rq, k, pruned, doc_filter,
+                                        two_pass)
         if isinstance(query, MultiTermQuery):
             expanded = self.expand_terms(query)
             if not expanded:
                 return spark.createDataFrame([], RESULT_SCHEMA)
             if query.rewrite == "scoring_boolean":
-                return self.search_df(
+                return self._search_df_impl(
                     OrQuery(tuple(expanded), field=query.field,
                             boost=query.boost), k, pruned, doc_filter)
             return self._constant_score_df(expanded, query, k, doc_filter)
@@ -956,6 +1023,7 @@ class IndexSearcher:
         flat: dict = {}
         tree: dict = {}
         for qid, q in queries.items():
+            q = self._analyze_query(q)
             if _needs_tree(q):
                 rq = rewrite(q)
                 if _needs_tree(rq):
@@ -1167,7 +1235,8 @@ class IndexSearcher:
                     cond = f"({doc_filter}) AND {cond}"
             return self._match_all_df(query.boost, k, cond,
                                       after=(score, doc_id))
-        return self._search_tree(rewrite(query), k, doc_filter=doc_filter,
+        return self._search_tree(rewrite(self._analyze_query(query)), k,
+                                 doc_filter=doc_filter,
                                  after=(score, doc_id))
 
     def search_after(self, query, after: tuple, k: int = 10,
@@ -1181,6 +1250,7 @@ class IndexSearcher:
         analog (core:search/TermQuery.java explain path): per-term tf,
         norm code, decoded length, idf, weight and sub-score, plus the
         combined score. Debug API (several tiny jobs; not a hot path)."""
+        query = self._analyze_query(query)
         terms = query.terms
         field = getattr(query, "field", self.field)
         tstats = self.term_stats(terms, field)
@@ -1235,8 +1305,8 @@ class IndexSearcher:
                 n = read_table(self.spark, self.docstore_paths) \
                     .filter(cond).count()
             return self.spark.createDataFrame([(n,)], "n bigint")
-        return self._search_tree(query, k=0, doc_filter=doc_filter,
-                                 mode="count")
+        return self._search_tree(self._analyze_query(query), k=0,
+                                 doc_filter=doc_filter, mode="count")
 
     def count(self, query) -> int:
         """TotalHitCountCollector analog. Single term uses the df shortcut
@@ -1245,6 +1315,7 @@ class IndexSearcher:
         reference (count() falls back when liveDocs != null). Every
         other shape runs the per-bucket count kernel + sum (count_df) —
         previously this sorted the entire match set just to count it."""
+        query = self._analyze_query(query)
         if isinstance(query, TermQuery):
             if self.livedocs_path is None:
                 ts = self.term_stats([query.term], query.field)
@@ -1447,8 +1518,8 @@ class IndexSearcher:
         the exhaustive Scorer stream consumed by aggregating operators
         (block join, percolation joins). One kernel pass per bucket,
         no top-k heap, no global sort."""
-        return self._search_tree(rewrite(query), k=0, doc_filter=doc_filter,
-                                 mode="matches")
+        return self._search_tree(rewrite(self._analyze_query(query)), k=0,
+                                 doc_filter=doc_filter, mode="matches")
 
     BLOCK_JOIN_SCHEMA = "conv_id string, score float, n_children int"
 
@@ -1508,9 +1579,11 @@ class IndexSearcher:
                .select("text").collect())
         if not row:
             raise ValueError(f"no such doc {doc_id}")
-        from ..kernels.tokenizer import tokenize_one
+        from ..kernels.tokenizer import analyze_one
         from collections import Counter
-        tfs = Counter(tokenize_one(row[0]["text"] or ""))
+        an = (self.analyzers.get(self.field, "standard")
+              if self.field not in self.keyword_fields else "standard")
+        tfs = Counter(analyze_one(row[0]["text"] or "", an))
         terms = [t for t, f in tfs.items() if f >= min_tf]
         stats = self.term_stats(terms, self.field)
         dc, _ = self._field_stats(self.field)
@@ -1525,7 +1598,10 @@ class IndexSearcher:
         sel = tuple(t for _, t in scored[:max_terms])
         if not sel:
             raise ValueError(f"doc {doc_id} has no usable MLT terms")
-        return OrQuery(sel, self.field)
+        q = OrQuery(sel, self.field)
+        # terms came from the (analyzed) index vocabulary — protect them
+        # from the entry-point analysis pass (stems aren't idempotent)
+        return PreAnalyzed(q) if self._needs_analysis else q
 
     def rescore(self, topk_df: DataFrame, expr: str, k: int = 10,
                 score_col: str = "new_score") -> DataFrame:

@@ -64,7 +64,8 @@ class NRTIndexWriter:
         max_bucket = int(extra.get("max_bucket",
                                    int(extra.get("num_buckets", 1)) - 1))
         kw = tuple(extra.get("keyword_fields") or ())
-        return fstats, max_bucket, kw
+        an = (extra.get("analyzers") or {}).get(self.field, "standard")
+        return fstats, max_bucket, kw, an
 
     def _recover_pending(self, pending: list) -> None:
         """Clean up a mid-append crash: drop the partially written
@@ -118,7 +119,7 @@ class NRTIndexWriter:
         pending = extra.get("pending_buckets")
         if pending:
             self._recover_pending(pending)
-        fstats, max_bucket, kw = self._state()
+        fstats, max_bucket, kw, an = self._state()
         doc_count, sum_ttf = fstats[self.field]
         field = self.field
 
@@ -183,7 +184,7 @@ class NRTIndexWriter:
         seg_path, seg_rel = self.catalog.new_table_dir("segments")
         seg_new = (ds_appended.select("doc_id", "norm", "bucket_id", field, *kw)
                    .groupBy("bucket_id")
-                   .applyInPandas(lambda p: _invert_bucket(p, field, kw),
+                   .applyInPandas(lambda p: _invert_bucket(p, field, kw, an),
                                   schema=SEGMENTS_SCHEMA))
         seg_new.write.mode("overwrite").partitionBy("bucket_id").parquet(seg_path)
 
