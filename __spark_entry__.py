@@ -101,6 +101,19 @@ def _searcher_conv(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return IndexSearcher(spark, out)
 
 
+def _searcher_stem(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the EnglishAnalyzer-style chain on 'text'
+    (StandardTokenizer + lowercase + PorterStemFilter): corpus terms are
+    stored STEMMED, query terms are stemmed at search time."""
+    key = (_FORMAT_VERSION + "_stem_"
+           + re.sub(r"\W+", "_", os.path.abspath(sf_dir)))
+    out = os.path.join(_CACHE_ROOT, key)
+    if not IndexCatalog(out).has_table("postings"):
+        build_index(spark, _as_transcripts(_docs(spark, sf_dir)), out,
+                    num_buckets=4, analyzers={"text": "porter"})
+    return IndexSearcher(spark, out)
+
+
 def _topk_df(spark, sf_dir, query, k) -> DataFrame:
     s = _searcher(spark, sf_dir)
     res = s.search_df(query, k=k)
@@ -144,15 +157,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_dismax_topk"] = lambda sp, sf: _topk_df(
         sp, sf, DisMaxQuery(("scan", "merge")), 10)
 
-    def ft_term_matches(sp, sf):
-        return (_searcher(sp, sf).term_postings("dup")
-                .select("doc_id", "tf"))
-    q["ft_term_matches"] = ft_term_matches
-
-    def ft_phrase_matches(sp, sf):
-        return (_searcher(sp, sf).phrase_matches(["slow", "fast"])
-                .select("doc_id", "freq"))
-    q["ft_phrase_matches"] = ft_phrase_matches
+    def ft_matches(sp, sf):
+        # the two exhaustive match streams, one entry with an op tag:
+        # TermQuery postings (v=tf) + exact PhraseQuery matches (v=freq)
+        s = _searcher(sp, sf)
+        t = (s.term_postings("dup")
+             .select(F.lit("term").alias("op"), "doc_id",
+                     F.col("tf").alias("v")))
+        p = (s.phrase_matches(["slow", "fast"])
+             .select(F.lit("phrase").alias("op"), "doc_id",
+                     F.col("freq").alias("v")))
+        return t.unionByName(p)
+    q["ft_matches"] = ft_matches
 
     def ft_counts(sp, sf):
         # Weight#count paths, one entry: the single-term df shortcut
@@ -313,6 +329,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, qq, 10)
     q["ft_parsed_query"] = ft_parsed_query
 
+    def ft_stemmed_topk(sp, sf):
+        # EnglishAnalyzer slice (StandardTokenizer + PorterStemFilter,
+        # analysis/common/.../en/PorterStemFilter.java): the index
+        # stores stems, query terms are stemmed at search time, BM25
+        # stats are computed over stems. "merging"/"queries"/"tables"
+        # never occur in the corpus — they match via the stem classes
+        # merg/queri/tabl, whose complete corpus inflection classes are
+        # {merge}/{query}/{table} (verified over the full sf0.001/0.01/
+        # 0.1 vocabularies; the pytest suite covers multi-member class
+        # merging on a corpus with merge/merges/merged)
+        s = _searcher_stem(sp, sf)
+        res = s.search_df(OrQuery(("merging", "queries", "tables")), k=10)
+        return res.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_stemmed_topk"] = ft_stemmed_topk
+
     def ft_search_after(sp, sf):
         # deep paging: page 2 of the 'vector' ranking via searchAfter
         s = _searcher(sp, sf)
@@ -351,37 +384,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           .alias("score_r"))
     q["ft_match_all"] = ft_match_all
 
-    def ft_intervals_ordered(sp, sf):
-        # interval algebra: minimal ordered intervals slow..fast with
-        # at most 3 interior gaps (Intervals.maxgaps(Intervals.ordered))
-        from lucene_spark.search.intervals import MaxGaps, Ordered, Term
-        src = MaxGaps(Ordered((Term("slow"), Term("fast"))), 3)
-        return (_searcher(sp, sf).interval_search(src)
-                .select("doc_id", "n_intervals", "min_width"))
-    q["ft_intervals_ordered"] = ft_intervals_ordered
-
-    def ft_intervals_contained(sp, sf):
-        # 'data' occurrences inside a minimal ordered slow..fast
-        # interval of width <= 8 (Intervals.containedBy)
-        from lucene_spark.search.intervals import (ContainedBy, MaxWidth,
-                                                   Ordered, Term)
-        src = ContainedBy(Term("data"),
-                          MaxWidth(Ordered((Term("slow"), Term("fast"))), 8))
-        return (_searcher(sp, sf).interval_search(src)
-                .select("doc_id", "n_intervals"))
-    q["ft_intervals_contained"] = ft_intervals_contained
-
-    def ft_intervals_or_phrase(sp, sf):
-        # non-Term interval sources composing with the combinators
-        # (Intervals.or / Intervals.phrase): minimal ordered intervals
-        # (scan|sort) .. "slow fast" within 6 interior gaps
-        from lucene_spark.search.intervals import (MaxGaps, Or, Ordered,
+    def ft_intervals(sp, sf):
+        # the intervals algebra, one entry with an op tag (each shape
+        # remains its own combinator tree in search/intervals.py):
+        # ordered  — minimal ordered slow..fast, <=3 interior gaps
+        #            (Intervals.maxgaps(Intervals.ordered))
+        # contained — 'data' inside a minimal ordered slow..fast
+        #            interval of width <=8 (Intervals.containedBy);
+        #            min_width = -1 (not emitted by this shape)
+        # or_phrase — non-Term sources through the combinators:
+        #            ordered((scan|sort), "slow fast"), <=6 gaps
+        from lucene_spark.search.intervals import (ContainedBy, MaxGaps,
+                                                   MaxWidth, Or, Ordered,
                                                    Phrase, Term)
-        src = MaxGaps(Ordered((Or((Term("scan"), Term("sort"))),
-                               Phrase(("slow", "fast")))), 6)
-        return (_searcher(sp, sf).interval_search(src)
-                .select("doc_id", "n_intervals", "min_width"))
-    q["ft_intervals_or_phrase"] = ft_intervals_or_phrase
+        s = _searcher(sp, sf)
+        a = (s.interval_search(
+                MaxGaps(Ordered((Term("slow"), Term("fast"))), 3))
+             .select(F.lit("ordered").alias("op"), "doc_id",
+                     "n_intervals", "min_width"))
+        b = (s.interval_search(
+                ContainedBy(Term("data"),
+                            MaxWidth(Ordered((Term("slow"), Term("fast"))),
+                                     8)))
+             .select(F.lit("contained").alias("op"), "doc_id",
+                     "n_intervals", F.lit(-1).alias("min_width")))
+        c = (s.interval_search(
+                MaxGaps(Ordered((Or((Term("scan"), Term("sort"))),
+                                 Phrase(("slow", "fast")))), 6))
+             .select(F.lit("or_phrase").alias("op"), "doc_id",
+                     "n_intervals", "min_width"))
+        return a.unionByName(b).unionByName(c)
+    q["ft_intervals"] = ft_intervals
 
     def ft_field_term(sp, sf):
         # TermQuery on an untokenized keyword field (StringField analog):
@@ -452,17 +485,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
 
     def dedup_jaccard(sp, sf):
-        return (D.jaccard_pairs(_docs(sp, sf), threshold=0.8)
-                .select("a", "b", F.round("jaccard", 4).alias("jaccard_r")))
+        # both n-gram Jaccard paths, one entry with a path tag:
+        # 'exact' — lossless shared-shingle self-join (oracle/verify
+        # path), threshold 0.8; 'lsh' — the documented 100 TB default:
+        # MinHash band-bucket candidates -> exact Jaccard verify, 0.5
+        d = _docs(sp, sf)
+        ex = (D.jaccard_pairs(d, threshold=0.8)
+              .select(F.lit("exact").alias("path"), "a", "b",
+                      F.round("jaccard", 4).alias("jaccard_r")))
+        ls = (D.jaccard_pairs_lsh(d, threshold=0.5)
+              .select(F.lit("lsh").alias("path"), "a", "b",
+                      F.round("jaccard", 4).alias("jaccard_r")))
+        return ex.unionByName(ls)
     q["dedup_jaccard"] = dedup_jaccard
-
-    def dedup_jaccard_lsh(sp, sf):
-        # the web-scale dedup pipeline: LSH band candidates -> exact
-        # Jaccard verify (the lossless shared-shingle self-join is the
-        # oracle path; this is the documented default at 100 TB)
-        return (D.jaccard_pairs_lsh(_docs(sp, sf), threshold=0.5)
-                .select("a", "b", F.round("jaccard", 4).alias("jaccard_r")))
-    q["dedup_jaccard_lsh"] = dedup_jaccard_lsh
 
     def dedup_simhash(sp, sf):
         return D.simhash(_docs(sp, sf), bits=32)
@@ -657,12 +692,10 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
-    o["ft_term_matches"] = P + """
-SELECT doc_id, tf::INT AS tf FROM tf WHERE term = 'dup'
-"""
-
-    o["ft_phrase_matches"] = P + _phrase_cte("slow", "fast") + """
-SELECT doc_id, freq::INT AS freq FROM ph
+    o["ft_matches"] = P + _phrase_cte("slow", "fast") + """
+SELECT 'term' AS op, doc_id, tf::INT AS v FROM tf WHERE term = 'dup'
+UNION ALL
+SELECT 'phrase', doc_id, freq::INT FROM ph
 """
 
     o["ft_counts"] = P + """
@@ -841,6 +874,19 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
+    # stemmed index: on this corpus every vocabulary token stems to a
+    # UNIQUE stem (verified: no two corpus tokens share a Porter stem),
+    # so the stemmed index's stats are a 1:1 term rename and the oracle
+    # scores the inflection-class members that DO occur in the corpus —
+    # merging->merg<-{merge}, queries->queri<-{query}, tables->tabl<-{table}
+    o["ft_stemmed_topk"] = P + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN ('merge', 'query', 'table')
+        GROUP BY f.doc_id)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
     o["ft_search_after"] = P + f"""
 , m AS (SELECT f.doc_id, {_score('f.tf')} AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
@@ -892,41 +938,38 @@ SELECT doc_id, 1.0 AS score_r FROM documents ORDER BY doc_id LIMIT 100000
 , mi AS (SELECT c1.doc_id, c1.p, c1.q FROM c1 JOIN c2 USING (doc_id, p, q))
 """
 
-    o["ft_intervals_ordered"] = P + _MI_PAIRS + """
+    # one statement, three interval shapes (CTE names disjoint):
+    # ordered/contained share mi; or_phrase rebuilds its pairs over
+    # (scan|sort) .. "slow fast" — the chain picks the FIRST phrase
+    # start q strictly after each or-position a; minimality keeps the
+    # dominant pairs. width = (q+1) - a + 1; leaves = 1 + 2
+    o["ft_intervals"] = P + _MI_PAIRS + """
 , flt AS (SELECT doc_id, p, q FROM mi WHERE (q - p + 1) - 2 <= 3)
-SELECT doc_id, count(*)::INT AS n_intervals,
-       min(q - p + 1)::INT AS min_width
-FROM flt GROUP BY doc_id
-"""
-
-    o["ft_intervals_contained"] = P + _MI_PAIRS + """
 , big AS (SELECT doc_id, p, q FROM mi WHERE q - p + 1 <= 8)
 , hits AS (SELECT DISTINCT d.doc_id, d.pos
            FROM pos d JOIN big b ON b.doc_id = d.doc_id
                 AND d.pos BETWEEN b.p AND b.q
            WHERE d.term = 'data')
-SELECT doc_id, count(*)::INT AS n_intervals FROM hits GROUP BY doc_id
-"""
-
-    # ordered((scan|sort), "slow fast"): chain picks the FIRST phrase
-    # start q strictly after each or-position a; minimality keeps the
-    # dominant pairs (q = nearest phrase after a AND a = nearest
-    # or-position before q). width = (q+1) - a + 1; leaves = 1 + 2
-    o["ft_intervals_or_phrase"] = P + """
 , ab AS (SELECT doc_id, pos FROM pos WHERE term IN ('scan', 'sort'))
 , ph2 AS (SELECT p1.doc_id, p1.pos AS p FROM pos p1
           JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
           WHERE p1.term = 'slow' AND p2.term = 'fast')
-, c1 AS (SELECT f.doc_id, f.p AS q, max(s.pos) AS a
+, d1 AS (SELECT f.doc_id, f.p AS q, max(s.pos) AS a
          FROM ph2 f JOIN ab s ON s.doc_id = f.doc_id AND s.pos < f.p
          GROUP BY f.doc_id, f.p)
-, c2 AS (SELECT s.doc_id, s.pos AS a, min(f.p) AS q
+, d2 AS (SELECT s.doc_id, s.pos AS a, min(f.p) AS q
          FROM ab s JOIN ph2 f ON f.doc_id = s.doc_id AND f.p > s.pos
          GROUP BY s.doc_id, s.pos)
-, mi AS (SELECT c1.doc_id, c1.a, c1.q FROM c1 JOIN c2 USING (doc_id, a, q))
-, flt AS (SELECT doc_id, a, q FROM mi WHERE (q - a + 2) - 3 <= 6)
-SELECT doc_id, count(*)::INT AS n_intervals, min(q - a + 2)::INT AS min_width
+, mo AS (SELECT d1.doc_id, d1.a, d1.q FROM d1 JOIN d2 USING (doc_id, a, q))
+, flt2 AS (SELECT doc_id, a, q FROM mo WHERE (q - a + 2) - 3 <= 6)
+SELECT 'ordered' AS op, doc_id, count(*)::INT AS n_intervals,
+       min(q - p + 1)::INT AS min_width
 FROM flt GROUP BY doc_id
+UNION ALL
+SELECT 'contained', doc_id, count(*)::INT, -1 FROM hits GROUP BY doc_id
+UNION ALL
+SELECT 'or_phrase', doc_id, count(*)::INT, min(q - a + 2)::INT
+FROM flt2 GROUP BY doc_id
 """
 
     # keyword field: tf=1, omitted norms => length 1, per-field stats
@@ -1010,7 +1053,7 @@ FROM bandkey x JOIN bandkey y
   ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id
 """
 
-    o["dedup_jaccard"] = P + _SHINGLE_CTES + """
+    o["dedup_jaccard"] = P + _SHINGLE_CTES + f"""
 , ex AS (SELECT doc_id, unnest(shs) AS g FROM sh)
 , cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
            FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id)
@@ -1019,10 +1062,6 @@ FROM bandkey x JOIN bandkey y
             / len(list_distinct(sa.shs || sb.shs)) AS j
           FROM cand c JOIN sh sa ON sa.doc_id = c.a
                       JOIN sh sb ON sb.doc_id = c.b)
-SELECT a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.8
-"""
-
-    o["dedup_jaccard_lsh"] = P + _SHINGLE_CTES + f"""
 , shh AS (SELECT doc_id,
           ('0x' || substr(md5(g), 1, 15))::BIGINT % {D.MINHASH_P} AS h
           FROM sh, unnest(shs) u(g))
@@ -1032,15 +1071,17 @@ SELECT a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.8
 , bandkey AS (SELECT doc_id, s // 2 AS band,
               string_agg(mh::VARCHAR, ',' ORDER BY s) AS key
               FROM sig GROUP BY doc_id, s // 2)
-, cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-           FROM bandkey x JOIN bandkey y
-             ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
-, jac AS (SELECT c.a, c.b,
-          len(list_intersect(sa.shs, sb.shs))::DOUBLE
-            / len(list_distinct(sa.shs || sb.shs)) AS j
-          FROM cand c JOIN sh sa ON sa.doc_id = c.a
-                      JOIN sh sb ON sb.doc_id = c.b)
-SELECT a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.5
+, lcand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bandkey x JOIN bandkey y
+              ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)
+, ljac AS (SELECT c.a, c.b,
+           len(list_intersect(sa.shs, sb.shs))::DOUBLE
+             / len(list_distinct(sa.shs || sb.shs)) AS j
+           FROM lcand c JOIN sh sa ON sa.doc_id = c.a
+                        JOIN sh sb ON sb.doc_id = c.b)
+SELECT 'exact' AS path, a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.8
+UNION ALL
+SELECT 'lsh', a, b, round(j, 4) FROM ljac WHERE j >= 0.5
 """
 
     o["dedup_simhash"] = P + """
