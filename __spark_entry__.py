@@ -423,6 +423,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, TermQuery("en", field="role"), 100000)
     q["ft_field_term"] = ft_field_term
 
+    def ft_combined_field(sp, sf):
+        # CombinedFieldQuery (BM25F, core:search/CombinedFieldQuery.java):
+        # terms ('vector', 'en') scored as one pseudo-term over the
+        # synthetic combination of the analyzed text field (w=1) and the
+        # keyword role field (w=2): freq = tf_text + 2*[role match],
+        # df = max over (term, field), avgdl blends both fields'
+        # sumTotalTermFreq, norms come from text alone (role omits norms)
+        from lucene_spark.search.query import CombinedFieldQuery
+        s = _searcher(sp, sf)
+        q = CombinedFieldQuery(terms=("vector", "en"),
+                               fields=(("text", 1.0), ("role", 2.0)))
+        res = s.search_df(q, k=10)
+        return res.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_combined_field"] = ft_combined_field
+
     def ft_block_join_topk(sp, sf):
         # ToParentBlockJoinQuery (ScoreMode.Max): top conversations for
         # a child-turn disjunction, over the 5-turn conversation index
@@ -982,6 +999,37 @@ i AS (SELECT ln(1 + ((SELECT n FROM st) - d + 0.5) / (d + 0.5)) AS idf FROM dfq)
 SELECT doc_id, round((SELECT idf FROM i) * 1.0 / (1.0 + 1.2 * (0.25 + 0.75)), 3)
        AS score_r
 FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 100000
+"""
+
+    # combined field: pseudo-stats per CombinedFieldQuery.java:274-316 —
+    # df = max over (term, field) document freqs; docCount = max (= n,
+    # both fields cover every doc); sumTotalTermFreq = sttf_text + 2n
+    # (role contributes one token per doc at weight 2); per-doc freq =
+    # tf_text(vector) + tf_text(en) + 2*[lang='vector'] + 2*[lang='en'];
+    # norms from text alone at weight 1 -> the existing quantized ql
+    o["ft_combined_field"] = P + """
+, st2 AS (SELECT (SELECT sttf FROM st) + 2 * (SELECT n FROM st) AS sttf2,
+                 (SELECT n FROM st) AS n2)
+, dfx AS (SELECT greatest(
+            coalesce((SELECT df FROM tdict WHERE term = 'vector'), 0),
+            coalesce((SELECT df FROM tdict WHERE term = 'en'), 0),
+            (SELECT count(*) FROM documents WHERE lang = 'vector'),
+            (SELECT count(*) FROM documents WHERE lang = 'en')) AS df)
+, idf2 AS (SELECT ln(1 + ((SELECT n2 FROM st2) - df + 0.5) / (df + 0.5))
+           AS idf FROM dfx)
+, fr AS (SELECT d.doc_id,
+           coalesce(tv.tf, 0) + coalesce(te.tf, 0)
+           + (CASE WHEN d.lang = 'vector' THEN 2 ELSE 0 END)
+           + (CASE WHEN d.lang = 'en' THEN 2 ELSE 0 END) AS freq
+         FROM documents d
+         LEFT JOIN tf tv ON tv.doc_id = d.doc_id AND tv.term = 'vector'
+         LEFT JOIN tf te ON te.doc_id = d.doc_id AND te.term = 'en')
+, m AS (SELECT f.doc_id,
+          (SELECT idf FROM idf2) * f.freq
+          / (f.freq + 1.2 * (0.25 + 0.75 * q.ql
+             / ((SELECT sttf2 FROM st2) / (SELECT n2 FROM st2)))) AS s
+        FROM fr f JOIN qdl q USING (doc_id) WHERE f.freq > 0)
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
     # block join: child scores = OR-sum BM25 per doc; parent = doc//5;

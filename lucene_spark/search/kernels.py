@@ -952,6 +952,8 @@ def boolean_topk(must, should, must_not, filters, scorers_must, scorers_should,
 #   ("term",    field, term, scorer)
 #   ("phrase",  field, [terms], scorer, slop)
 #   ("synonym", field, [terms], scorer)
+#   ("combined",[(field, term, weight)], scorer, [(norm_field, weight)])
+#                                             BM25F combined field
 #   ("and",     [children])                  sum of child scores
 #   ("or",      [children])                  sum over matching children
 #   ("dismax",  [children], tie_breaker)     max + tie * rest
@@ -969,6 +971,27 @@ def boolean_topk(must, should, must_not, filters, scorers_must, scorers_should,
 
 def _empty_hits():
     return np.zeros(0, np.int64), np.zeros(0, np.float32)
+
+
+def _combined_norm_codes(norms_for, norm_fields, probe_field) -> np.ndarray:
+    """Per-doc combined norm codes for a bucket: SmallFloat re-encode of
+    Math.round(sum of weight * decoded field length) over the fields
+    that HAVE norms (MultiNormsLeafSimScorer.MultiFieldNormValues,
+    core:search/MultiNormsLeafSimScorer.java:163-174; float32
+    accumulation, Java Math.round = floor(x + 0.5f)). With no norms
+    field at all, the reference scores with the default norm 1L
+    (getNormValue's else branch) -> code 1 everywhere."""
+    from ..kernels.smallfloat import LENGTH_TABLE, int_to_byte4
+    if not norm_fields:
+        return np.ones(norms_for(probe_field).size, dtype=np.uint8)
+    total = None
+    for f, w in norm_fields:
+        ln = LENGTH_TABLE[norms_for(f).astype(np.int64) & 0xFF]
+        part = np.float32(w) * ln.astype(np.float32)
+        total = part if total is None else total + part
+    return np.asarray(
+        int_to_byte4(np.floor(total + np.float32(0.5)).astype(np.int64)),
+        dtype=np.uint8)
 
 
 def _intersect_sum(parts):
@@ -1049,6 +1072,32 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
             return _empty_hits()
         return udocs, sc.score(tfm.sum(axis=0),
                                norms_for(f)[udocs - base_doc])
+    if kind == "combined":
+        # CombinedFieldQuery: one pseudo-term over a synthetic combined
+        # field (core:search/CombinedFieldQuery.java:412-443). freq =
+        # float32 sum of weight * tf across every (field, term) posting
+        # list (CombinedFieldScorer.freq accumulates in float); norm =
+        # SmallFloat re-encode of Math.round(sum of weight * decoded
+        # length) over fields with norms (MultiNormsLeafSimScorer.java)
+        _, pairs, sc, norm_fields = node
+        parts = []
+        for f, t, w in pairs:
+            ch = get_chunk(f, t)
+            if ch is None:
+                continue
+            docs, tfs = ch.decode_all()
+            if docs.size:
+                parts.append((docs,
+                              np.float32(w) * tfs.astype(np.float32)))
+        if not parts:
+            return _empty_hits()
+        alld = np.concatenate([p[0] for p in parts])
+        allf = np.concatenate([p[1] for p in parts])
+        udocs, inv = np.unique(alld, return_inverse=True)
+        freqs = np.zeros(udocs.size, dtype=np.float32)
+        np.add.at(freqs, inv, allf)
+        codes = _combined_norm_codes(norms_for, norm_fields, pairs[0][0])
+        return udocs, sc.score(freqs, codes[udocs - base_doc])
     if kind == "and":
         parts = [eval_tree(c, get_chunk, norms_for, base_doc)
                  for c in node[1]]
@@ -1146,6 +1195,9 @@ def _tree_leaf_chunks(node, get_chunk, out: dict):
     elif kind in ("phrase", "synonym"):
         for t in node[2]:
             out.setdefault((node[1], t), get_chunk(node[1], t))
+    elif kind == "combined":
+        for f, t, _w in node[1]:
+            out.setdefault((f, t), get_chunk(f, t))
     elif kind in ("and", "or"):
         for c in node[1]:
             _tree_leaf_chunks(c, get_chunk, out)
@@ -1160,6 +1212,26 @@ def _tree_leaf_chunks(node, get_chunk, out: dict):
                 _tree_leaf_chunks(c, get_chunk, out)
     else:
         raise ValueError(f"unknown plan node {kind}")
+
+
+class _ScaledFreqBound:
+    """Bound scorer for one combined-field pair: scores the stored
+    impact skyline with tf scaled by the field weight (the pair's
+    contribution to the combined freq is weight * tf). zero_norm=True
+    replaces the stored norm with code 0 (minimum length -> maximum
+    score) for omitted-norms fields, whose baked impact norms (length
+    1) need not lower-bound the combined length."""
+
+    def __init__(self, base, weight, zero_norm: bool = False):
+        self.base = base
+        self.weight = np.float64(weight)
+        self.zero_norm = zero_norm
+
+    def score(self, freqs, norm_codes):
+        f = np.asarray(freqs, dtype=np.float64) * self.weight
+        n = (np.zeros(f.size, dtype=np.int64) if self.zero_norm
+             else norm_codes)
+        return self.base.score(f, n)
 
 
 def _window_leaf_bounds(chunk, scorer, w_lo, bound_cache):
@@ -1232,6 +1304,25 @@ def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
                                      bound_cache) for t in node[2]]
         return (np.add.reduce([v for v, _ in pairs]),
                 np.logical_or.reduce([c for _, c in pairs]))
+    if kind == "combined":
+        # per-pair bound: score the pair's stored impact skyline with
+        # tf scaled by the field weight, against the FIELD's impact
+        # norm for norm-bearing fields (combined length >= w_f * field
+        # length >= field length when every weight >= 1, and BM25-family
+        # scores decrease with length) or against code 0 (minimum
+        # length) for omitted-norms fields whose baked impact norm
+        # (length 1) can exceed the combined length of an empty-text
+        # doc. score(sum w*tf, norm) <= sum score(w*tf, .) by the same
+        # concavity argument as the synonym bound.
+        _, cpairs, sc, norm_fset = node
+        nf = {f for f, _ in norm_fset}
+        # wrappers held in a list: bound_cache keys on id(scorer)
+        wrapped = [_ScaledFreqBound(sc, w, zero_norm=f not in nf)
+                   for f, _t, w in cpairs]
+        bps = [_window_leaf_bounds(chunks[(f, t)], s2, w_lo, bound_cache)
+               for (f, t, _w), s2 in zip(cpairs, wrapped)]
+        return (np.add.reduce([v for v, _ in bps]),
+                np.logical_or.reduce([c for _, c in bps]))
     if kind == "and":
         pairs = [B(c, chunks, w_lo, bound_cache) for c in node[1]]
         out = np.add.reduce([v for v, _ in pairs])

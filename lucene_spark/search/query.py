@@ -150,6 +150,30 @@ class FieldExistsQuery:
 
 
 @dataclass(frozen=True)
+class CombinedFieldQuery:
+    """BM25F-style cross-field scoring (core:search/
+    CombinedFieldQuery.java): scores documents as if ``fields`` were one
+    synthetic combined field — per-doc freq is the float32 sum of
+    weight * tf over every (term, field) posting
+    (CombinedFieldQuery.java:430-437), the combined norm is the
+    SmallFloat re-encode of round(sum of weight * decoded field length)
+    over fields WITH norms (MultiNormsLeafSimScorer.java:166-173;
+    omitted-norms keyword fields contribute nothing), and the pseudo
+    stats blend across fields: df = max, ttf/sumTotalTermFreq =
+    weighted sums with Java long truncation, docCount = max
+    (CombinedFieldQuery.java:274-316). Weights must be >= 1 (the bound
+    and norm arguments rely on it, Builder.addField:114). Terms are
+    index terms (the BytesRef API surface) — NOT analyzed."""
+    terms: tuple
+    fields: tuple  # ((field, weight), ...)
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if any(w < 1.0 for _, w in self.fields):
+            raise ValueError("field weight must be >= 1")
+
+
+@dataclass(frozen=True)
 class PreAnalyzed:
     """Marks a query whose leaf terms are already INDEX terms (e.g.
     built from the term dictionary, like more_like_this output) — the

@@ -34,10 +34,10 @@ from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree,
                       eval_tree_topk, pack_docset, phrase_freqs,
                       score_bucket, topk_select)
-from .query import (AndQuery, BooleanQuery, ConstantScoreQuery, DisMaxQuery,
-                    FieldExistsQuery, MatchAllQuery, MultiTermQuery, OrQuery,
-                    PhraseQuery, PreAnalyzed, SynonymQuery, TermQuery,
-                    rewrite)
+from .query import (AndQuery, BooleanQuery, CombinedFieldQuery,
+                    ConstantScoreQuery, DisMaxQuery, FieldExistsQuery,
+                    MatchAllQuery, MultiTermQuery, OrQuery, PhraseQuery,
+                    PreAnalyzed, SynonymQuery, TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -47,7 +47,7 @@ PHRASE_SCHEMA = "doc_id bigint, freq int"
 def _needs_tree(query) -> bool:
     """Shapes that require the recursive tree evaluator: boolean with
     sub-query clauses, constant-score wrappers, dismax over queries."""
-    if isinstance(query, ConstantScoreQuery):
+    if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery)):
         return True
     if isinstance(query, BooleanQuery):
         return query.nested
@@ -548,6 +548,8 @@ class IndexSearcher:
                 IndexSearcher._collect_pairs(c, out, q.field)
         elif isinstance(q, ConstantScoreQuery):
             IndexSearcher._collect_pairs(q.query, out, q.field)
+        elif isinstance(q, CombinedFieldQuery):
+            out.update((f, t) for f, _w in q.fields for t in q.terms)
         else:
             raise TypeError(f"cannot collect terms of {type(q)}")
 
@@ -614,6 +616,35 @@ class IndexSearcher:
             if child is None:
                 return None
             return ("const", child, boost_mult * q.boost)
+        if isinstance(q, CombinedFieldQuery):
+            # pseudo term + collection stats blended across fields
+            # (core:search/CombinedFieldQuery.java:274-316): df = max
+            # over (field, term), ttf / sumTotalTermFreq = weighted sums
+            # with Java long truncation per += step, docCount = max
+            pairs = []
+            df = 0
+            ttf = 0
+            for f, w in q.fields:
+                ts = stats.get(f, {})
+                for t in q.terms:
+                    if t in ts:
+                        pairs.append((f, t, float(w)))
+                        df = max(df, ts[t][0])
+                        ttf = int(ttf + float(w) * ts[t][1])
+            if not pairs:
+                return None
+            dc = 0
+            sttf = 0
+            for f, w in q.fields:
+                fdc, fsttf = self._field_stats(f)
+                dc = max(dc, fdc)
+                sttf = int(sttf + float(w) * fsttf)
+            sc = self.similarity(df, dc, sttf,
+                                 boost=boost_mult * q.boost,
+                                 ttf=max(1, ttf))
+            norm_fields = tuple((f, float(w)) for f, w in q.fields
+                                if f not in self.keyword_fields)
+            return ("combined", pairs, sc, norm_fields)
         if isinstance(q, BooleanQuery):
             bm = boost_mult * q.boost
             musts = [C(c, stats, bm, q.field) for c in q.must]
