@@ -558,6 +558,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                 / F.col("nb"), 4).alias("recall_r")))
     q["ann_lsh_recall"] = ann_lsh_recall
 
+    def ann_filtered(sp, sf):
+        # metadata-filtered ANN (KnnFloatVectorQuery with a filter,
+        # core:search/KnnFloatVectorQuery.java:48), one entry, two ops:
+        # 'selective' — the filter's cardinality is <= factor*k, so the
+        #   reference-shape fallback runs EXACT search over the filtered
+        #   corpus (rows are the exact top-5: op, q_id, vec_id, cos)
+        # 'broad' — half the corpus stays eligible; the sign-LSH band
+        #   path runs on the FILTERED corpus; gated as recall@5 vs the
+        #   exact filtered top-5 (op, q_id, -1, recall)
+        emb = _embeddings(sp, sf)
+        qs = (emb.filter(F.col("vec_id") < 4)
+              .select(F.col("vec_id").alias("q_id"), "embedding"))
+        sel_res, sel_m = SIM.filtered_ann_topk(
+            emb, qs, dim=64, k=5,
+            filter_cond="label = 5 AND vec_id < 250")
+        assert sel_m == "exact", sel_m
+        sel = sel_res.select(F.lit("selective").alias("op"), "q_id",
+                             "vec_id", F.round("cos", 4).alias("v"))
+        broad_cond = "label % 2 = 0"
+        lsh_res, lsh_m = SIM.filtered_ann_topk(
+            emb, qs, dim=64, k=5, filter_cond=broad_cond, bands=8)
+        assert lsh_m == "lsh", lsh_m
+        brute = SIM.cosine_topk(emb.filter(broad_cond), qs, k=5)
+        inter = (lsh_res.select("q_id", "vec_id")
+                 .join(brute.select("q_id", "vec_id"), ["q_id", "vec_id"]))
+        rec = (brute.groupBy("q_id").agg(F.count("*").alias("nb"))
+               .join(inter.groupBy("q_id").agg(F.count("*").alias("ni")),
+                     "q_id", "left")
+               .select(F.lit("broad").alias("op"), "q_id",
+                       F.lit(-1).cast("bigint").alias("vec_id"),
+                       F.round(F.coalesce(F.col("ni"), F.lit(0))
+                               / F.col("nb"), 4).alias("v")))
+        return sel.unionByName(rec)
+    q["ann_filtered"] = ann_filtered
+
     def text_analysis(sp, sf):
         # the four text-analysis operators (token stats, quality
         # scoring, language-ID, fingerprint), one entry: each remains
@@ -1211,6 +1246,84 @@ inter AS (SELECT l.q_id, count(*) AS ni
           FROM lshtop l JOIN brutetop b USING (q_id, vec_id)
           GROUP BY l.q_id)
 SELECT b.q_id, round(coalesce(i.ni, 0)::DOUBLE / count(*), 4) AS recall_r
+FROM brutetop b LEFT JOIN inter i ON i.q_id = b.q_id
+GROUP BY b.q_id, i.ni
+"""
+
+    # filtered ANN: 'selective' replays the exact-fallback brute force
+    # over the filtered corpus; 'broad' replays the full filtered-LSH
+    # pipeline (md5 hyperplanes, 16 planes / 8 bands, band join against
+    # the FILTERED corpus, exact re-rank) and emits recall@5 vs the
+    # exact filtered top-5 — candidate membership itself is therefore
+    # value-gated, not just the recall number
+    o["ann_filtered"] = """
+WITH planes AS (
+  SELECT p, i,
+         (('0x' || substr(md5(p::VARCHAR || ':' || i::VARCHAR), 1, 12))::BIGINT::DOUBLE
+          / 140737488355328.0 - 1.0) AS c
+  FROM range(0, 16) rp(p), range(0, 64) ri(i)),
+dots AS (SELECT e.vec_id, pl.p,
+                sum(e.embedding[pl.i + 1]::DOUBLE * pl.c) AS d
+         FROM embeddings e, planes pl GROUP BY e.vec_id, pl.p),
+bits AS (SELECT vec_id,
+                sum(CASE WHEN d > 0 THEN (1::BIGINT << p) ELSE 0 END) AS sk
+         FROM dots GROUP BY vec_id),
+bandv AS (SELECT b.vec_id, rb.b, (b.sk >> (rb.b * 2)) % 4 AS key
+          FROM bits b JOIN embeddings e USING (vec_id),
+               range(0, 8) rb(b)
+          WHERE e.label % 2 = 0),
+bandq AS (SELECT vec_id, rb.b, (sk >> (rb.b * 2)) % 4 AS key
+          FROM bits, range(0, 8) rb(b) WHERE vec_id < 4),
+cand AS (SELECT DISTINCT q.vec_id AS q_id, v.vec_id
+         FROM bandq q JOIN bandv v ON q.b = v.b AND q.key = v.key
+         WHERE v.vec_id != q.vec_id),
+cosx AS (SELECT c.q_id, c.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> x.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> x.embedding[i]::DOUBLE * x.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> y.embedding[i]::DOUBLE * y.embedding[i]::DOUBLE)))) AS cos
+         FROM cand c JOIN embeddings x ON x.vec_id = c.q_id
+                     JOIN embeddings y ON y.vec_id = c.vec_id),
+lshtop AS (SELECT q_id, vec_id FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS rk FROM cosx)
+           WHERE rk <= 5),
+bcos AS (SELECT q.vec_id AS q_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 4 AND e.label % 2 = 0 AND e.vec_id != q.vec_id),
+brutetop AS (SELECT q_id, vec_id FROM (
+               SELECT *, row_number() OVER (PARTITION BY q_id
+                        ORDER BY cos DESC, vec_id) AS rk FROM bcos)
+             WHERE rk <= 5),
+inter AS (SELECT l.q_id, count(*) AS ni
+          FROM lshtop l JOIN brutetop b USING (q_id, vec_id)
+          GROUP BY l.q_id),
+scos AS (SELECT q.vec_id AS q_id, e.vec_id,
+         list_sum(list_transform(range(1, 65),
+                  i -> q.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE))
+         / (sqrt(list_sum(list_transform(range(1, 65),
+                   i -> q.embedding[i]::DOUBLE * q.embedding[i]::DOUBLE)))
+            * sqrt(list_sum(list_transform(range(1, 65),
+                   i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
+         FROM embeddings q, embeddings e
+         WHERE q.vec_id < 4 AND e.label = 5 AND e.vec_id < 250
+           AND e.vec_id != q.vec_id),
+seltop AS (SELECT q_id, vec_id, cos FROM (
+             SELECT *, row_number() OVER (PARTITION BY q_id
+                      ORDER BY cos DESC, vec_id) AS rk FROM scos)
+           WHERE rk <= 5)
+SELECT 'selective' AS op, q_id, vec_id, round(cos, 4) AS v FROM seltop
+UNION ALL
+SELECT 'broad', b.q_id, -1::BIGINT,
+       round(coalesce(i.ni, 0)::DOUBLE / count(*), 4)
 FROM brutetop b LEFT JOIN inter i ON i.q_id = b.q_id
 GROUP BY b.q_id, i.ni
 """

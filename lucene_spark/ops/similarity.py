@@ -211,3 +211,43 @@ def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     return (cand.withColumn("_rk", F.row_number().over(w))
             .filter(F.col("_rk") <= k)
             .drop("_rk"))
+
+
+def filtered_ann_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+                      k: int = 10, filter_cond: str | None = None,
+                      method: str = "lsh", fallback_factor: int = 10,
+                      n_planes: int = 16, bands: int = 4,
+                      centroids: DataFrame | None = None, n_probe: int = 4,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      q_id_col: str = "q_id") -> tuple:
+    """Metadata-filtered ANN (the KnnFloatVectorQuery-with-filter shape,
+    core:search/KnnFloatVectorQuery.java:48 + AbstractKnnVectorQuery.
+    java rewrite): ``filter_cond`` (a SQL predicate over the corpus
+    columns) restricts the eligible corpus BEFORE the approximate
+    structure is probed, so candidates are spent only on eligible rows.
+
+    Selective-filter fallback: the reference computes the filter's
+    cardinality and runs EXACT search when approximate traversal cannot
+    beat it (filterIterator.cost() <= k; visited-limit fallback). Here:
+    one pushed-down count of the filtered corpus; when it is <=
+    fallback_factor * k, brute-force cosine over the filtered set (its
+    cost is the candidate re-rank's floor anyway). Otherwise the LSH
+    band join or IVF cell probe runs on the filtered corpus.
+
+    Returns (top-k DataFrame (q_id, vec_id, cos), method_used) where
+    method_used is 'exact' | 'lsh' | 'ivf'.
+    """
+    vf = vectors.filter(filter_cond) if filter_cond else vectors
+    n_eligible = vf.count()  # metadata-sized job, pushed-down predicate
+    if n_eligible <= fallback_factor * k:
+        return (cosine_topk(vf, queries, k, id_col, vec_col, q_id_col),
+                "exact")
+    if method == "lsh":
+        return (lsh_cosine_topk(vf, queries, dim, k, n_planes, bands,
+                                id_col, vec_col, q_id_col), "lsh")
+    if method == "ivf":
+        cents = centroids if centroids is not None else ivf_train(
+            vf, id_col=id_col, vec_col=vec_col)
+        return (ivf_cosine_topk(vf, queries, cents, k, n_probe,
+                                id_col, vec_col, q_id_col), "ivf")
+    raise ValueError(f"unknown ANN method {method!r}")
