@@ -423,6 +423,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _topk_df(sp, sf, TermQuery("en", field="role"), 100000)
     q["ft_field_term"] = ft_field_term
 
+    def ft_facet_hier(sp, sf):
+        # hierarchical taxonomy faceting over the 'batch' match stream
+        # (facet/.../FastTaxonomyFacetCounts.java, DrillDownQuery,
+        # DrillSideways), taxonomy path = source/lang, one entry:
+        # 'count'    — per-level prefix counts (level 1 roots + level 2)
+        # 'drill'    — children counts under the drilled node 'src3'
+        # 'sideways' — per-dim counts with the OTHER dim's drill applied
+        #              and its own removed (drills: source=src3, lang=en)
+        from lucene_spark.ops import facets as FC
+        s = _searcher(sp, sf)
+        m = s.term_postings("batch").select("doc_id")
+        docs = (_docs(sp, sf)
+                .withColumn("path", F.concat_ws("/", "source", "lang")))
+        cnt = (FC.taxonomy_counts(m, docs, "path", max_level=2)
+               .select(F.lit("count").alias("op"), "level", "path",
+                       "n_docs"))
+        dr = (FC.drill_down(m, docs, "path", "src3")
+              .select(F.lit("drill").alias("op"), F.lit(2).alias("level"),
+                      "path", "n_docs"))
+        sw = (FC.drill_sideways(m, docs,
+                                dims={"source": "source", "lang": "lang"},
+                                drills={"source": "src3", "lang": "en"})
+              .select(F.lit("sideways").alias("op"),
+                      F.lit(-1).alias("level"),
+                      F.concat_ws("/", "dim", "value").alias("path"),
+                      "n_docs"))
+        return cnt.unionByName(dr).unionByName(sw)
+    q["ft_facet_hier"] = ft_facet_hier
+
     def ft_combined_field(sp, sf):
         # CombinedFieldQuery (BM25F, core:search/CombinedFieldQuery.java):
         # terms ('vector', 'en') scored as one pseudo-term over the
@@ -1034,6 +1063,26 @@ i AS (SELECT ln(1 + ((SELECT n FROM st) - d + 0.5) / (d + 0.5)) AS idf FROM dfq)
 SELECT doc_id, round((SELECT idf FROM i) * 1.0 / (1.0 + 1.2 * (0.25 + 0.75)), 3)
        AS score_r
 FROM documents WHERE lang = 'en' ORDER BY doc_id LIMIT 100000
+"""
+
+    o["ft_facet_hier"] = P + """
+, mt AS (SELECT DISTINCT f.doc_id FROM tf f WHERE f.term = 'batch')
+, md AS (SELECT d.doc_id, d.source, d.lang,
+                d.source || '/' || d.lang AS path
+         FROM mt JOIN documents d USING (doc_id))
+SELECT 'count' AS op, 1 AS level, source AS path,
+       count(*)::BIGINT AS n_docs FROM md GROUP BY source
+UNION ALL
+SELECT 'count', 2, path, count(*)::BIGINT FROM md GROUP BY path
+UNION ALL
+SELECT 'drill', 2, path, count(*)::BIGINT FROM md
+WHERE source = 'src3' GROUP BY path
+UNION ALL
+SELECT 'sideways', -1, 'source/' || source, count(*)::BIGINT FROM md
+WHERE lang = 'en' GROUP BY source
+UNION ALL
+SELECT 'sideways', -1, 'lang/' || lang, count(*)::BIGINT FROM md
+WHERE source = 'src3' GROUP BY lang
 """
 
     # combined field: pseudo-stats per CombinedFieldQuery.java:274-316 —
