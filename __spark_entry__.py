@@ -190,9 +190,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ft_term_dict_scan(sp, sf):
         # Term-dictionary seek family, one entry with an op tag:
-        # PrefixQuery range scan, TermRangeQuery, and the suggest-module
-        # analog (weighted prefix completion by ttf) — all pushed-down
-        # scans over the sorted termstats table
+        # PrefixQuery range scan, TermRangeQuery, and the suggest module
+        # (prefix / infix / fuzzy completion weighted by ttf,
+        # suggest/.../AnalyzingInfixSuggester.java:97 +
+        # FuzzySuggester.java) — all pushed-down scans over the sorted
+        # termstats table, top-n via TakeOrderedAndProject
         s = _searcher(sp, sf)
         ts = (sp.read.parquet(s.termstats_path)
               .filter(F.col("field") == "text"))
@@ -203,12 +205,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                          & (F.col("term") < "sort"))
                .select(F.lit("range").alias("op"), "term",
                        F.col("df").alias("v")))
-        sug = (ts.filter(F.col("term").startswith("s"))
-               .select("term", "ttf")
-               .orderBy(F.col("ttf").desc(), "term").limit(5)
+        sug = (s.suggest("s", "prefix", n=5)
                .select(F.lit("suggest").alias("op"), "term",
-                       F.col("ttf").alias("v")))
-        return prefix.unionByName(rng).unionByName(sug)
+                       F.col("weight").alias("v")))
+        inf = (s.suggest("or", "infix", n=5)
+               .select(F.lit("infix").alias("op"), "term",
+                       F.col("weight").alias("v")))
+        fz = (s.suggest("jion", "fuzzy", n=5, max_edits=2)
+              .select(F.lit("fuzzy").alias("op"), "term",
+                      F.col("weight").alias("v")))
+        return (prefix.unionByName(rng).unionByName(sug)
+                .unionByName(inf).unionByName(fz))
     q["ft_term_dict_scan"] = ft_term_dict_scan
 
     def ft_range_filter(sp, sf):
@@ -264,14 +271,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sp, sf, MultiTermQuery("regexp", "s(low|ort)"), 10)
 
     def ft_sort_by_field(sp, sf):
-        # TopFieldCollector analog: matches sorted by a doc-values field
+        # TopFieldCollector + field-sort searchAfter paging
+        # (core:search/TopFieldCollector.java create(sort, n, after)):
+        # page 1 = top-10 'vector' matches by n_chars desc; page 2
+        # resumes from page 1's last (n_chars, doc_id) cursor
+        from lucene_spark.search.query import TermQuery as TQ
         s = _searcher(sp, sf)
         docs = _docs(sp, sf).select("doc_id", "n_chars")
-        return (s.term_postings("vector")
-                .join(docs, "doc_id")
-                .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
-                .limit(10)
-                .select("doc_id", "n_chars"))
+        p1 = s.sort_search_df(TQ("vector"), "n_chars", k=10,
+                              metadata=docs)
+        last = p1.collect()[-1]
+        p2 = s.sort_search_df(TQ("vector"), "n_chars", k=10,
+                              metadata=docs,
+                              after=(last["n_chars"], last["doc_id"]))
+        return (p1.select(F.lit(1).alias("page"), "doc_id", "n_chars")
+                .unionByName(p2.select(F.lit(2).alias("page"), "doc_id",
+                                       "n_chars")))
     q["ft_sort_by_field"] = ft_sort_by_field
 
     def ft_proximity_matches(sp, sf):
@@ -802,6 +817,15 @@ UNION ALL
 SELECT 'suggest', term, ttf::BIGINT FROM (
   SELECT term, ttf FROM tdict WHERE term LIKE 's%'
   ORDER BY ttf DESC, term LIMIT 5)
+UNION ALL
+SELECT 'infix', term, ttf::BIGINT FROM (
+  SELECT term, ttf FROM tdict WHERE term LIKE '%or%'
+  ORDER BY ttf DESC, term LIMIT 5)
+UNION ALL
+SELECT 'fuzzy', term, ttf::BIGINT FROM (
+  SELECT term, ttf FROM tdict
+  WHERE length(term) BETWEEN 2 AND 6 AND levenshtein(term, 'jion') <= 2
+  ORDER BY ttf DESC, term LIMIT 5)
 """
 
     o["ft_range_filter"] = P + """
@@ -856,11 +880,18 @@ SELECT DISTINCT doc_id, 1.0 AS score_r FROM tf
 WHERE term IN ('vector', 'stream', 'window')
 """
 
+    # paging cursor == OFFSET because (n_chars desc, doc_id asc) is a
+    # total order over the match set
     o["ft_sort_by_field"] = P + """
-SELECT f.doc_id, d.n_chars
-FROM tf f JOIN documents d USING (doc_id)
-WHERE f.term = 'vector'
-ORDER BY d.n_chars DESC, f.doc_id LIMIT 10
+, m AS (SELECT f.doc_id, d.n_chars
+        FROM tf f JOIN documents d USING (doc_id)
+        WHERE f.term = 'vector')
+SELECT 1 AS page, doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM m ORDER BY n_chars DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 2, doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM m
+  ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 10)
 """
 
     o["ft_proximity_matches"] = P + """

@@ -1276,6 +1276,68 @@ class IndexSearcher:
                 for r in self.search_after_df(query, after, k,
                                               doc_filter).collect()]
 
+    def suggest(self, pattern: str, kind: str = "prefix", n: int = 5,
+                field: str | None = None, max_edits: int = 1) -> DataFrame:
+        """Suggest-module analogs over the term dictionary, weighted by
+        total term frequency: 'prefix' (the WFST completion shape,
+        suggest/.../analyzing/AnalyzingSuggester.java), 'infix'
+        (AnalyzingInfixSuggester.java:97 — contains matching, pushed
+        down into the termstats parquet scan), 'fuzzy'
+        (FuzzySuggester.java — the same banded-length pushdown +
+        levenshtein threshold FuzzyQuery expansion uses). Returns
+        (term, weight) top-n by (weight desc, term asc); the top-n is a
+        TakeOrderedAndProject over the pushed-down scan — the term
+        dictionary never materializes driver-side."""
+        f = field or self.field
+        ts = self._termstats_df(F.col("field") == f)
+        if kind == "prefix":
+            cond = F.col("term").startswith(pattern)
+        elif kind == "infix":
+            cond = F.col("term").contains(pattern)
+        elif kind == "fuzzy":
+            cond = (F.length("term").between(len(pattern) - max_edits,
+                                             len(pattern) + max_edits)
+                    & (F.levenshtein(F.col("term"), F.lit(pattern))
+                       <= max_edits))
+        else:
+            raise ValueError(f"unknown suggest kind {kind!r}")
+        return (ts.filter(cond)
+                .select("term", F.col("ttf").alias("weight"))
+                .orderBy(F.col("weight").desc(), F.col("term").asc())
+                .limit(n))
+
+    def sort_search_df(self, query, by: str, k: int = 10,
+                       desc: bool = True, after: tuple | None = None,
+                       doc_filter: str | None = None,
+                       metadata: DataFrame | None = None) -> DataFrame:
+        """TopFieldCollector analog with field-sort searchAfter paging
+        (core:search/TopFieldCollector.java, the create(sort, n, after,
+        ...) surface): matches ordered by a native doc-values column,
+        ties by doc_id asc; ``after`` = (field value, doc_id) — the last
+        hit of the previous page — resumes strictly after the cursor.
+
+        Plan shape: exhaustive match stream -> equi-join with the
+        (doc_id, by) projection of the docstore (or a caller-provided
+        ``metadata`` doc-values table) -> cursor predicate -> global
+        orderBy(by, doc_id).limit(k). Catalyst plans the tail as
+        TakeOrderedAndProject (per-partition partial top-k before the
+        single-reduce merge — the TopFieldCollector merge), and the
+        cursor filter applies BEFORE the top-k so no page loses hits;
+        the reference's after-comparator skip does the same during
+        collection."""
+        m = self.matches_df(query, doc_filter).select("doc_id")
+        ds = (metadata if metadata is not None
+              else read_table(self.spark, self.docstore_paths))
+        j = m.join(ds.select("doc_id", by), "doc_id")
+        if after is not None:
+            v, d = after
+            nxt = (F.col(by) < F.lit(v)) if desc else (F.col(by) > F.lit(v))
+            j = j.filter(nxt | ((F.col(by) == F.lit(v))
+                                & (F.col("doc_id") > F.lit(int(d)))))
+        order = (F.col(by).desc() if desc else F.col(by).asc(),
+                 F.col("doc_id").asc())
+        return j.orderBy(*order).limit(k)
+
     def explain(self, query, doc_id: int) -> dict:
         """Score explanation for one (query, doc) — the Weight.explain
         analog (core:search/TermQuery.java explain path): per-term tf,
