@@ -496,7 +496,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_block_join_topk"] = ft_block_join_topk
 
     def pc_percolate(sp, sf):
-        # Monitor/percolator: documents matched against stored queries
+        # Monitor/percolator, both registration surfaces in one entry:
+        # q0-q4 via the flat stored-query table; q5-q7 via
+        # Monitor.register with ARBITRARY query trees (nested boolean
+        # with msm + must_not, a prefix MultiTermQuery — the ANYTOKEN
+        # presearcher path — and a phrase-must + filter boolean),
+        # candidates pruned by the QueryAnalyzer presearcher term sets
+        from lucene_spark.search.query import (BooleanQuery as BQ,
+                                               MultiTermQuery as MTQ,
+                                               PhraseQuery as PQ)
         queries_df = PC.stored_queries(sp, [
             ("q0", "term", ["dup"]),
             ("q1", "and", ["slow", "fast"]),
@@ -504,7 +512,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ("q3", "and", ["scan", "sort", "merge"]),
             ("q4", "phrase", ["slow", "fast"]),
         ])
-        return PC.percolate(_docs(sp, sf), queries_df)
+        flat = PC.percolate(_docs(sp, sf), queries_df)
+        registered = [
+            ("q5", BQ(must=("slow",), should=("vector", "stream"),
+                      min_should_match=1, must_not=("dup",))),
+            ("q6", MTQ("prefix", "qu")),
+            ("q7", BQ(must=(PQ(("slow", "fast")),), filter_=("batch",))),
+        ]
+        arb = PC.percolate_registered(_docs(sp, sf), registered)
+        return flat.unionByName(arb)
     q["pc_percolate"] = pc_percolate
 
     def ev_window_agg(sp, sf):
@@ -1174,6 +1190,20 @@ SELECT 'q3', doc_id FROM tf WHERE term IN ('scan', 'sort', 'merge')
 GROUP BY doc_id HAVING count(*) = 3
 UNION ALL
 SELECT 'q4', doc_id FROM (SELECT DISTINCT doc_id FROM ph)
+UNION ALL
+SELECT 'q5', f.doc_id FROM tf f
+WHERE f.term = 'slow'
+  AND EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = f.doc_id
+              AND x.term IN ('vector', 'stream'))
+  AND NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = f.doc_id
+                  AND x.term = 'dup')
+UNION ALL
+SELECT 'q6', doc_id FROM (SELECT DISTINCT doc_id FROM tf
+                          WHERE term LIKE 'qu%')
+UNION ALL
+SELECT 'q7', p.doc_id FROM (SELECT DISTINCT doc_id FROM ph) p
+WHERE EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = p.doc_id
+              AND x.term = 'batch')
 """
 
     o["ev_window_agg"] = """

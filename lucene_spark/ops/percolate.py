@@ -95,3 +95,213 @@ def percolate_stream(stream_docs: DataFrame, queries: DataFrame,
     else:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# ---------------------------------------------------------------------------
+# Monitor with ARBITRARY query shapes + presearcher
+# (monitor/src/java/org/apache/lucene/monitor/QueryAnalyzer.java,
+#  Monitor.java register/match)
+# ---------------------------------------------------------------------------
+
+ANYTOKEN = None  # QueryAnalyzer's ANYTOKEN: query must see every doc
+
+
+def presearcher_terms(q):
+    """QueryAnalyzer.java's term extraction: the minimal term set such
+    that any matching document must contain at least one of them.
+    Conjunctions pick the smallest required child's set (any required
+    child is a valid filter); disjunctions union their children.
+    Returns a set of terms, or ANYTOKEN (None) when no finite set
+    exists (MultiTermQuery / MatchAll / pure-negation shapes)."""
+    from ..search.query import (AndQuery, BooleanQuery, ConstantScoreQuery,
+                                DisMaxQuery, MatchAllQuery, MultiTermQuery,
+                                OrQuery, PhraseQuery, SynonymQuery,
+                                TermQuery)
+    if isinstance(q, str):
+        return {q}
+    if isinstance(q, TermQuery):
+        return {q.term}
+    if isinstance(q, (AndQuery, PhraseQuery)):
+        # required children: any single term is a valid presearcher set
+        return {min(q.terms, key=lambda t: (len(t), t))} if q.terms \
+            else ANYTOKEN
+    if isinstance(q, (OrQuery, SynonymQuery)):
+        return set(q.terms) if q.terms else ANYTOKEN
+    if isinstance(q, DisMaxQuery):
+        out = set()
+        for c in q.terms_:
+            s = presearcher_terms(c)
+            if s is ANYTOKEN:
+                return ANYTOKEN
+            out |= s
+        return out or ANYTOKEN
+    if isinstance(q, ConstantScoreQuery):
+        return presearcher_terms(q.query)
+    if isinstance(q, BooleanQuery):
+        required = list(q.must) + list(q.filter_)
+        best = ANYTOKEN
+        for c in required:
+            s = presearcher_terms(c)
+            if s is not ANYTOKEN and (best is ANYTOKEN
+                                      or len(s) < len(best)):
+                best = s
+        if best is not ANYTOKEN:
+            return best
+        if q.should:
+            out = set()
+            for c in q.should:
+                s = presearcher_terms(c)
+                if s is ANYTOKEN:
+                    return ANYTOKEN
+                out |= s
+            return out
+        return ANYTOKEN
+    if isinstance(q, (MultiTermQuery, MatchAllQuery)):
+        return ANYTOKEN
+    raise TypeError(f"cannot analyze {type(q)}")
+
+
+def _lev(a: str, b: str) -> int:
+    """Plain DP Levenshtein (verification runs only on presearcher
+    candidates; patterns and tokens are short)."""
+    if a == b:
+        return 0
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def _mtq_match(q, terms) -> bool:
+    import re as _re
+    if q.kind == "prefix":
+        return any(t.startswith(q.pattern) for t in terms)
+    if q.kind == "wildcard":
+        rx = _re.compile("".join(
+            ".*" if c == "*" else "." if c == "?" else _re.escape(c)
+            for c in q.pattern))
+        return any(rx.fullmatch(t) for t in terms)
+    if q.kind == "regexp":
+        rx = _re.compile(q.pattern)
+        return any(rx.fullmatch(t) for t in terms)
+    if q.kind == "fuzzy":
+        p = q.pattern
+        return any(abs(len(t) - len(p)) <= q.max_edits
+                   and _lev(t, p) <= q.max_edits for t in terms)
+    if q.kind == "range":
+        lo, hi = q.pattern
+        return any((lo is None or t >= lo) and (hi is None or t < hi)
+                   for t in terms)
+    if q.kind == "set":
+        return any(t in q.pattern for t in terms)
+    raise ValueError(f"unknown MTQ kind {q.kind!r}")
+
+
+def doc_match(q, toks: list, tset: set) -> bool:
+    """Match ONE document's token stream against an arbitrary query
+    tree (the Monitor's candidate-verification step, CandidateMatcher).
+    Boolean semantics mirror the engine's scorer tree; phrase slop uses
+    the same SloppyPhraseMatcher sweep as the brute-force oracle."""
+    from ..search.oracle import BruteForceOracle as _B
+    from ..search.query import (AndQuery, BooleanQuery, ConstantScoreQuery,
+                                DisMaxQuery, MatchAllQuery, MultiTermQuery,
+                                OrQuery, PhraseQuery, SynonymQuery,
+                                TermQuery)
+    if isinstance(q, str):
+        return q in tset
+    if isinstance(q, TermQuery):
+        return q.term in tset
+    if isinstance(q, AndQuery):
+        return all(t in tset for t in q.terms)
+    if isinstance(q, (OrQuery, SynonymQuery)):
+        return any(t in tset for t in q.terms)
+    if isinstance(q, PhraseQuery):
+        terms = list(q.terms)
+        if any(t not in tset for t in terms):
+            return False
+        if q.slop > 0:
+            return _B._sloppy_freq_true(toks, terms, q.slop) > 0
+        return _B._phrase_freq(toks, terms) > 0
+    if isinstance(q, DisMaxQuery):
+        return any(doc_match(c, toks, tset) for c in q.terms_)
+    if isinstance(q, ConstantScoreQuery):
+        return doc_match(q.query, toks, tset)
+    if isinstance(q, MatchAllQuery):
+        return True
+    if isinstance(q, MultiTermQuery):
+        return _mtq_match(q, tset)
+    if isinstance(q, BooleanQuery):
+        if not all(doc_match(c, toks, tset)
+                   for c in list(q.must) + list(q.filter_)):
+            return False
+        if any(doc_match(c, toks, tset) for c in q.must_not):
+            return False
+        n_should = sum(doc_match(c, toks, tset) for c in q.should)
+        need = max(q.min_should_match, 0 if q.must else 1)
+        if q.should or not q.must:
+            return n_should >= need
+        return True
+    raise TypeError(f"cannot match {type(q)}")
+
+
+def percolate_registered(docs: DataFrame, registered: list,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Percolate documents against ARBITRARY registered queries
+    (Monitor.register(Query...) + match, monitor/Monitor.java:42).
+
+    Stage 1 (presearcher): each query's QueryAnalyzer term set is
+    exploded and broadcast; docs join it on their distinct tokens —
+    only (query, doc) pairs sharing a presearcher term survive.
+    ANYTOKEN queries (MTQs etc.) pair with every doc, as in the
+    reference's ANYTOKEN posting.
+    Stage 2 (verify): candidates are verified per doc against the full
+    query tree in an Arrow-batched kernel; the registry rides the
+    closure (broadcast once per stage, queries are metadata-sized).
+    """
+    import pandas as pd
+
+    spark = docs.sparkSession
+    reg = dict(registered)
+    rows, any_ids = [], []
+    for qid, q in registered:
+        s = presearcher_terms(q)
+        if s is ANYTOKEN:
+            any_ids.append(qid)
+        else:
+            rows.extend((qid, t) for t in sorted(s))
+    toks_full = (docs.select(F.col(id_col).alias("doc_id"),
+                             tokens_expr(text_col).alias("toks")))
+    cands = None
+    if rows:
+        pre = spark.createDataFrame(rows, "query_id string, term string")
+        toks = toks_full.select(
+            "doc_id", F.explode(F.array_distinct("toks")).alias("term"))
+        cands = (toks.join(F.broadcast(pre), "term")
+                 .select("query_id", "doc_id").dropDuplicates())
+    if any_ids:
+        anyq = spark.createDataFrame([(i,) for i in any_ids],
+                                     "query_id string")
+        allpairs = toks_full.select("doc_id").join(F.broadcast(anyq))
+        cands = allpairs if cands is None else cands.unionByName(allpairs)
+    if cands is None:
+        return spark.createDataFrame([], "query_id string, doc_id bigint")
+
+    joined = cands.join(toks_full, "doc_id")
+
+    def verify(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            keep = [bool(doc_match(reg[qid], list(tk), set(tk)))
+                    for qid, tk in zip(pdf["query_id"], pdf["toks"])]
+            out = pdf.loc[keep, ["query_id", "doc_id"]]
+            if len(out):
+                yield out
+
+    return joined.mapInPandas(verify, "query_id string, doc_id bigint")
