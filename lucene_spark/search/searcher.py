@@ -1439,22 +1439,33 @@ class IndexSearcher:
         nm = nm.join(live_df, "bucket_id", "left")
         has_filter = doc_filter is not None
 
+        # byte-popcount LUT; bitmaps are packbits output, so bits past
+        # num_docs are zero-padded and whole-buffer popcount is exact
+        popc = np.unpackbits(np.arange(256, dtype=np.uint8)[:, None],
+                             axis=1).sum(axis=1).astype(np.int64)
+
         def cnt(batches):
             for pdf in batches:
-                total = 0
-                for _, row in pdf.iterrows():
-                    nd = int(row["num_docs"])
-                    keep = np.ones(nd, dtype=bool)
-                    if has_filter:
-                        keep &= np.unpackbits(np.frombuffer(
-                            bytes(row["doc_bitmap"]), np.uint8),
-                            count=nd).astype(bool)
-                    if row["live"] is not None:
-                        keep &= np.unpackbits(np.frombuffer(
-                            bytes(row["live"]), np.uint8),
-                            count=nd).astype(bool)
-                    total += int(keep.sum())
-                yield pd.DataFrame({"n": [total]})
+                nd = pdf["num_docs"].to_numpy(np.int64)
+                live = pdf["live"]
+                filt = pdf["doc_bitmap"] if has_filter else None
+                plain = 0
+                parts = []  # O(1) buffer handles per row; popcount is
+                # ONE LUT pass over the batch-stacked bytes
+                for i in range(len(pdf)):
+                    f = filt.iloc[i] if has_filter else None
+                    lv = live.iloc[i]
+                    if f is None and lv is None:
+                        plain += int(nd[i])
+                    elif f is not None and lv is not None:
+                        parts.append(np.frombuffer(bytes(f), np.uint8)
+                                     & np.frombuffer(bytes(lv), np.uint8))
+                    else:
+                        parts.append(np.frombuffer(
+                            bytes(f if f is not None else lv), np.uint8))
+                bits = (int(popc[np.concatenate(parts)].sum())
+                        if parts else 0)
+                yield pd.DataFrame({"n": [plain + bits]})
 
         row = nm.mapInPandas(cnt, "n bigint").agg(
             F.coalesce(F.sum("n"), F.lit(0))).collect()[0]
@@ -1475,7 +1486,10 @@ class IndexSearcher:
             chunks_df = chunks_df.join(live_df, "bucket_id", "left")
 
         def run(batches):
+            # one output frame per Arrow batch (not per bucket row):
+            # the per-row work is the vectorized block decode itself
             for pdf in batches:
+                ds, fs = [], []
                 for row in pdf.itertuples(index=False):
                     ch = TermChunk(row.blocks, [0.0] * len(row.blocks))
                     if has_live and getattr(row, "live", None) is not None:
@@ -1483,8 +1497,12 @@ class IndexSearcher:
                             bytes(row.live), int(row.base_doc),
                             int(row.num_docs)))
                     docs, tfs = ch.decode_all()
-                    yield pd.DataFrame({"doc_id": docs.astype(np.int64),
-                                        "tf": tfs.astype(np.int32)})
+                    ds.append(docs)
+                    fs.append(tfs)
+                if ds:
+                    yield pd.DataFrame(
+                        {"doc_id": np.concatenate(ds).astype(np.int64),
+                         "tf": np.concatenate(fs).astype(np.int32)})
 
         return chunks_df.mapInPandas(run, schema=POSTING_SCHEMA)
 
