@@ -150,19 +150,34 @@ def main():
         ref_wall = time.time() - t0
         queries["ref_set_40"] = round(ref_wall, 3)
 
-        # training-data ops at bench scale
+        # training-data ops at bench scale — same convention as q_*:
+        # median of 3 steady-state reps, first (cold) rep reported
+        # separately. Rationale (r03 verdict "what's wrong" #2): the
+        # r01->r03 op_minhash/op_ann drift was single-shot COLD numbers
+        # folding whole-stage-codegen compile + first parquet scan into
+        # the op; a 4-rep A/B at sf0.1/local[32] measured op_minhash
+        # cold ~8-15 s vs 0.6-1.0 s steady, with the operator code
+        # byte-identical to r01 — the plan was never the residual.
         from lucene_spark.ops import dedup as D
         from lucene_spark.ops import similarity as SIM
         raw = E._docs(spark, sf_dir)
-        t0 = time.time()
-        D.minhash_pairs(raw, num_hashes=8, bands=4).count()
-        queries["op_minhash"] = round(time.time() - t0, 3)
         emb = E._embeddings(spark, sf_dir)
         qs = (emb.filter(F.col("vec_id") < 16)
               .select(F.col("vec_id").alias("q_id"), "embedding"))
-        t0 = time.time()
-        SIM.cosine_topk(emb, qs, k=10).count()
-        queries["op_ann"] = round(time.time() - t0, 3)
+        cold = {}
+        for name, fn in (
+                ("op_minhash",
+                 lambda: D.minhash_pairs(raw, num_hashes=8,
+                                         bands=4).count()),
+                ("op_ann",
+                 lambda: SIM.cosine_topk(emb, qs, k=10).count())):
+            reps = []
+            for i in range(4):
+                t0 = time.time()
+                fn()
+                reps.append(time.time() - t0)
+            cold[name] = round(reps[0], 3)
+            queries[name] = round(sorted(reps[1:])[1], 3)
 
         ft_lat = sorted(v for k, v in queries.items() if k.startswith("q_"))
         p50 = ft_lat[len(ft_lat) // 2] if ft_lat else None
@@ -171,11 +186,13 @@ def main():
             "metric": "e2e_sec",
             "value": total,
             "unit": "sec",
-            "method": "q_* = median of 3 steady-state reps; "
+            "method": "q_*/op_* = median of 3 steady-state reps; "
                       "first_query_cold_sec = fresh-searcher first query "
-                      "incl. term-dictionary cache load",
+                      "incl. term-dictionary cache load; op_cold_sec = "
+                      "first op rep incl. codegen compile + cold scan",
             "queries": queries,
             "first_query_cold_sec": q_cold,
+            "op_cold_sec": cold,
             "p50_query_sec": p50,
             "ref_queries_per_sec": round(40.0 / ref_wall, 1),
             "sf": sf,
