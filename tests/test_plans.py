@@ -89,3 +89,48 @@ def test_merge_has_no_broadcast_and_one_shuffle(spark, small_index):
     shuffles = re.findall(r"\(\d+\) Exchange\b", plan)
     assert len(shuffles) == 1
     assert "hashpartitioning(term_h" in plan
+
+
+def test_sort_search_is_take_ordered_with_cursor_pushed(searcher):
+    """Field-sort paging: the plan must end in TakeOrderedAndProject
+    (per-partition partial top-k) with the cursor as a Filter BEFORE
+    the ordering — the TopFieldCollector-after analog, not a global
+    sort + offset."""
+    df = searcher.sort_search_df(TermQuery("w000001"), "token_count",
+                                 k=5, after=(12, 99))
+    plan = _formatted(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "token_count" in plan
+    # no un-partitioned Window (the r03 ivf_train anti-pattern)
+    assert "Window" not in plan
+
+
+def test_taxonomy_counts_no_python_udf(spark, searcher):
+    """Facet counting must stay whole-stage-codegen Catalyst: no
+    Python UDF / mapInPandas nodes, one hash aggregate pair."""
+    from lucene_spark.ops import facets as FC
+    import pyspark.sql.functions as F
+    m = searcher.term_postings("w000001").select("doc_id")
+    docs = (spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws("/", F.lit("a"), (F.col("id") % 3).cast("string"))
+        .alias("path")))
+    plan = _formatted(FC.taxonomy_counts(m, docs, "path"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_filtered_ann_pushes_label_filter(spark):
+    """The metadata predicate must reach the embeddings parquet scan
+    as a pushed filter, so only eligible row groups are read."""
+    from lucene_spark.ops import similarity as SIM
+    import pyspark.sql.functions as F
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    qs = (emb.filter(F.col("vec_id") < 2)
+          .select(F.col("vec_id").alias("q_id"), "embedding"))
+    res, method = SIM.filtered_ann_topk(emb, qs, dim=64, k=5,
+                                        filter_cond="label = 5")
+    plan = _formatted(res)
+    assert "PushedFilters" in plan
+    after = plan.split("PushedFilters", 1)[1]
+    assert "EqualTo(label,5)" in after[:200] or "label" in after[:200]
