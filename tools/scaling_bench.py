@@ -71,7 +71,7 @@ def run_level(cpus: int, convs: int, buckets: int, src: str,
     out = subprocess.run(
         [sys.executable, "-c", script, str(cpus), str(convs), str(buckets),
          src, str(trials)],
-        capture_output=True, text=True, timeout=3000)
+        capture_output=True, text=True, timeout=7200)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
