@@ -354,6 +354,7 @@ class IndexBuilder:
         spark = self.spark
         n = self.num_buckets
         field = self.field
+        an = self.analyzer
 
         counts = (transcripts.groupBy("conv_id")
                   .agg(F.count("*").alias("n_turns"))
@@ -399,7 +400,11 @@ class IndexBuilder:
                 # straddle Arrow batches)
                 doc_ids = (pdf["base"].to_numpy(dtype=np.int64)
                            + pdf["turn_idx"].to_numpy(dtype=np.int64))
-                counts_ = tokenize_series(pdf[field]).str.len().to_numpy(dtype=np.int64)
+                # computeNorm runs on the POST-FILTER token stream
+                # (FieldInvertState.length excludes stopped tokens), so
+                # counts go through the field's analyzer chain
+                counts_ = (analyze_series(pdf[field], an)
+                           .str.len().to_numpy(dtype=np.int64))
                 yield pd.DataFrame({
                     "doc_id": doc_ids,
                     "conv_id": pdf["conv_id"].to_numpy(),

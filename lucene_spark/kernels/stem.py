@@ -188,3 +188,38 @@ def stem_unique(uniques) -> np.ndarray:
     for i, u in enumerate(uniques):
         out[i] = porter_stem(u) if u.isascii() and u.isalpha() else u
     return out
+
+
+# EnglishAnalyzer's default stop set (analysis/common/.../en/
+# EnglishAnalyzer.java ENGLISH_STOP_WORDS_SET — the classic 33-word
+# list, public since the original Lucene StandardAnalyzer)
+ENGLISH_STOP_WORDS = frozenset((
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such",
+    "that", "the", "their", "then", "there", "these", "they", "this",
+    "to", "was", "will", "with"))
+
+
+def strip_possessive(t: str) -> str:
+    """EnglishPossessiveFilter (analysis/common/.../en/
+    EnglishPossessiveFilter.java): drop a trailing 's / ’s."""
+    if len(t) >= 2 and t.endswith("s") and t[-2] in "'’":
+        return t[:-2]
+    return t
+
+
+def english_unique(uniques) -> np.ndarray:
+    """The EnglishAnalyzer chain over a factorized batch vocabulary:
+    possessive strip -> stop filter (stopped tokens map to '', removed
+    by the caller) -> Porter stem. Mirrors EnglishAnalyzer.java's
+    createComponents: StandardTokenizer -> EnglishPossessiveFilter ->
+    LowerCaseFilter -> StopFilter -> PorterStemFilter (lowercasing
+    already happened in the tokenizer)."""
+    out = np.empty(len(uniques), dtype=object)
+    for i, u in enumerate(uniques):
+        t = strip_possessive(u)
+        if t in ENGLISH_STOP_WORDS:
+            out[i] = ""
+        else:
+            out[i] = porter_stem(t) if t.isascii() and t.isalpha() else t
+    return out

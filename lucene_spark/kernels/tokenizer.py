@@ -98,25 +98,29 @@ def tokenize_one(text: str) -> list:
 # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java)
 # ---------------------------------------------------------------------------
 
-ANALYZERS = ("standard", "porter")
+ANALYZERS = ("standard", "porter", "english")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     """text -> list[str] tokens through the named analyzer chain.
 
     'standard' = StandardAnalyzer (tokenize + lowercase, empty stopset);
-    'porter'   = standard + PorterStemFilter. Stemming is vectorized at
-    the batch-vocabulary level: flatten, factorize, stem only the
-    UNIQUE tokens (Zipf: orders of magnitude fewer than total), take.
-    Token COUNT is analyzer-invariant (PorterStemFilter rewrites tokens,
-    never drops them), so norms/token_count stay chain-independent.
+    'porter'   = standard + PorterStemFilter;
+    'english'  = EnglishAnalyzer (possessive strip + the 33-word stop
+                 set + Porter stem). Chains are vectorized at the
+                 batch-vocabulary level: flatten, factorize, transform
+                 only the UNIQUE tokens (Zipf: orders of magnitude fewer
+                 than total), take. Token COUNT is invariant for
+                 'porter' (rewrites, never drops); 'english' REMOVES
+                 stop tokens — the indexer computes norms/token_count
+                 from this chain's output, and removed tokens leave no
+                 position hole (the StopFilter
+                 enablePositionIncrements=false behavior; documented
+                 deviation from the modern default, which keeps gaps).
     """
     toks = tokenize_series(texts)
     if analyzer == "standard":
         return toks
-    if analyzer != "porter":
-        raise ValueError(f"unknown analyzer {analyzer!r}")
-    from .stem import stem_unique
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:
@@ -125,9 +129,22 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                            else np.empty(0, object) for t in toks])
     import pandas as _pd
     codes, uniq = _pd.factorize(flat)
-    stemmed = stem_unique(uniq)[codes]
-    bounds = np.cumsum(lens)[:-1]
-    return pd.Series([list(x) for x in np.split(stemmed, bounds)],
+    if analyzer == "porter":
+        from .stem import stem_unique
+        mapped = stem_unique(uniq)[codes]
+        bounds = np.cumsum(lens)[:-1]
+        return pd.Series([list(x) for x in np.split(mapped, bounds)],
+                         index=toks.index)
+    if analyzer != "english":
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    from .stem import english_unique
+    mapped = english_unique(uniq)[codes]
+    keep = mapped != ""
+    row_idx = np.repeat(np.arange(lens.size), lens)[keep]
+    kept = mapped[keep]
+    counts = np.bincount(row_idx, minlength=lens.size)
+    bounds = np.cumsum(counts)[:-1]
+    return pd.Series([list(x) for x in np.split(kept, bounds)],
                      index=toks.index)
 
 
@@ -136,20 +153,39 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     toks = tokenize_one(text)
     if analyzer == "standard":
         return toks
-    if analyzer != "porter":
+    if analyzer == "porter":
+        from .stem import porter_stem
+        return [porter_stem(t) if t.isascii() and t.isalpha() else t
+                for t in toks]
+    if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
-    from .stem import porter_stem
-    return [porter_stem(t) if t.isascii() and t.isalpha() else t
-            for t in toks]
+    from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
+    out = []
+    for t in toks:
+        t = strip_possessive(t)
+        if t in ENGLISH_STOP_WORDS:
+            continue
+        out.append(porter_stem(t) if t.isascii() and t.isalpha() else t)
+    return out
 
 
 def analyze_term(term: str, analyzer: str = "standard") -> str:
     """One already-tokenized query term through the chain's filters
-    (lowercase + stem) — what QueryParser does to a single term slot."""
+    (lowercase + possessive + stem) — what QueryBuilder does to a
+    single term slot. A stop word analyzes to itself: stopped terms
+    are simply absent from an 'english' index, so the clause matches
+    nothing (the classic QueryParser drops the clause instead —
+    documented deviation for required clauses)."""
     if analyzer == "standard":
         return term
-    if analyzer != "porter":
+    if analyzer == "porter":
+        from .stem import porter_stem
+        t = term.lower()
+        return porter_stem(t) if t.isascii() and t.isalpha() else t
+    if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
-    from .stem import porter_stem
-    t = term.lower()
+    from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
+    t = strip_possessive(term.lower())
+    if t in ENGLISH_STOP_WORDS:
+        return t
     return porter_stem(t) if t.isascii() and t.isalpha() else t

@@ -38,7 +38,7 @@ from ..index.builder import (DOCSTORE_SCHEMA, NORMS_SCHEMA, POSTINGS_SCHEMA,
                              _pack_norms)
 from ..index.catalog import IndexCatalog, read_table
 from ..kernels.smallfloat import int_to_byte4
-from ..kernels.tokenizer import tokenize_series
+from ..kernels.tokenizer import analyze_series
 
 
 class NRTIndexWriter:
@@ -152,7 +152,8 @@ class NRTIndexWriter:
                 doc_ids = (base0 + boff.value[pid] + local
                            + np.arange(len(pdf), dtype=np.int64))
                 local += len(pdf)
-                counts_ = tokenize_series(pdf[field]).str.len().to_numpy(np.int64)
+                counts_ = (analyze_series(pdf[field], an)
+                           .str.len().to_numpy(np.int64))
                 yield pd.DataFrame({
                     "doc_id": doc_ids,
                     "conv_id": pdf["conv_id"].to_numpy(),
