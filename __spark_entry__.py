@@ -101,16 +101,19 @@ def _searcher_conv(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     return IndexSearcher(spark, out)
 
 
-def _searcher_stem(spark: SparkSession, sf_dir: str) -> IndexSearcher:
-    """Index built with the EnglishAnalyzer-style chain on 'text'
-    (StandardTokenizer + lowercase + PorterStemFilter): corpus terms are
-    stored STEMMED, query terms are stemmed at search time."""
-    key = (_FORMAT_VERSION + "_stem_"
+def _searcher_stem(spark: SparkSession, sf_dir: str,
+                   chain: str = "porter") -> IndexSearcher:
+    """Index built with a stemming analyzer chain on 'text':
+    'porter' = StandardTokenizer + lowercase + PorterStemFilter;
+    'english' = the full EnglishAnalyzer (possessive strip + stop set
+    + Porter stem). Corpus terms are stored analyzed, query terms go
+    through the same chain at search time."""
+    key = (_FORMAT_VERSION + f"_{chain}_"
            + re.sub(r"\W+", "_", os.path.abspath(sf_dir)))
     out = os.path.join(_CACHE_ROOT, key)
     if not IndexCatalog(out).has_table("postings"):
         build_index(spark, _as_transcripts(_docs(spark, sf_dir)), out,
-                    num_buckets=4, analyzers={"text": "porter"})
+                    num_buckets=4, analyzers={"text": chain})
     return IndexSearcher(spark, out)
 
 
@@ -345,20 +348,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_parsed_query"] = ft_parsed_query
 
     def ft_stemmed_topk(sp, sf):
-        # EnglishAnalyzer slice (StandardTokenizer + PorterStemFilter,
-        # analysis/common/.../en/PorterStemFilter.java): the index
-        # stores stems, query terms are stemmed at search time, BM25
-        # stats are computed over stems. "merging"/"queries"/"tables"
-        # never occur in the corpus — they match via the stem classes
-        # merg/queri/tabl, whose complete corpus inflection classes are
-        # {merge}/{query}/{table} (verified over the full sf0.001/0.01/
-        # 0.1 vocabularies; the pytest suite covers multi-member class
-        # merging on a corpus with merge/merges/merged)
-        s = _searcher_stem(sp, sf)
-        res = s.search_df(OrQuery(("merging", "queries", "tables")), k=10)
-        return res.select(
-            "doc_id",
-            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+        # Analysis chains end-to-end, one entry with an op tag:
+        # 'porter'  — StandardAnalyzer + PorterStemFilter: the index
+        #   stores stems, query terms are stemmed at search time, BM25
+        #   stats are computed over stems. "merging"/"queries"/"tables"
+        #   never occur in the corpus — they match via the stem classes
+        #   merg/queri/tabl, whose complete corpus inflection classes
+        #   are {merge}/{query}/{table} (verified over the full
+        #   sf0.001/0.01/0.1 vocabularies; the pytest suite covers
+        #   multi-member class merging)
+        # 'english' — the full EnglishAnalyzer (possessive strip +
+        #   33-word stop set + Porter stem): stop words drop out of
+        #   the stream, so dl/avgdl and every BM25 stat move — the
+        #   oracle recomputes the whole prelude over the stop-filtered
+        #   stream
+        sp_ = _searcher_stem(sp, sf, "porter")
+        a = (sp_.search_df(OrQuery(("merging", "queries", "tables")), k=10)
+             .select(F.lit("porter").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        se = _searcher_stem(sp, sf, "english")
+        b = (se.search_df(OrQuery(("merging", "queries", "tables")), k=10)
+             .select(F.lit("english").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        return a.unionByName(b)
     q["ft_stemmed_topk"] = ft_stemmed_topk
 
     def ft_search_after(sp, sf):
@@ -1002,17 +1016,46 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
-    # stemmed index: on this corpus every vocabulary token stems to a
+    # stemmed indexes: on this corpus every vocabulary token stems to a
     # UNIQUE stem (verified: no two corpus tokens share a Porter stem),
-    # so the stemmed index's stats are a 1:1 term rename and the oracle
-    # scores the inflection-class members that DO occur in the corpus —
-    # merging->merg<-{merge}, queries->queri<-{query}, tables->tabl<-{table}
+    # so both chains' stats are a 1:1 term rename and the oracle scores
+    # the inflection-class members that DO occur in the corpus —
+    # merging->merg<-{merge}, queries->queri<-{query}, tables->tabl<-
+    # {table}. The english chain ALSO removes the 33 stop words, so its
+    # half recomputes dl/avgdl/df over the stop-filtered stream.
+    _STOPS = ("'a','an','and','are','as','at','be','but','by','for','if',"
+              "'in','into','is','it','no','not','of','on','or','such',"
+              "'that','the','their','then','there','these','they','this',"
+              "'to','was','will','with'")
     o["ft_stemmed_topk"] = P + f"""
 , m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         WHERE f.term IN ('merge', 'query', 'table')
         GROUP BY f.doc_id)
-SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+, toke AS (SELECT doc_id,
+           list_filter(toks, x -> x NOT IN ({_STOPS})) AS etoks FROM tok)
+, dle AS (SELECT doc_id, len(etoks) AS dl FROM toke)
+, qdle AS (SELECT d.doc_id, lut.ql::DOUBLE AS ql
+           FROM dle d JOIN lut ON d.dl = lut.l)
+, ste AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sttf FROM dle)
+, tfe AS (SELECT doc_id, unnest(etoks) AS term, 1 AS one FROM toke)
+, tfe2 AS (SELECT doc_id, term, count(*)::DOUBLE AS tf FROM tfe
+           GROUP BY doc_id, term)
+, idfe AS (SELECT term, ln(1 + ((SELECT n FROM ste) - count(*) + 0.5)
+                          / (count(*) + 0.5)) AS idf
+           FROM tfe2 GROUP BY term)
+, me AS (SELECT f.doc_id,
+         sum(i.idf * f.tf / (f.tf + 1.2 * (0.25 + 0.75 * q.ql
+             / ((SELECT sttf FROM ste) / (SELECT n FROM ste))))) AS s
+         FROM tfe2 f JOIN qdle q USING (doc_id)
+         JOIN idfe i ON i.term = f.term
+         WHERE f.term IN ('merge', 'query', 'table')
+         GROUP BY f.doc_id)
+SELECT 'porter' AS op, doc_id, round(s, 3) AS score_r FROM (
+  SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'english', doc_id, round(s, 3) FROM (
+  SELECT doc_id, s FROM me ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_search_after"] = P + f"""
