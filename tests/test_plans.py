@@ -125,7 +125,10 @@ def test_filtered_ann_pushes_label_filter(spark):
     as a pushed filter, so only eligible row groups are read."""
     from lucene_spark.ops import similarity as SIM
     import pyspark.sql.functions as F
-    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    # sf0.001: no other test persists this path, so the scan stays a
+    # FileSourceScan (a cached sf0.01 relation would otherwise satisfy
+    # the plan via InMemoryTableScan and hide the pushdown)
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     qs = (emb.filter(F.col("vec_id") < 2)
           .select(F.col("vec_id").alias("q_id"), "embedding"))
     res, method = SIM.filtered_ann_topk(emb, qs, dim=64, k=5,
