@@ -242,9 +242,12 @@ def doc_match(q, toks: list, tset: set) -> bool:
         if any(doc_match(c, toks, tset) for c in q.must_not):
             return False
         n_should = sum(doc_match(c, toks, tset) for c in q.should)
-        need = max(q.min_should_match, 0 if q.must else 1)
-        if q.should or not q.must:
-            return n_should >= need
+        # the msm gate applies whenever min_should_match > 0 — even
+        # with zero should clauses (msm > |should| matches nothing,
+        # like BooleanWeight; mirrors oracle.py's
+        # `not (must and msm == 0)` condition — advisor r04 #2)
+        if q.min_should_match > 0 or q.should or not q.must:
+            return n_should >= max(q.min_should_match, 0 if q.must else 1)
         return True
     raise TypeError(f"cannot match {type(q)}")
 

@@ -37,7 +37,7 @@ __all__ = ["Term", "Or", "Phrase", "Prefix", "Ordered", "Unordered",
            "MaxGaps", "MaxWidth", "Containing", "NotContaining",
            "ContainedBy", "NotContainedBy", "eval_intervals",
            "leaf_terms", "required_terms", "candidate_docs",
-           "resolve_prefixes"]
+           "resolve_prefixes", "map_terms"]
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +197,31 @@ def _n_leaves(src) -> int:
         return _n_leaves(src.big)
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return _n_leaves(src.small)
+    raise TypeError(type(src))
+
+
+def map_terms(src, fn):
+    """Rewrite every Term/Phrase LEAF term through ``fn`` (the query
+    analysis step for analyzed fields — QueryBuilder's per-slot term
+    analysis applied to interval sources). Prefix patterns are NOT
+    analyzed (MTQ patterns match the dictionary as stored)."""
+    M = lambda s: map_terms(s, fn)
+    if isinstance(src, Term):
+        return Term(fn(src.term))
+    if isinstance(src, Phrase):
+        return Phrase(tuple(fn(t) for t in src.terms))
+    if isinstance(src, Prefix):
+        return src
+    if isinstance(src, (Ordered, Unordered, Or)):
+        return type(src)(tuple(M(s) for s in src.sources))
+    if isinstance(src, MaxGaps):
+        return MaxGaps(M(src.source), src.gaps)
+    if isinstance(src, MaxWidth):
+        return MaxWidth(M(src.source), src.width)
+    if isinstance(src, (Containing, NotContaining)):
+        return type(src)(M(src.big), M(src.small))
+    if isinstance(src, (ContainedBy, NotContainedBy)):
+        return type(src)(M(src.small), M(src.big))
     raise TypeError(type(src))
 
 

@@ -980,18 +980,52 @@ def _combined_norm_codes(norms_for, norm_fields, probe_field) -> np.ndarray:
     core:search/MultiNormsLeafSimScorer.java:163-174; float32
     accumulation, Java Math.round = floor(x + 0.5f)). With no norms
     field at all, the reference scores with the default norm 1L
-    (getNormValue's else branch) -> code 1 everywhere."""
+    (getNormValue's else branch) -> code 1 everywhere.
+
+    When norms_for is a _CachingNorms wrapper (the pruned path), the
+    re-encode is memoized per norm_fields tuple — eval_tree runs once
+    per window batch over the same bucket, and the codes are
+    window-invariant (advisor r04 #3)."""
     from ..kernels.smallfloat import LENGTH_TABLE, int_to_byte4
+    cache = getattr(norms_for, "combined_cache", None)
+    if cache is not None:
+        got = cache.get(norm_fields)
+        if got is not None:
+            return got
     if not norm_fields:
-        return np.ones(norms_for(probe_field).size, dtype=np.uint8)
-    total = None
-    for f, w in norm_fields:
-        ln = LENGTH_TABLE[norms_for(f).astype(np.int64) & 0xFF]
-        part = np.float32(w) * ln.astype(np.float32)
-        total = part if total is None else total + part
-    return np.asarray(
-        int_to_byte4(np.floor(total + np.float32(0.5)).astype(np.int64)),
-        dtype=np.uint8)
+        out = np.ones(norms_for(probe_field).size, dtype=np.uint8)
+    else:
+        total = None
+        for f, w in norm_fields:
+            ln = LENGTH_TABLE[norms_for(f).astype(np.int64) & 0xFF]
+            part = np.float32(w) * ln.astype(np.float32)
+            total = part if total is None else total + part
+        out = np.asarray(
+            int_to_byte4(np.floor(total + np.float32(0.5)).astype(np.int64)),
+            dtype=np.uint8)
+    if cache is not None:
+        cache[norm_fields] = out
+    return out
+
+
+class _CachingNorms:
+    """Per-bucket memo wrapper around a norms_for callable: caches the
+    per-field norm arrays AND the combined-field norm re-encode across
+    the pruned path's per-window eval_tree calls (the bucket's norms
+    never change between windows)."""
+
+    __slots__ = ("_fn", "_fields", "combined_cache")
+
+    def __init__(self, fn):
+        self._fn = fn
+        self._fields = {}
+        self.combined_cache = {}
+
+    def __call__(self, f):
+        a = self._fields.get(f)
+        if a is None:
+            a = self._fields[f] = self._fn(f)
+        return a
 
 
 def _intersect_sum(parts):
@@ -1226,6 +1260,13 @@ class _ScaledFreqBound:
         self.base = base
         self.weight = np.float64(weight)
         self.zero_norm = zero_norm
+        # value-identity cache key: wrappers are ephemeral (built per
+        # _node_window_bounds call), so keying the bound cache on
+        # id(wrapper) could serve a stale entry after CPython reuses the
+        # id for a wrapper with a different weight/zero_norm (advisor
+        # r04 #1). The BASE scorer lives in the plan node for the whole
+        # tree walk, so id(base) is stable.
+        self.cache_key = ("scaled", id(base), float(weight), bool(zero_norm))
 
     def score(self, freqs, norm_codes):
         f = np.asarray(freqs, dtype=np.float64) * self.weight
@@ -1245,7 +1286,7 @@ def _window_leaf_bounds(chunk, scorer, w_lo, bound_cache):
     if chunk is None or chunk.n_blocks() == 0:
         z = np.zeros(w_lo.size, dtype=np.float64)
         return z, np.zeros(w_lo.size, dtype=bool)
-    key = (id(chunk), id(scorer))
+    key = (id(chunk), getattr(scorer, "cache_key", None) or id(scorer))
     bb = bound_cache.get(key)
     if bb is None:
         bb = bound_cache[key] = impact_block_bounds(chunk.blocks, scorer)
@@ -1316,7 +1357,8 @@ def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
         # concavity argument as the synonym bound.
         _, cpairs, sc, norm_fset = node
         nf = {f for f, _ in norm_fset}
-        # wrappers held in a list: bound_cache keys on id(scorer)
+        # wrappers carry a value-identity cache_key, so the bound cache
+        # stays correct even though the wrappers are ephemeral
         wrapped = [_ScaledFreqBound(sc, w, zero_norm=f not in nf)
                    for f, _t, w in cpairs]
         bps = [_window_leaf_bounds(chunks[(f, t)], s2, w_lo, bound_cache)
@@ -1398,6 +1440,7 @@ def eval_tree_topk(node, get_chunk, norms_for, base_doc, k,
     a similarity that clamps scores to 0 (LMDirichlet) treats
     zero-score matches as non-competitive everywhere, consistently.
     """
+    norms_for = _CachingNorms(norms_for)
     chunks: dict = {}
     _tree_leaf_chunks(node, get_chunk, chunks)
     live = [c for c in chunks.values() if c is not None and c.n_blocks()]

@@ -466,6 +466,26 @@ class IndexSearcher:
             return q
         return self._an_node(q, self.field)
 
+    def _field_chain(self, field: str) -> str:
+        """Analyzer chain name of one field (keyword fields are never
+        analyzed beyond the standard chain)."""
+        if field in self.keyword_fields:
+            return "standard"
+        return self.analyzers.get(field, "standard")
+
+    def _analyze_terms(self, terms: list, field: str) -> list:
+        """Raw query terms -> index terms through the field's analyzer
+        chain — the same per-slot analysis search_df applies, routed
+        into the match-stream APIs (term_postings / phrase_matches /
+        interval_*) so a stemmed index finds "merging" as "merg" there
+        too (advisor r04 #5). A stop word analyzes to itself and is
+        simply absent from an 'english' index (matches nothing)."""
+        an = self._field_chain(field)
+        if an == "standard":
+            return list(terms)
+        from ..kernels.tokenizer import analyze_term
+        return [analyze_term(t, an) for t in terms]
+
     def _an_node(self, q, parent_field: str):
         import dataclasses
         from ..kernels.tokenizer import analyze_term
@@ -1477,6 +1497,7 @@ class IndexSearcher:
         The postings scan is pushed down on (field, term) — parquet
         min/max stats prune chunks the way the term dictionary seeks
         (core:search/TermQuery.java:120-164's postings() iteration)."""
+        term = self._analyze_terms([term], field)[0]
         chunks_df = (self._postings_for([term], field)
                      .select("bucket_id", "blocks"))
         has_live = self.livedocs_path is not None
@@ -1512,6 +1533,7 @@ class IndexSearcher:
         exact (ExactPhraseMatcher semantics), slop>0 is ordered-sloppy
         (see kernels.phrase_freqs)."""
         spark = self.spark
+        terms = self._analyze_terms(list(terms), field)
         tstats = self.term_stats(terms, field)
         if any(t not in tstats for t in terms):
             return spark.createDataFrame([], PHRASE_SCHEMA)
@@ -1545,6 +1567,7 @@ class IndexSearcher:
         in a window with at most max_gaps intervening positions.
         Returns (doc_id, span) with span = minimal window gap count."""
         spark = self.spark
+        terms = self._analyze_terms(list(terms), field)
         tstats = self.term_stats(terms, field)
         if any(t not in tstats for t in terms):
             return spark.createDataFrame([], "doc_id bigint, span int")
@@ -1588,9 +1611,14 @@ class IndexSearcher:
         the union of leaf docs when no term is required (top-level Or);
         interval evaluation is the vectorized minimal-interval kernel
         (no per-doc loops)."""
-        from .intervals import (candidate_docs, leaf_terms, match_bucket,
-                                required_terms, resolve_prefixes)
+        from .intervals import (candidate_docs, leaf_terms, map_terms,
+                                match_bucket, required_terms,
+                                resolve_prefixes)
         spark = self.spark
+        an = self._field_chain(field)
+        if an != "standard":
+            from ..kernels.tokenizer import analyze_term
+            source = map_terms(source, lambda t: analyze_term(t, an))
         source = resolve_prefixes(
             source, lambda p, mx: self.expand_terms(
                 MultiTermQuery("prefix", p, field, max_expansions=mx)))
