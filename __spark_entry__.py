@@ -264,8 +264,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # --- multi-term expansion queries (SURVEY.md §2.4 MultiTermQuery) ---
     q["ft_wildcard_or"] = lambda sp, sf: _topk_df(
         sp, sf, MultiTermQuery("wildcard", "s*"), 10)
-    q["ft_fuzzy"] = lambda sp, sf: _topk_df(
-        sp, sf, MultiTermQuery("fuzzy", "joim", max_edits=1), 10)
+    def ft_fuzzy(sp, sf):
+        # FuzzyQuery with the reference's default transpositions=true
+        # (OSA distance), two op-tagged shapes: 'sub' = substitution
+        # pattern joim->join; 'osa' = abtch->batch, reachable ONLY via
+        # the transposition primitive (plain Levenshtein distance is 2)
+        sub = (_topk_df(sp, sf, MultiTermQuery("fuzzy", "joim",
+                                               max_edits=1), 10)
+               .select(F.lit("sub").alias("op"), "doc_id", "score_r"))
+        osa = (_topk_df(sp, sf, MultiTermQuery("fuzzy", "abtch",
+                                               max_edits=1), 10)
+               .select(F.lit("osa").alias("op"), "doc_id", "score_r"))
+        return sub.unionByName(osa)
+    q["ft_fuzzy"] = ft_fuzzy
     q["ft_constant_set"] = lambda sp, sf: _topk_df(
         sp, sf, MultiTermQuery("set", ("vector", "stream", "window"),
                                rewrite="constant_score"), 100000)
@@ -854,7 +865,8 @@ SELECT 'infix', term, ttf::BIGINT FROM (
 UNION ALL
 SELECT 'fuzzy', term, ttf::BIGINT FROM (
   SELECT term, ttf FROM tdict
-  WHERE length(term) BETWEEN 2 AND 6 AND levenshtein(term, 'jion') <= 2
+  WHERE length(term) BETWEEN 2 AND 6
+    AND damerau_levenshtein(term, 'jion') <= 2
   ORDER BY ttf DESC, term LIMIT 5)
 """
 
@@ -889,12 +901,23 @@ FROM ph p JOIN documents d USING (doc_id)
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
+    # OSA == duckdb's damerau_levenshtein on this vocabulary (they can
+    # differ only when a transposed pair is edited again — impossible
+    # at maxEdits=1)
     o["ft_fuzzy"] = P + f"""
-, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+, msub AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
-        WHERE levenshtein(f.term, 'joim') <= 1
+        WHERE damerau_levenshtein(f.term, 'joim') <= 1
         GROUP BY f.doc_id)
-SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+, mosa AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE damerau_levenshtein(f.term, 'abtch') <= 1
+        GROUP BY f.doc_id)
+SELECT 'sub' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM msub ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'osa', doc_id, round(s, 3)
+FROM (SELECT * FROM mosa ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_regexp"] = P + f"""

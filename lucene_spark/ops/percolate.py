@@ -191,8 +191,12 @@ def _mtq_match(q, terms) -> bool:
         return any(rx.fullmatch(t) for t in terms)
     if q.kind == "fuzzy":
         p = q.pattern
+        if getattr(q, "transpositions", True):
+            from ..kernels.osa import osa_distance as _dist
+        else:
+            _dist = _lev
         return any(abs(len(t) - len(p)) <= q.max_edits
-                   and _lev(t, p) <= q.max_edits for t in terms)
+                   and _dist(t, p) <= q.max_edits for t in terms)
     if q.kind == "range":
         lo, hi = q.pattern
         return any((lo is None or t >= lo) and (hi is None or t < hi)

@@ -253,6 +253,11 @@ class MultiTermQuery:
     kind ∈ {prefix, wildcard, regexp, fuzzy, range, set}; pattern is the
     prefix/wildcard/regex/fuzzy base, or (lower, upper) for range, or a
     tuple of terms for set. max_expansions mirrors Lucene's clause cap.
+
+    transpositions (fuzzy only): adjacent-swap counts as ONE edit — the
+    FuzzyQuery default (FuzzyQuery.java:79-84 defaultTranspositions =
+    true; the Levenshtein automaton's transposition primitive = OSA /
+    restricted Damerau-Levenshtein). False = plain Levenshtein.
     """
     kind: str
     pattern: object
@@ -261,6 +266,7 @@ class MultiTermQuery:
     max_expansions: int = 1024
     max_edits: int = 1
     boost: float = 1.0
+    transpositions: bool = True
 
     @property
     def terms(self):

@@ -318,13 +318,29 @@ class IndexSearcher:
         elif kind == "fuzzy":
             # banded acceptance like the Levenshtein automaton's length
             # bound: |len(t) - len(pat)| <= k is NECESSARY for distance
-            # <= k, pushes to the parquet scan, and cuts the rows that
-            # reach the (thresholded, early-exiting) levenshtein
+            # <= k (every primitive edit incl. transposition moves the
+            # length by <= 1), pushes to the parquet scan, and cuts the
+            # rows that reach the distance kernel
             k = query.max_edits
             L = len(pat)
-            ts = ts.filter(
-                F.length("term").between(L - k, L + k)
-                & (F.levenshtein(F.col("term"), F.lit(pat), k) >= 0))
+            ts = ts.filter(F.length("term").between(L - k, L + k))
+            if getattr(query, "transpositions", True):
+                # FuzzyQuery default: OSA distance (adjacent swap = one
+                # edit, FuzzyQuery.java:79-84) — Arrow-batched kernel
+                # over the banded survivors (osa.osa_leq vectorizes the
+                # DP across the whole batch; no per-term Python)
+                from pyspark.sql.functions import pandas_udf
+                from ..kernels.osa import osa_leq
+
+                @pandas_udf("boolean")
+                def _osa_ok(s: pd.Series) -> pd.Series:
+                    return pd.Series(osa_leq(s.tolist(), pat, k),
+                                     index=s.index)
+
+                ts = ts.filter(_osa_ok(F.col("term")))
+            else:
+                ts = ts.filter(
+                    F.levenshtein(F.col("term"), F.lit(pat), k) >= 0)
         elif kind == "range":
             lo, hi = pat
             if lo is not None:
@@ -1297,7 +1313,8 @@ class IndexSearcher:
                                               doc_filter).collect()]
 
     def suggest(self, pattern: str, kind: str = "prefix", n: int = 5,
-                field: str | None = None, max_edits: int = 1) -> DataFrame:
+                field: str | None = None, max_edits: int = 1,
+                transpositions: bool = True) -> DataFrame:
         """Suggest-module analogs over the term dictionary, weighted by
         total term frequency: 'prefix' (the WFST completion shape,
         suggest/.../analyzing/AnalyzingSuggester.java), 'infix'
@@ -1315,10 +1332,25 @@ class IndexSearcher:
         elif kind == "infix":
             cond = F.col("term").contains(pattern)
         elif kind == "fuzzy":
-            cond = (F.length("term").between(len(pattern) - max_edits,
-                                             len(pattern) + max_edits)
-                    & (F.levenshtein(F.col("term"), F.lit(pattern))
-                       <= max_edits))
+            cond = F.length("term").between(len(pattern) - max_edits,
+                                            len(pattern) + max_edits)
+            if transpositions:
+                # FuzzySuggester parity: the suggester's automaton is
+                # built with transpositions=true by default
+                # (FuzzySuggester.java DEFAULT_TRANSPOSITIONS)
+                from pyspark.sql.functions import pandas_udf
+                from ..kernels.osa import osa_leq
+                pat_, k_ = pattern, max_edits
+
+                @pandas_udf("boolean")
+                def _osa_ok(s: pd.Series) -> pd.Series:
+                    return pd.Series(osa_leq(s.tolist(), pat_, k_),
+                                     index=s.index)
+
+                cond = cond & _osa_ok(F.col("term"))
+            else:
+                cond = cond & (F.levenshtein(F.col("term"),
+                                             F.lit(pattern)) <= max_edits)
         else:
             raise ValueError(f"unknown suggest kind {kind!r}")
         return (ts.filter(cond)
