@@ -155,8 +155,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_bool_filter_msm"] = lambda sp, sf: _topk_df(
         sp, sf, BooleanQuery(must=("scan",), should=("sort", "merge"),
                              filter_=("batch",), min_should_match=1), 10)
-    q["ft_synonym_topk"] = lambda sp, sf: _topk_df(
-        sp, sf, SynonymQuery(("slow", "fast")), 10)
+    def ft_synonym_topk(sp, sf):
+        # two op-tagged synonym surfaces: 'blend' = query-level
+        # SynonymQuery (blended df=max stats); 'graph' = dictionary-
+        # driven SynonymGraphFilter/QueryBuilder expansion — the rules
+        # ["slow, fast", "merge join, join"] turn the text
+        # "slow merge join" into Bool(should=[SynonymQuery(fast, slow),
+        # Bool(should=[Term(join), Phrase(merge join)])]), multi-word
+        # paths scored with their OWN stats (analyzeGraphBoolean)
+        from lucene_spark.kernels.synonyms import SynonymMap, synonym_query
+        blend = (_topk_df(sp, sf, SynonymQuery(("slow", "fast")), 10)
+                 .select(F.lit("blend").alias("op"), "doc_id", "score_r"))
+        sm = SynonymMap(["slow, fast", "merge join, join"])
+        gq = synonym_query("slow merge join", sm)
+        graph = (_topk_df(sp, sf, gq, 10)
+                 .select(F.lit("graph").alias("op"), "doc_id", "score_r"))
+        return blend.unionByName(graph)
+    q["ft_synonym_topk"] = ft_synonym_topk
     q["ft_dismax_topk"] = lambda sp, sf: _topk_df(
         sp, sf, DisMaxQuery(("scan", "merge")), 10)
 
@@ -810,15 +825,30 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10000
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
-    o["ft_synonym_topk"] = P + f"""
+    o["ft_synonym_topk"] = P + _phrase_cte("merge", "join") + f"""
 , bl AS (SELECT max(df) AS mdf FROM tdict WHERE term IN ('slow', 'fast'))
 , sidf AS (SELECT ln(1 + ((SELECT n FROM st) - mdf + 0.5) / (mdf + 0.5)) AS idf FROM bl)
 , syn AS (SELECT doc_id, sum(tf) AS tf FROM tf
           WHERE term IN ('slow', 'fast') GROUP BY doc_id)
-, m AS (SELECT y.doc_id,
+, synm AS (SELECT y.doc_id,
         {_score('y.tf', idf='(SELECT idf FROM sidf)')} AS s
         FROM syn y JOIN qdl q USING (doc_id))
-SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+, wj AS (SELECT sum(idf) AS widf FROM idf WHERE term IN ('merge', 'join'))
+, jm AS (SELECT f.doc_id, {_score('f.tf')} AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term = 'join')
+, phm AS (SELECT p.doc_id,
+          {_score('p.freq', idf='(SELECT widf FROM wj)')} AS s
+          FROM ph p JOIN qdl q USING (doc_id))
+, inn AS (SELECT doc_id, coalesce(j.s, 0) + coalesce(p.s, 0) AS s
+          FROM jm j FULL JOIN phm p USING (doc_id))
+, gm AS (SELECT doc_id, coalesce(y.s, 0) + coalesce(n.s, 0) AS s
+         FROM synm y FULL JOIN inn n USING (doc_id))
+SELECT 'blend' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM synm ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'graph', doc_id, round(s, 3)
+FROM (SELECT * FROM gm ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_dismax_topk"] = P + f"""
