@@ -627,11 +627,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["dedup_cosine_pairs"] = dedup_cosine_pairs
 
     def ann_cosine_topk(sp, sf):
+        # 'exact' = brute-force cosine top-5 (the oracle baseline);
+        # 'quant' = int8 scalar-quantized scan (Lucene99 scalar
+        # quantization analog: min/max bounds, 7-bit codes, int GEMM +
+        # correction terms, top-20 candidates, full-precision re-rank)
+        # — the RECALL gate: at these settings the quantized path must
+        # recover the exact top-5, so both ops share the brute oracle
+        from lucene_spark.ops.quantized import quantized_topk
         emb = _embeddings(sp, sf)
         qs = (emb.filter(F.col("vec_id") < 5)
               .select(F.col("vec_id").alias("q_id"), "embedding"))
-        return (SIM.cosine_topk(emb, qs, k=5)
-                .select("q_id", "vec_id", F.round("cos", 4).alias("cos_r")))
+        exact = (SIM.cosine_topk(emb, qs, k=5)
+                 .select(F.lit("exact").alias("op"), "q_id", "vec_id",
+                         F.round("cos", 4).alias("cos_r")))
+        quant = (quantized_topk(emb, qs, k=5, n_candidates=20)
+                 .select(F.lit("quant").alias("op"), "q_id", "vec_id",
+                         F.round("cos", 4).alias("cos_r")))
+        return exact.unionByName(quant)
     q["ann_cosine_topk"] = ann_cosine_topk
 
     def ann_lsh_recall(sp, sf):
@@ -1393,16 +1405,21 @@ WITH c AS (
 SELECT a, b, round(cos, 4) AS cos_r FROM c WHERE cos >= 0.4
 """
 
+    # both ops gate against the exact brute top-5: the quantized path
+    # (int8 codes + top-20 candidates + exact re-rank) must RECOVER it
     o["ann_cosine_topk"] = """
 WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT q.q_id, e.vec_id,
       list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE))
       / (sqrt(list_sum(list_transform(range(1, 65), i -> qv[i]::DOUBLE * qv[i]::DOUBLE)))
          * sqrt(list_sum(list_transform(range(1, 65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)))) AS cos
-      FROM embeddings e, q WHERE e.vec_id != q.q_id)
-SELECT q_id, vec_id, round(cos, 4) AS cos_r
-FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM c)
-WHERE rk <= 5
+      FROM embeddings e, q WHERE e.vec_id != q.q_id),
+top5 AS (SELECT q_id, vec_id, round(cos, 4) AS cos_r
+         FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rk FROM c)
+         WHERE rk <= 5)
+SELECT 'exact' AS op, q_id, vec_id, cos_r FROM top5
+UNION ALL
+SELECT 'quant', q_id, vec_id, cos_r FROM top5
 """
 
     o["ann_lsh_recall"] = """
