@@ -232,8 +232,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         fz = (s.suggest("jion", "fuzzy", n=5, max_edits=2)
               .select(F.lit("fuzzy").alias("op"), "term",
                       F.col("weight").alias("v")))
+        # context-filtered completion (AnalyzingInfixSuggester contexts):
+        # the suggester builds its OWN (context, term, weight) index
+        # from the corpus; lookup filters to lang='en' docs only
+        from lucene_spark.search.suggest import (ContextSuggester,
+                                                 build_suggester)
+        sg_path = os.path.join(
+            _CACHE_ROOT,
+            _FORMAT_VERSION + "_sugg_"
+            + re.sub(r"\W+", "_", os.path.abspath(sf)))
+        if not os.path.exists(os.path.join(sg_path, "_SUCCESS")):
+            build_suggester(_docs(sp, sf), sg_path, context_col="lang")
+        ctx = (ContextSuggester(sp, sg_path)
+               .lookup("s", "prefix", n=5, contexts=["en"])
+               .select(F.lit("ctx").alias("op"), "term",
+                       F.col("weight").alias("v")))
         return (prefix.unionByName(rng).unionByName(sug)
-                .unionByName(inf).unionByName(fz))
+                .unionByName(inf).unionByName(fz).unionByName(ctx))
     q["ft_term_dict_scan"] = ft_term_dict_scan
 
     def ft_range_filter(sp, sf):
@@ -313,9 +328,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         p2 = s.sort_search_df(TQ("vector"), "n_chars", k=10,
                               metadata=docs,
                               after=(last["n_chars"], last["doc_id"]))
-        return (p1.select(F.lit(1).alias("page"), "doc_id", "n_chars")
-                .unionByName(p2.select(F.lit(2).alias("page"), "doc_id",
-                                       "n_chars")))
+        # multi-field Sort (Sort.java with two SortFields): (lang asc,
+        # n_chars desc), paged by the 3-part lexicographic cursor
+        docs2 = _docs(sp, sf).select("doc_id", "lang", "n_chars")
+        spec = [("lang", "asc"), ("n_chars", "desc")]
+        m1 = s.sort_search_df(TQ("vector"), spec, k=10, metadata=docs2)
+        ml = m1.collect()[-1]
+        m2 = s.sort_search_df(TQ("vector"), spec, k=10, metadata=docs2,
+                              after=(ml["lang"], ml["n_chars"],
+                                     ml["doc_id"]))
+        single = (p1.select(F.lit(1).alias("page"), "doc_id", "n_chars")
+                  .unionByName(p2.select(F.lit(2).alias("page"), "doc_id",
+                                         "n_chars")))
+        multi = (m1.select(F.lit(3).alias("page"), "doc_id", "n_chars")
+                 .unionByName(m2.select(F.lit(4).alias("page"), "doc_id",
+                                        "n_chars")))
+        return single.unionByName(multi)
     q["ft_sort_by_field"] = ft_sort_by_field
 
     def ft_proximity_matches(sp, sf):
@@ -504,7 +532,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.lit(-1).alias("level"),
                       F.concat_ws("/", "dim", "value").alias("path"),
                       "n_docs"))
-        return cnt.unionByName(dr).unionByName(sw)
+        # 'range' — numeric range facets over n_chars
+        # (facet/range/LongRangeFacetCounts.java): overlapping ranges,
+        # open upper bound, one conditional-sum pass
+        rg = (FC.range_counts(m, docs, "n_chars", [
+                  ("short", None, True, 200, False),
+                  ("mid", 200, True, 400, False),
+                  ("long", 400, True, None, True),
+                  ("over300", 300, True, None, True),
+              ])
+              .select(F.lit("range").alias("op"), F.lit(0).alias("level"),
+                      F.col("range_label").alias("path"), "n_docs"))
+        return cnt.unionByName(dr).unionByName(sw).unionByName(rg)
     q["ft_facet_hier"] = ft_facet_hier
 
     def ft_combined_field(sp, sf):
@@ -525,14 +564,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_combined_field"] = ft_combined_field
 
     def ft_block_join_topk(sp, sf):
-        # ToParentBlockJoinQuery (ScoreMode.Max): top conversations for
-        # a child-turn disjunction, over the 5-turn conversation index
+        # join module, two op-tagged surfaces:
+        # 'block' — ToParentBlockJoinQuery (ScoreMode.Max): top
+        # conversations for a child-turn disjunction over the 5-turn
+        # conversation index;
+        # 'term_join' — JoinUtil.createJoinQuery: from-side 'vector'
+        # matches aggregated per role value (ScoreMode.Max), to-side =
+        # docs whose role holds a matched value (broadcast value join)
         s = _searcher_conv(sp, sf)
         res = s.block_join_search(OrQuery(("scan", "merge")), k=10,
                                   score_mode="max")
-        return res.select(
-            "conv_id", "n_children",
+        bj = res.select(
+            F.lit("block").alias("op"), F.col("conv_id").alias("key"),
+            "n_children",
             F.round(F.col("score").cast("double"), 3).alias("score_r"))
+        s2 = _searcher(sp, sf)
+        tj = (s2.join_search(TermQuery("vector"), "role", "role", k=10,
+                             score_mode="max")
+              .select(F.lit("term_join").alias("op"),
+                      F.col("doc_id").cast("string").alias("key"),
+                      F.lit(-1).alias("n_children"),
+                      F.round(F.col("score").cast("double"), 3)
+                      .alias("score_r")))
+        return bj.unionByName(tj)
     q["ft_block_join_topk"] = ft_block_join_topk
 
     def pc_percolate(sp, sf):
@@ -910,6 +964,13 @@ SELECT 'fuzzy', term, ttf::BIGINT FROM (
   WHERE length(term) BETWEEN 2 AND 6
     AND damerau_levenshtein(term, 'jion') <= 2
   ORDER BY ttf DESC, term LIMIT 5)
+UNION ALL
+SELECT 'ctx', term, w::BIGINT FROM (
+  SELECT p.term, count(*) AS w
+  FROM pos p JOIN documents d USING (doc_id)
+  WHERE d.lang = 'en' AND p.term LIKE 's%'
+  GROUP BY p.term
+  ORDER BY w DESC, p.term LIMIT 5)
 """
 
     o["ft_range_filter"] = P + """
@@ -977,8 +1038,10 @@ WHERE term IN ('vector', 'stream', 'window')
 
     # paging cursor == OFFSET because (n_chars desc, doc_id asc) is a
     # total order over the match set
+    # paging cursors == OFFSET because each sort key + doc_id is a
+    # total order over the match set
     o["ft_sort_by_field"] = P + """
-, m AS (SELECT f.doc_id, d.n_chars
+, m AS (SELECT f.doc_id, d.lang, d.n_chars
         FROM tf f JOIN documents d USING (doc_id)
         WHERE f.term = 'vector')
 SELECT 1 AS page, doc_id, n_chars FROM (
@@ -987,6 +1050,14 @@ UNION ALL
 SELECT 2, doc_id, n_chars FROM (
   SELECT doc_id, n_chars FROM m
   ORDER BY n_chars DESC, doc_id LIMIT 10 OFFSET 10)
+UNION ALL
+SELECT 3, doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM m
+  ORDER BY lang ASC, n_chars DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 4, doc_id, n_chars FROM (
+  SELECT doc_id, n_chars FROM m
+  ORDER BY lang ASC, n_chars DESC, doc_id LIMIT 10 OFFSET 10)
 """
 
     o["ft_proximity_matches"] = P + """
@@ -1238,6 +1309,21 @@ WHERE lang = 'en' GROUP BY source
 UNION ALL
 SELECT 'sideways', -1, 'lang/' || lang, count(*)::BIGINT FROM md
 WHERE source = 'src3' GROUP BY lang
+UNION ALL
+SELECT 'range', 0, label, n FROM (
+  SELECT 'short' AS label,
+         sum(CASE WHEN d.n_chars < 200 THEN 1 ELSE 0 END)::BIGINT AS n
+  FROM mt JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT 'mid', sum(CASE WHEN d.n_chars >= 200 AND d.n_chars < 400
+                    THEN 1 ELSE 0 END)::BIGINT
+  FROM mt JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT 'long', sum(CASE WHEN d.n_chars >= 400 THEN 1 ELSE 0 END)::BIGINT
+  FROM mt JOIN documents d USING (doc_id)
+  UNION ALL
+  SELECT 'over300', sum(CASE WHEN d.n_chars >= 300 THEN 1 ELSE 0 END)::BIGINT
+  FROM mt JOIN documents d USING (doc_id))
 """
 
     # combined field: pseudo-stats per CombinedFieldQuery.java:274-316 —
@@ -1281,8 +1367,17 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 , par AS (SELECT 'c' || lpad((doc_id // 5)::VARCHAR, 9, '0') AS conv_id,
           max(s) AS sc, count(*)::INT AS n_children
           FROM m GROUP BY doc_id // 5)
-SELECT conv_id, n_children, round(sc, 3) AS score_r FROM par
-ORDER BY sc DESC, conv_id LIMIT 10
+, jm AS (SELECT f.doc_id, {_score('f.tf')} AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term = 'vector')
+, jv AS (SELECT d.lang AS v, max(jm.s) AS sc
+         FROM jm JOIN documents d USING (doc_id) GROUP BY d.lang)
+, tj AS (SELECT d.doc_id, jv.sc FROM documents d JOIN jv ON d.lang = jv.v)
+SELECT 'block' AS op, conv_id AS key, n_children, round(sc, 3) AS score_r
+FROM (SELECT * FROM par ORDER BY sc DESC, conv_id LIMIT 10)
+UNION ALL
+SELECT 'term_join', doc_id::VARCHAR, -1, round(sc, 3)
+FROM (SELECT * FROM tj ORDER BY sc DESC, doc_id LIMIT 10)
 """
 
     o["pc_percolate"] = P + _phrase_cte("slow", "fast") + """

@@ -83,3 +83,34 @@ def drill_sideways(matches: DataFrame, docs: DataFrame, dims: dict,
                 .select(F.lit(dim).alias("dim"), "value", "n_docs"))
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def range_counts(matches: DataFrame, docs: DataFrame, value_col: str,
+                 ranges: list, id_col: str = "doc_id") -> DataFrame:
+    """Numeric range facets (facet/range/LongRangeFacetCounts.java,
+    DoubleRangeFacetCounts.java): count matching docs per range.
+    ``ranges``: [(label, lo, lo_inclusive, hi, hi_inclusive)] with None
+    bounds open — the LongRange constructor surface. Ranges MAY overlap
+    (each doc increments every range containing it, unlike taxonomy
+    buckets); NULL values count nowhere (missing doc-values docs are
+    skipped by the reference's MatchingDocs iteration).
+
+    Pure Catalyst: ONE pass with a conditional sum per range (map-side
+    combined), then a literal unpivot — no explode, no UDF, no
+    per-range scan. Returns (range_label, n_docs) in input order."""
+    j = matches.select(id_col).join(docs.select(id_col, value_col), id_col)
+    v = F.col(value_col)
+    aggs = []
+    for i, (label, lo, lo_inc, hi, hi_inc) in enumerate(ranges):
+        cond = v.isNotNull()
+        if lo is not None:
+            cond = cond & (v >= lo if lo_inc else v > lo)
+        if hi is not None:
+            cond = cond & (v <= hi if hi_inc else v < hi)
+        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
+                    .alias(f"_r{i}"))
+    row = j.agg(*aggs)
+    stack = ", ".join(f"'{label}', _r{i}"
+                      for i, (label, *_x) in enumerate(ranges))
+    return row.selectExpr(
+        f"stack({len(ranges)}, {stack}) AS (range_label, n_docs)")

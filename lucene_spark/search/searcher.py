@@ -1358,37 +1358,88 @@ class IndexSearcher:
                 .orderBy(F.col("weight").desc(), F.col("term").asc())
                 .limit(n))
 
-    def sort_search_df(self, query, by: str, k: int = 10,
+    def sort_search_df(self, query, by, k: int = 10,
                        desc: bool = True, after: tuple | None = None,
                        doc_filter: str | None = None,
                        metadata: DataFrame | None = None) -> DataFrame:
-        """TopFieldCollector analog with field-sort searchAfter paging
-        (core:search/TopFieldCollector.java, the create(sort, n, after,
-        ...) surface): matches ordered by a native doc-values column,
-        ties by doc_id asc; ``after`` = (field value, doc_id) — the last
-        hit of the previous page — resumes strictly after the cursor.
+        """TopFieldCollector analog with MULTI-field sort, missing-value
+        substitution, and field-sort searchAfter paging
+        (core:search/TopFieldCollector.java create(sort, n, after, ...);
+        Sort.java multi-SortField; SortField.setMissingValue).
+
+        ``by``: a column name (direction from ``desc``), or a list of
+        sort specs — each a column name (descending), or a tuple
+        (col, 'asc'|'desc') or (col, 'asc'|'desc', missing_value).
+        ``missing_value`` substitutes for NULL before comparison (the
+        setMissingValue contract); without it, NULLs sort LAST in
+        either direction (documented deviation: the reference defaults
+        missing to the type's 0/MIN). Ties always break doc_id asc.
+
+        ``after`` = (v1, ..., vn, doc_id) — one value per sort spec,
+        the last hit of the previous page; the cursor is the strict
+        lexicographic after-predicate, applied BEFORE the top-k so no
+        page can lose hits to another bucket's heap.
 
         Plan shape: exhaustive match stream -> equi-join with the
-        (doc_id, by) projection of the docstore (or a caller-provided
-        ``metadata`` doc-values table) -> cursor predicate -> global
-        orderBy(by, doc_id).limit(k). Catalyst plans the tail as
+        (doc_id, cols...) projection of the docstore (or a caller-
+        provided ``metadata`` doc-values table) -> cursor predicate ->
+        global orderBy(...).limit(k), planned by Catalyst as
         TakeOrderedAndProject (per-partition partial top-k before the
-        single-reduce merge — the TopFieldCollector merge), and the
-        cursor filter applies BEFORE the top-k so no page loses hits;
-        the reference's after-comparator skip does the same during
-        collection."""
+        single-reduce merge — the TopFieldCollector merge)."""
+        specs = self._sort_specs(by, desc)
         m = self.matches_df(query, doc_filter).select("doc_id")
         ds = (metadata if metadata is not None
               else read_table(self.spark, self.docstore_paths))
-        j = m.join(ds.select("doc_id", by), "doc_id")
+        cols = [c for c, _, _ in specs]
+        j = m.join(ds.select("doc_id", *cols), "doc_id")
+        keys = []
+        order = []
+        for c, is_desc, miss in specs:
+            e = (F.coalesce(F.col(c), F.lit(miss)) if miss is not None
+                 else F.col(c))
+            keys.append((e, is_desc, miss))
+            order.append(e.desc_nulls_last() if is_desc
+                         else e.asc_nulls_last())
+        order.append(F.col("doc_id").asc())
         if after is not None:
-            v, d = after
-            nxt = (F.col(by) < F.lit(v)) if desc else (F.col(by) > F.lit(v))
-            j = j.filter(nxt | ((F.col(by) == F.lit(v))
-                                & (F.col("doc_id") > F.lit(int(d)))))
-        order = (F.col(by).desc() if desc else F.col(by).asc(),
-                 F.col("doc_id").asc())
+            vals = list(after[:-1])
+            if len(vals) != len(specs):
+                raise ValueError(
+                    f"cursor has {len(vals)} values for {len(specs)} "
+                    "sort fields (pass (v1, ..., vn, doc_id))")
+            pred = F.col("doc_id") > F.lit(int(after[-1]))
+            for (e, is_desc, miss), v in reversed(list(zip(keys, vals))):
+                if v is None:
+                    # a NULL cursor value is only orderable through its
+                    # missing-value substitute (setMissingValue)
+                    if miss is None:
+                        raise ValueError(
+                            "cursor value is NULL for a sort field "
+                            "without a missing value — set one in the "
+                            "sort spec (col, dir, missing)")
+                    v = miss
+                strict = (e < F.lit(v)) if is_desc else (e > F.lit(v))
+                pred = strict | ((e == F.lit(v)) & pred)
+            j = j.filter(pred)
         return j.orderBy(*order).limit(k)
+
+    @staticmethod
+    def _sort_specs(by, desc: bool) -> list:
+        """Normalize the ``by`` surface to [(col, desc_bool, missing)]."""
+        if isinstance(by, str):
+            return [(by, bool(desc), None)]
+        specs = []
+        for s in by:
+            if isinstance(s, str):
+                specs.append((s, True, None))
+            else:
+                col = s[0]
+                d = s[1] if len(s) > 1 else "desc"
+                if d not in ("asc", "desc"):
+                    raise ValueError(f"direction must be asc|desc: {d!r}")
+                miss = s[2] if len(s) > 2 else None
+                specs.append((col, d == "desc", miss))
+        return specs
 
     def explain(self, query, doc_id: int) -> dict:
         """Score explanation for one (query, doc) — the Weight.explain
@@ -1732,6 +1783,50 @@ class IndexSearcher:
                .select("conv_id", F.col("_s").cast("float").alias("score"),
                        F.col("n_children").cast("int")))
         return (per.orderBy(F.col("score").desc(), F.col("conv_id").asc())
+                .limit(k))
+
+    def join_search(self, from_query, from_field: str, to_field: str,
+                    k: int = 10, score_mode: str = "none",
+                    to_docs: DataFrame | None = None,
+                    doc_filter: str | None = None) -> DataFrame:
+        """Query-time cross-index term join (JoinUtil.createJoinQuery,
+        join/src/java/org/apache/lucene/join/JoinUtil.java:66): run
+        ``from_query`` on THIS index, collect the matching docs'
+        ``from_field`` values, and match documents whose ``to_field``
+        holds one of those values — in this index's docstore or in a
+        caller-provided ``to_docs`` doc-values table (the two-index
+        surface). Per-value scores aggregate over the from-side hits by
+        ``score_mode``: 'none' (constant 1, the reference default) |
+        'max' | 'total' | 'avg' | 'min' (TermsWithScoreCollector's
+        modes); to-side docs inherit their value's score.
+
+        Plan shape: from-side exhaustive match stream -> join doc
+        values -> ONE map-side-combined aggregate to a per-value score
+        table (bounded by the from side's distinct values, metadata-
+        sized for categorical fields) -> BROADCAST hash join against
+        the to-side scan — the to-side corpus never shuffles. Returns
+        top-k (doc_id, score) by (score desc, doc_id asc)."""
+        m = self.matches_df(from_query, doc_filter)
+        ds = (read_table(self.spark, self.docstore_paths)
+              .select("doc_id", from_field))
+        joined = m.join(ds, "doc_id")
+        if score_mode == "none":
+            vals = (joined.select(from_field).distinct()
+                    .select(F.col(from_field).alias("_jv"),
+                            F.lit(1.0).cast("float").alias("score")))
+        else:
+            agg = {"max": F.max, "total": F.sum, "avg": F.avg,
+                   "min": F.min}[score_mode]
+            vals = (joined.groupBy(from_field)
+                    .agg(agg(F.col("score").cast("double")).alias("_s"))
+                    .select(F.col(from_field).alias("_jv"),
+                            F.col("_s").cast("float").alias("score")))
+        to = (to_docs if to_docs is not None
+              else read_table(self.spark, self.docstore_paths))
+        out = (to.select("doc_id", F.col(to_field).alias("_jv"))
+               .join(F.broadcast(vals), "_jv")
+               .select("doc_id", "score"))
+        return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
     def more_like_this(self, doc_id: int, max_terms: int = 10,

@@ -70,3 +70,39 @@ def test_drill_sideways_no_drills_is_plain_counts(docs, matches):
                                       dims={"src": "src"},
                                       drills={}).collect()}
     assert got == {("src", "web"): 4, ("src", "code"): 3}
+
+
+def test_range_counts(spark):
+    """LongRangeFacetCounts analog: overlapping ranges, open bounds,
+    NULL values count nowhere, output preserves input order."""
+    from lucene_spark.ops.facets import range_counts
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 150), (2, 200), (3, 250), (4, 400),
+         (5, 999), (6, None), (7, 200)],
+        "doc_id long, n long")
+    matches = docs.select("doc_id").filter("doc_id != 5")  # 5 not matched
+    got = {r["range_label"]: r["n_docs"] for r in range_counts(
+        matches, docs, "n",
+        [("lt200", None, True, 200, False),
+         ("200to400", 200, True, 400, True),
+         ("gt150", 150, False, None, True),
+         ("all", None, True, None, True),
+         ("exact200", 200, True, 200, True)]).collect()}
+    # matched docs with values: 10, 150, 200, 250, 400, 200 (6 is NULL)
+    assert got == {"lt200": 2, "200to400": 4, "gt150": 4,
+                   "all": 6, "exact200": 2}
+    # order preserved
+    order = [r["range_label"] for r in range_counts(
+        matches, docs, "n",
+        [("b", None, True, 200, False), ("a", 200, True, None, True)]
+    ).collect()]
+    assert order == ["b", "a"]
+
+
+def test_range_counts_plan_is_pure_catalyst(spark):
+    from lucene_spark.ops.facets import range_counts
+    docs = spark.createDataFrame([(0, 10)], "doc_id long, n long")
+    df = range_counts(docs.select("doc_id"), docs, "n",
+                      [("x", None, True, 5, False)])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "BatchEval" not in plan
