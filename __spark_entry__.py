@@ -311,8 +311,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sp, sf, MultiTermQuery("set", ("vector", "stream", "window"),
                                rewrite="constant_score"), 100000)
     # RegexpQuery: automaton-style term-dictionary intersection
-    q["ft_regexp"] = lambda sp, sf: _topk_df(
-        sp, sf, MultiTermQuery("regexp", "s(low|ort)"), 10)
+    def ft_regexp(sp, sf):
+        # RegexpQuery over Lucene's RegExp syntax (util/automaton/
+        # RegExp.java), three op-tagged operators: 'core' = the shared
+        # Java-regex subset; 'inter' = intersection (s.*&.*t — starts
+        # with s AND ends with t); 'comp' = complement (s~(can) — s
+        # followed by anything but "can")
+        core = (_topk_df(sp, sf, MultiTermQuery("regexp", "s(low|ort)"),
+                         10)
+                .select(F.lit("core").alias("op"), "doc_id", "score_r"))
+        inter = (_topk_df(sp, sf, MultiTermQuery("regexp", "s.*&.*t"),
+                          10)
+                 .select(F.lit("inter").alias("op"), "doc_id", "score_r"))
+        comp = (_topk_df(sp, sf, MultiTermQuery("regexp", "s~(can)"), 10)
+                .select(F.lit("comp").alias("op"), "doc_id", "score_r"))
+        return core.unionByName(inter).unionByName(comp)
+    q["ft_regexp"] = ft_regexp
 
     def ft_sort_by_field(sp, sf):
         # TopFieldCollector + field-sort searchAfter paging
@@ -1024,11 +1038,28 @@ FROM (SELECT * FROM mosa ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_regexp"] = P + f"""
-, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+, mc AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         WHERE regexp_full_match(f.term, 's(low|ort)')
         GROUP BY f.doc_id)
-SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+, mi AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE regexp_full_match(f.term, 's.*')
+          AND regexp_full_match(f.term, '.*t')
+        GROUP BY f.doc_id)
+, mn AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE regexp_full_match(f.term, 's.*')
+          AND NOT regexp_full_match(f.term, 'scan')
+        GROUP BY f.doc_id)
+SELECT 'core' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM mc ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'inter', doc_id, round(s, 3)
+FROM (SELECT * FROM mi ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'comp', doc_id, round(s, 3)
+FROM (SELECT * FROM mn ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_constant_set"] = P + """

@@ -187,7 +187,8 @@ def _mtq_match(q, terms) -> bool:
             for c in q.pattern))
         return any(rx.fullmatch(t) for t in terms)
     if q.kind == "regexp":
-        rx = _re.compile(q.pattern)
+        from ..kernels.regexp import translate as _lucene_rx
+        rx = _re.compile(_lucene_rx(q.pattern))
         return any(rx.fullmatch(t) for t in terms)
     if q.kind == "fuzzy":
         p = q.pattern
@@ -375,7 +376,8 @@ def _verify_batch(pdf, reg: dict):
                          else _re.escape(c) for c in q.pattern)
             return s.str.fullmatch(rx).fillna(False).to_numpy(dtype=bool)
         if q.kind == "regexp":
-            return (s.str.fullmatch(q.pattern).fillna(False)
+            from ..kernels.regexp import translate as _lucene_rx
+            return (s.str.fullmatch(_lucene_rx(q.pattern)).fillna(False)
                     .to_numpy(dtype=bool))
         if q.kind == "fuzzy":
             from ..kernels.osa import osa_leq

@@ -314,7 +314,12 @@ class IndexSearcher:
             rx = "^" + re.escape(pat).replace(r"\*", ".*").replace(r"\?", ".") + "$"
             ts = ts.filter(F.col("term").rlike(rx))
         elif kind == "regexp":
-            ts = ts.filter(F.col("term").rlike("^" + pat + "$"))
+            # RegexpQuery patterns use Lucene's RegExp syntax, not Java
+            # regex (complement/intersection/numeric intervals) —
+            # translate before the pushed-down rlike (kernels/regexp.py)
+            from ..kernels.regexp import translate as _lucene_rx
+            ts = ts.filter(F.col("term").rlike("^(?:" + _lucene_rx(pat)
+                                               + ")$"))
         elif kind == "fuzzy":
             # banded acceptance like the Levenshtein automaton's length
             # bound: |len(t) - len(pat)| <= k is NECESSARY for distance
