@@ -377,12 +377,22 @@ class IndexBuilder:
         boff = spark.sparkContext.broadcast(offsets)
 
         def conv_bases(batches):
+            # the cumsum must RUN ACROSS Arrow batches: one partition
+            # arrives as multiple batches once it holds more than
+            # maxRecordsPerBatch conversations, and restarting at the
+            # partition offset per batch would hand later batches the
+            # same doc_id ranges as earlier ones (duplicate/overlapping
+            # doc_ids — observed at 360k convs x 32 partitions; small
+            # corpora fit one batch per partition and never hit it)
+            run = None
             for pdf in batches:
                 if not len(pdf):
                     continue
-                pid = int(pdf["_pid"].iloc[0])
+                if run is None:
+                    run = int(boff.value[int(pdf["_pid"].iloc[0])])
                 nt = pdf["n_turns"].to_numpy(dtype=np.int64)
-                base = boff.value[pid] + np.cumsum(nt) - nt
+                base = run + np.cumsum(nt) - nt
+                run += int(nt.sum())
                 yield pd.DataFrame({"conv_id": pdf["conv_id"].to_numpy(),
                                     "base": base})
 

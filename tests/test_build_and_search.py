@@ -90,3 +90,39 @@ def test_retrieve_joins_stored_fields(spark, searcher):
     rows = searcher.retrieve(top).select("doc_id", "text", "conv_id").collect()
     assert len(rows) == 5
     assert all("w000001" in r["text"].lower() for r in rows)
+
+
+def test_docid_assignment_across_arrow_batches(spark, tmp_path):
+    """The conversation prefix-sum must RUN ACROSS Arrow batches: with
+    more conversations per range-partition than maxRecordsPerBatch, a
+    per-batch cumsum restarts at the partition offset and hands later
+    batches duplicate doc_id ranges (found by searching a 2.88M-turn
+    scaling build: postings overran norms in 5/32 buckets). Force many
+    tiny batches and assert global doc_ids stay dense and contiguous."""
+    from lucene_spark.index import build_index
+    from lucene_spark.index.checker import check_index
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.query import TermQuery
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        rows = []
+        for c in range(400):  # >> 37 convs per partition
+            for t in range(2):
+                rows.append((f"c{c:05d}", t, "user",
+                             f"scan sort w{c % 7}", "none"))
+        src = (spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, role string, "
+                  "text string, tool string")
+            .selectExpr("*", "timestamp('2026-01-01') as ts"))
+        out = str(tmp_path / "batchidx")
+        build_index(spark, src, out, num_buckets=4)
+        ds = spark.read.parquet(f"{out}/docstore/*")
+        ids = sorted(r["doc_id"] for r in ds.select("doc_id").collect())
+        assert ids == list(range(800))  # dense, no dupes, no gaps
+        check_index(spark, out)  # raises AssertionError on violation
+        s = IndexSearcher(spark, out)
+        assert s.count(TermQuery("scan")) == 800
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
