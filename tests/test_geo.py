@@ -1,0 +1,89 @@
+"""Geo box + distance queries (LatLonPoint.newBoxQuery /
+newDistanceQuery analogs — round-4 verdict "what's missing #8").
+Haversine values checked against an independent implementation;
+box/distance membership brute-checked including antimeridian wrap.
+"""
+
+import math
+import random
+
+import pytest
+
+from lucene_spark.ops.geo import (EARTH_MEAN_RADIUS_METERS, box_query,
+                                  distance_query)
+
+
+def _hav(lat1, lon1, lat2, lon2):
+    p1, p2 = math.radians(lat1), math.radians(lat2)
+    dp, dl = math.radians(lat2 - lat1), math.radians(lon2 - lon1)
+    a = (math.sin(dp / 2) ** 2
+         + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2)
+    return 2 * EARTH_MEAN_RADIUS_METERS * math.asin(min(1.0, math.sqrt(a)))
+
+
+@pytest.fixture(scope="module")
+def points(spark):
+    rng = random.Random(17)
+    rows = [(i, rng.uniform(-89.0, 89.0), rng.uniform(-180.0, 180.0))
+            for i in range(400)]
+    # pin a few interesting points
+    rows += [(400, 0.0, 179.9), (401, 0.0, -179.9), (402, 89.5, 10.0),
+             (403, 48.8566, 2.3522), (404, 48.86, 2.36)]
+    return (spark.createDataFrame(rows, "id long, lat double, lon double"),
+            rows)
+
+
+def test_box_query_brute(spark, points):
+    df, rows = points
+    got = {r["id"] for r in
+           box_query(df, "lat", "lon", 40.0, 50.0, 0.0, 10.0).collect()}
+    want = {i for i, la, lo in rows
+            if 40.0 <= la <= 50.0 and 0.0 <= lo <= 10.0}
+    assert got == want and 403 in got
+
+
+def test_box_query_antimeridian(spark, points):
+    df, rows = points
+    got = {r["id"] for r in
+           box_query(df, "lat", "lon", -10.0, 10.0, 170.0, -170.0)
+           .collect()}
+    want = {i for i, la, lo in rows
+            if -10.0 <= la <= 10.0 and (lo >= 170.0 or lo <= -170.0)}
+    assert got == want and {400, 401} <= got
+
+
+@pytest.mark.parametrize("center,radius", [
+    ((48.8566, 2.3522), 5000.0),       # city scale
+    ((0.0, 179.95), 50000.0),          # antimeridian crossing
+    ((89.0, 0.0), 300000.0),           # near-pole circle
+    ((-30.0, 100.0), 2000000.0),       # continental scale
+])
+def test_distance_query_brute(spark, points, center, radius):
+    df, rows = points
+    lat, lon = center
+    got = {r["id"] for r in
+           distance_query(df, "lat", "lon", lat, lon, radius).collect()}
+    want = {i for i, la, lo in rows if _hav(la, lo, lat, lon) <= radius}
+    assert got == want
+
+
+def test_distance_values_match_reference_formula(spark, points):
+    df, _ = points
+    from lucene_spark.ops.geo import haversine_meters_expr
+    r = (df.filter("id = 404")
+         .select(haversine_meters_expr("lat", "lon", 48.8566, 2.3522)
+                 .alias("d")).collect()[0]["d"])
+    assert r == pytest.approx(_hav(48.86, 2.36, 48.8566, 2.3522),
+                              rel=1e-9)
+
+
+def test_distance_prefilter_is_pushed_down(spark, points, tmp_path):
+    """The circle's bounding box reaches the parquet scan as
+    PushedFilters (the BKD-cell pruning analog)."""
+    df, _ = points
+    p = str(tmp_path / "pts")
+    df.write.parquet(p)
+    out = distance_query(spark.read.parquet(p), "lat", "lon",
+                         48.8566, 2.3522, 5000.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(lat" in plan
