@@ -98,7 +98,7 @@ def tokenize_one(text: str) -> list:
 # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java)
 # ---------------------------------------------------------------------------
 
-ANALYZERS = ("standard", "porter", "english")
+ANALYZERS = ("standard", "porter", "english", "fold", "cjk")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -118,6 +118,12 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                  enablePositionIncrements=false behavior; documented
                  deviation from the modern default, which keeps gaps).
     """
+    if analyzer == "cjk":
+        # CJKAnalyzer: its own tokenize pass (maximal CJK runs ->
+        # bigrams) — token merging can't be expressed as a per-token
+        # vocabulary map (kernels/cjk.py)
+        from .cjk import cjk_tokenize_series
+        return cjk_tokenize_series(texts.fillna(""))
     toks = tokenize_series(texts)
     if analyzer == "standard":
         return toks
@@ -129,9 +135,14 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                            else np.empty(0, object) for t in toks])
     import pandas as _pd
     codes, uniq = _pd.factorize(flat)
-    if analyzer == "porter":
-        from .stem import stem_unique
-        mapped = stem_unique(uniq)[codes]
+    if analyzer in ("porter", "fold"):
+        if analyzer == "porter":
+            from .stem import stem_unique as _map_unique
+        else:
+            # 'fold' = StandardAnalyzer + ASCIIFoldingFilter:
+            # rewrites tokens, never drops them (kernels/fold.py)
+            from .fold import fold_unique as _map_unique
+        mapped = _map_unique(uniq)[codes]
         bounds = np.cumsum(lens)[:-1]
         return pd.Series([list(x) for x in np.split(mapped, bounds)],
                          index=toks.index)
@@ -150,6 +161,9 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
 
 def analyze_one(text: str, analyzer: str = "standard") -> list:
     """Single-string analyzer chain (query/driver side)."""
+    if analyzer == "cjk":
+        from .cjk import cjk_analyze_one
+        return cjk_analyze_one(text)
     toks = tokenize_one(text)
     if analyzer == "standard":
         return toks
@@ -157,6 +171,9 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
         from .stem import porter_stem
         return [porter_stem(t) if t.isascii() and t.isalpha() else t
                 for t in toks]
+    if analyzer == "fold":
+        from .fold import fold_one
+        return [fold_one(t) for t in toks]
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
@@ -182,6 +199,16 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         from .stem import porter_stem
         t = term.lower()
         return porter_stem(t) if t.isascii() and t.isalpha() else t
+    if analyzer == "fold":
+        from .fold import fold_one
+        return fold_one(term.lower())
+    if analyzer == "cjk":
+        # single term slot: width fold + lowercase. A 2-char CJK term
+        # IS its bigram; a longer CJK term analyzes to MULTIPLE bigram
+        # tokens and needs query-level analysis (analyze_one) — same
+        # single-slot caveat the stop-word note above documents.
+        from .cjk import width_fold_one
+        return width_fold_one(term.lower())
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
