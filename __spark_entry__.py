@@ -30,8 +30,9 @@ from lucene_spark.ops import similarity as SIM
 from lucene_spark.ops import textstats as TS
 from lucene_spark.ops import percolate as PC
 from lucene_spark.search.query import (AndQuery, BooleanQuery, DisMaxQuery,
-                                       MultiTermQuery, OrQuery, PhraseQuery,
-                                       SynonymQuery, TermQuery)
+                                       MultiPhraseQuery, MultiTermQuery,
+                                       OrQuery, PhraseQuery, SynonymQuery,
+                                       TermQuery)
 from lucene_spark.search.searcher import IndexSearcher
 
 _FORMAT_VERSION = "v8"  # v8: (field, term_h) partitioned postings
@@ -148,8 +149,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sp, sf, AndQuery(("slow", "fast")), 10)
     q["ft_or_topk"] = lambda sp, sf: _topk_df(
         sp, sf, OrQuery(("scan", "sort", "merge")), 10)
-    q["ft_phrase_topk"] = lambda sp, sf: _topk_df(
-        sp, sf, PhraseQuery(("slow", "fast")), 10)
+    def ft_phrase_topk(sp, sf):
+        # two op-tagged phrase surfaces: 'exact' = PhraseQuery
+        # (consecutive positions); 'multi' = MultiPhraseQuery — a
+        # position with ALTERNATIVE terms (core:search/
+        # MultiPhraseQuery.java): "slow (fast|scan)" matches either
+        # continuation, idf summed over all three terms
+        a = (_topk_df(sp, sf, PhraseQuery(("slow", "fast")), 10)
+             .select(F.lit("exact").alias("op"), "doc_id", "score_r"))
+        b = (_topk_df(sp, sf,
+                      MultiPhraseQuery((("slow",), ("fast", "scan"))), 10)
+             .select(F.lit("multi").alias("op"), "doc_id", "score_r"))
+        return a.unionByName(b)
+    q["ft_phrase_topk"] = ft_phrase_topk
     q["ft_bool_must_not"] = lambda sp, sf: _topk_df(
         sp, sf, BooleanQuery(must=("slow",), must_not=("fast",)), 100000)
     q["ft_bool_filter_msm"] = lambda sp, sf: _topk_df(
@@ -878,7 +890,20 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 , m AS (SELECT p.doc_id,
         {_score('p.freq', idf='(SELECT widf FROM w)')} AS s
         FROM ph p JOIN qdl q USING (doc_id))
-SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+, mph AS (SELECT p1.doc_id, count(*) AS freq FROM pos p1
+          JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.term = 'slow' AND p2.term IN ('fast', 'scan')
+          GROUP BY p1.doc_id)
+, w2 AS (SELECT sum(idf) AS widf FROM idf
+         WHERE term IN ('slow', 'fast', 'scan'))
+, m2 AS (SELECT p.doc_id,
+         {_score('p.freq', idf='(SELECT widf FROM w2)')} AS s
+         FROM mph p JOIN qdl q USING (doc_id))
+SELECT 'exact' AS op, doc_id, round(s, 3) AS score_r FROM (
+  SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'multi', doc_id, round(s, 3) FROM (
+  SELECT doc_id, s FROM m2 ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_bool_must_not"] = P + f"""

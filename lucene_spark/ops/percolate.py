@@ -125,6 +125,14 @@ def presearcher_terms(q):
         # required children: any single term is a valid presearcher set
         return {min(q.terms, key=lambda t: (len(t), t))} if q.terms \
             else ANYTOKEN
+    from ..search.query import MultiPhraseQuery
+    if isinstance(q, MultiPhraseQuery):
+        # every slot is required; any ONE slot's member set is a valid
+        # presearcher set — pick the smallest slot (fewest candidates)
+        slots = q.slots
+        if not slots:
+            return ANYTOKEN
+        return set(min(slots, key=lambda s: (len(s), s)))
     if isinstance(q, (OrQuery, SynonymQuery)):
         return set(q.terms) if q.terms else ANYTOKEN
     if isinstance(q, DisMaxQuery):
@@ -232,6 +240,15 @@ def doc_match(q, toks: list, tset: set) -> bool:
         if q.slop > 0:
             return _B._sloppy_freq_true(toks, terms, q.slop) > 0
         return _B._phrase_freq(toks, terms) > 0
+    from ..search.query import MultiPhraseQuery
+    if isinstance(q, MultiPhraseQuery):
+        slots = [s[0] if len(s) == 1 else tuple(s) for s in q.slots]
+        if any((s not in tset if isinstance(s, str)
+                else not any(t in tset for t in s)) for s in slots):
+            return False
+        if q.slop > 0:
+            return _B._sloppy_freq_true(toks, slots, q.slop) > 0
+        return _B._phrase_freq(toks, slots) > 0
     if isinstance(q, DisMaxQuery):
         return any(doc_match(c, toks, tset) for c in q.terms_)
     if isinstance(q, ConstantScoreQuery):
@@ -445,6 +462,42 @@ def _verify_batch(pdf, reg: dict):
                 j = idx + i
                 jb = np.minimum(j, L - 1)
                 ok &= (j < L) & (codes[jb] == ci) & (row_of[jb] == r0)
+            out = np.zeros(n, dtype=bool)
+            out[r0[ok]] = True
+            return out
+        from ..search.query import MultiPhraseQuery
+        if isinstance(q, MultiPhraseQuery):
+            slots = [tuple(s) for s in q.slots]
+            base = np.ones(n, dtype=bool)
+            for s in slots:
+                m = np.zeros(n, dtype=bool)
+                for t in s:
+                    m |= membership(t)
+                base &= m
+            if not base.any():
+                return base
+            sl = [s[0] if len(s) == 1 else s for s in slots]
+            if q.slop > 0:
+                out = np.zeros(n, dtype=bool)
+                for ri in np.flatnonzero(base):
+                    tk = list(toks_col.iloc[ri])
+                    out[ri] = _B._sloppy_freq_true(tk, sl, q.slop) > 0
+                return out
+            # exact: shifted MEMBERSHIP-in-slot over the flat code
+            # stream (the PhraseQuery run with per-slot code sets)
+            csets = [np.asarray([code_of[t] for t in s
+                                 if t in code_of], dtype=np.int64)
+                     for s in slots]
+            if any(cs.size == 0 for cs in csets):
+                return np.zeros(n, dtype=bool)
+            idx = np.flatnonzero(np.isin(codes, csets[0]))
+            ok = np.ones(idx.size, dtype=bool)
+            L = codes.size
+            r0 = row_of[idx]
+            for i, cs in enumerate(csets[1:], 1):
+                j = idx + i
+                jb = np.minimum(j, L - 1)
+                ok &= (j < L) & np.isin(codes[jb], cs) & (row_of[jb] == r0)
             out = np.zeros(n, dtype=bool)
             out[r0[ok]] = True
             return out

@@ -873,6 +873,97 @@ class RangeChunk:
         return self.inner.tf_at(doc_ids) * self._member(doc_ids)
 
 
+class UnionChunk:
+    """Union of several terms' postings in one bucket — the
+    UnionPostingsEnum capability backing one MultiPhraseQuery position
+    (core:search/MultiPhraseQuery.java:480-560): docs = union of member
+    docs, tf = Σ member tfs, positions = per-doc sorted merge of every
+    member's positions. Materialized eagerly as ONE logical block:
+    phrase evaluation touches all of a slot's candidate docs anyway,
+    and the merge is a single lexsort over the batch (no per-doc
+    Python). block_max is +inf — union postings carry no impacts,
+    exactly the reference (MultiPhraseWeight scores through
+    SlowImpactsEnum, so its block maxima are unbounded too); rank
+    safety of pruned paths is preserved because +inf never prunes.
+
+    Members may be TermChunk, MaskedChunk, or RangeChunk views; the
+    union is built over their EFFECTIVE (masked/restricted) postings.
+    """
+
+    def __init__(self, members):
+        members = [m for m in members if m is not None and m.n_blocks() > 0]
+        docs_parts, tfs_parts = [], []
+        posdoc_parts, pos_parts = [], []
+        for m in members:
+            docs, tfs = m.decode_all()
+            if docs.size == 0:
+                continue
+            docs_parts.append(docs)
+            tfs_parts.append(tfs)
+            pk = _positions_for_docs(m, docs)
+            posdoc_parts.append(docs[(pk // POS_OFF).astype(np.int64)])
+            pos_parts.append(pk % POS_OFF)
+        if not docs_parts:
+            self._docs = np.zeros(0, np.int64)
+            self._tfs = np.zeros(0, np.int64)
+            self._flat = np.zeros(0, np.int64)
+        else:
+            alld = np.concatenate(docs_parts)
+            allt = np.concatenate(tfs_parts)
+            self._docs, inv = np.unique(alld, return_inverse=True)
+            sums = np.zeros(self._docs.size, dtype=np.int64)
+            np.add.at(sums, inv, allt)
+            self._tfs = sums
+            pd_ = np.concatenate(posdoc_parts)
+            pp = np.concatenate(pos_parts)
+            order = np.lexsort((pp, pd_))
+            self._flat = pp[order]
+        n = self._docs.size
+        self.blocks = [{"num_docs": int(n)}] if n else []
+        self.firsts = self._docs[:1]
+        self.lasts = self._docs[-1:]
+        self.block_max = np.full(1 if n else 0, np.inf, dtype=np.float32)
+
+    def n_blocks(self):
+        return len(self.blocks)
+
+    def decode(self, i):
+        return self._docs, self._tfs
+
+    def decode_all(self):
+        return self._docs, self._tfs
+
+    def positions_flat(self, i):
+        return self._flat, self._tfs
+
+    def blocks_overlapping(self, lo, hi):
+        if not self.blocks or self._docs[-1] < lo or self._docs[0] > hi:
+            return range(0, 0)
+        return range(0, 1)
+
+    def tf_at(self, doc_ids):
+        doc_ids = np.asarray(doc_ids, dtype=np.int64)
+        out = np.zeros(doc_ids.size, dtype=np.int64)
+        if self._docs.size == 0:
+            return out
+        idx = np.searchsorted(self._docs, doc_ids)
+        idx_c = np.minimum(idx, self._docs.size - 1)
+        hit = self._docs[idx_c] == doc_ids
+        out[hit] = self._tfs[idx_c[hit]]
+        return out
+
+
+def slot_chunk(get_chunk, field, slot):
+    """Resolve one phrase position to its kernel chunk: a plain term
+    maps straight through; a tuple of alternatives (MultiPhraseQuery
+    slot) maps to the UnionChunk of its members. None when nothing in
+    the slot has postings in this bucket."""
+    if isinstance(slot, str):
+        return get_chunk(field, slot)
+    u = UnionChunk([get_chunk(field, t) for t in slot])
+    return u if u.n_blocks() else None
+
+
 def constant_or_topk(chunks, boost, norms_arr, base_doc, k):
     """Constant-score union: docs matching ANY chunk score ``boost``
     (MultiTermQuery CONSTANT_SCORE rewrites / ConstantScoreQuery,
@@ -1088,8 +1179,10 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
             return _empty_hits()
         return docs, sc.score(tfs, norms_for(f)[docs - base_doc])
     if kind == "phrase":
+        # terms entries are plain terms or tuples of alternatives
+        # (MultiPhraseQuery slots -> UnionChunk)
         _, f, terms, sc, slop = node
-        chunks = [get_chunk(f, t) for t in terms]
+        chunks = [slot_chunk(get_chunk, f, t) for t in terms]
         if any(c is None for c in chunks):
             return _empty_hits()
         if slop > 0:
@@ -1228,7 +1321,8 @@ def _tree_leaf_chunks(node, get_chunk, out: dict):
         out.setdefault((node[1], node[2]), get_chunk(node[1], node[2]))
     elif kind in ("phrase", "synonym"):
         for t in node[2]:
-            out.setdefault((node[1], t), get_chunk(node[1], t))
+            for m in ((t,) if isinstance(t, str) else t):
+                out.setdefault((node[1], m), get_chunk(node[1], m))
     elif kind == "combined":
         for f, t, _w in node[1]:
             out.setdefault((f, t), get_chunk(f, t))
@@ -1332,8 +1426,17 @@ def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
         return _window_leaf_bounds(chunks[(node[1], node[2])], node[3],
                                    w_lo, bound_cache)
     if kind == "phrase":
-        pairs = [_window_leaf_bounds(chunks[(node[1], t)], node[3], w_lo,
-                                     bound_cache) for t in node[2]]
+        # per SLOT: a plain term's leaf bound, or — for a
+        # MultiPhraseQuery slot tuple — the SUM of member bounds
+        # (slot tf = Σ member tfs; score(Σtf) <= Σ score(tf) by the
+        # synonym concavity argument) with coverage = ANY member
+        pairs = []
+        for t in node[2]:
+            mems = [_window_leaf_bounds(chunks[(node[1], m)], node[3],
+                                        w_lo, bound_cache)
+                    for m in ((t,) if isinstance(t, str) else t)]
+            pairs.append((np.add.reduce([v for v, _ in mems]),
+                          np.logical_or.reduce([c for _, c in mems])))
         cov = np.logical_and.reduce([c for _, c in pairs])
         vs = [v for v, _ in pairs]
         slop = node[4]

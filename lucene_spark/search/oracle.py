@@ -202,6 +202,24 @@ class BruteForceOracle:
             s = sc.score(freqs, self.norms)
             m = freqs > 0
             return ids[m], s[m]
+        from .query import MultiPhraseQuery
+        if isinstance(q, MultiPhraseQuery):
+            slots = [s[0] if len(s) == 1 else tuple(s) for s in q.slots]
+            if q.slop:
+                freqs = np.array(
+                    [self._sloppy_freq_true(t, slots, q.slop)
+                     for t in self.tokens], dtype=np.float64)
+            else:
+                freqs = np.array([self._phrase_freq(t, slots)
+                                  for t in self.tokens], dtype=np.int64)
+            idfs = [BM25Scorer(self.df[t], self.doc_count, self.sum_ttf).idf
+                    for t in q.terms if self.df[t] > 0]
+            sc = BM25Scorer(1, self.doc_count, self.sum_ttf)
+            sc.weight = np.float32(np.float32(boost_mult * q.boost)
+                                   * sum_idf(idfs))
+            s = sc.score(freqs, self.norms)
+            m = freqs > 0
+            return ids[m], s[m]
         if isinstance(q, SynonymQuery):
             tfs = np.zeros(self.doc_count, dtype=np.int64)
             for x in q.terms:
@@ -277,9 +295,13 @@ class BruteForceOracle:
 
     @staticmethod
     def _phrase_freq(tokens: list, phrase: list) -> int:
+        """Exact-phrase occurrence count; a position may be a str or —
+        for MultiPhraseQuery slots — a tuple of alternatives."""
         n = len(phrase)
         return sum(1 for i in range(len(tokens) - n + 1)
-                   if tokens[i:i + n] == phrase)
+                   if all(tokens[i + j] == p if isinstance(p, str)
+                          else tokens[i + j] in p
+                          for j, p in enumerate(phrase)))
 
     @staticmethod
     def _sloppy_freq_true(tokens: list, phrase: list, slop: int) -> float:
@@ -294,7 +316,8 @@ class BruteForceOracle:
         (no SloppyPhraseMatcher repeat-collision bookkeeping), so this
         oracle cannot catch that divergence — see
         kernels.sloppy_freqs."""
-        pls = [[i - off for i, t in enumerate(tokens) if t == term]
+        pls = [[i - off for i, t in enumerate(tokens)
+                if (t == term if isinstance(term, str) else t in term)]
                for off, term in enumerate(phrase)]
         if any(not p for p in pls):
             return 0.0

@@ -63,6 +63,37 @@ class PhraseQuery:
 
 
 @dataclass(frozen=True)
+class MultiPhraseQuery:
+    """Phrase with a SET of alternative terms per position
+    (core:search/MultiPhraseQuery.java:47-90 — "a generalized version
+    of PhraseQuery, with the possibility of adding more than one term
+    at the same position", e.g. synonyms inside a phrase). Matching
+    unions each slot's postings positions (UnionPostingsEnum,
+    MultiPhraseQuery.java:480-560); scoring passes EVERY term's
+    statistics to the similarity — weight idf = Σ idf over all terms
+    in all slots (MultiPhraseWeight ctor, termStatistics loop) — and
+    scores the phrase freq like PhraseQuery. slop follows the same
+    exact/sloppy split as PhraseQuery.
+
+    ``slots_`` is a tuple of positions; each position is a tuple of
+    one or more terms.
+    """
+    slots_: tuple
+    field: str = "text"
+    slop: int = 0
+    boost: float = 1.0
+
+    @property
+    def slots(self):
+        return [tuple(s) if isinstance(s, (tuple, list)) else (s,)
+                for s in self.slots_]
+
+    @property
+    def terms(self):
+        return [t for s in self.slots for t in s]
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """All terms scored as one pseudo-term: per-doc tf = Σ member tfs,
     blended stats df = max(member df), ttf = Σ member ttf
@@ -230,6 +261,21 @@ def rewrite(q):
                             q.min_should_match, q.boost)
     if isinstance(q, ConstantScoreQuery):
         return ConstantScoreQuery(rewrite(q.query), q.field, q.boost)
+    if isinstance(q, MultiPhraseQuery):
+        # MultiPhraseQuery.rewrite (MultiPhraseQuery.java:116-131):
+        # a single position rewrites to a SHOULD-boolean of its terms;
+        # additionally, all-single-term positions are semantically a
+        # PhraseQuery (same matcher, same stats) — collapse so the flat
+        # phrase fast path runs
+        slots = q.slots
+        if len(slots) == 1:
+            if len(slots[0]) == 1:
+                return TermQuery(slots[0][0], q.field, q.boost)
+            return OrQuery(tuple(slots[0]), q.field, q.boost)
+        if all(len(s) == 1 for s in slots):
+            return PhraseQuery(tuple(s[0] for s in slots), q.field,
+                               q.slop, q.boost)
+        return q
     return q
 
 

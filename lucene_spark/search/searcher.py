@@ -36,8 +36,9 @@ from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       score_bucket, topk_select)
 from .query import (AndQuery, BooleanQuery, CombinedFieldQuery,
                     ConstantScoreQuery, DisMaxQuery, FieldExistsQuery,
-                    MatchAllQuery, MultiTermQuery, OrQuery, PhraseQuery,
-                    PreAnalyzed, SynonymQuery, TermQuery, rewrite)
+                    MatchAllQuery, MultiPhraseQuery, MultiTermQuery,
+                    OrQuery, PhraseQuery, PreAnalyzed, SynonymQuery,
+                    TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -47,7 +48,8 @@ PHRASE_SCHEMA = "doc_id bigint, freq int"
 def _needs_tree(query) -> bool:
     """Shapes that require the recursive tree evaluator: boolean with
     sub-query clauses, constant-score wrappers, dismax over queries."""
-    if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery)):
+    if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery,
+                          MultiPhraseQuery)):
         return True
     if isinstance(query, BooleanQuery):
         return query.nested
@@ -529,6 +531,13 @@ class IndexSearcher:
                 return q
             return dataclasses.replace(
                 q, terms_=tuple(analyze_term(t, an) for t in q.terms_))
+        if isinstance(q, MultiPhraseQuery):
+            an = chain(q.field)
+            if an == "standard":
+                return q
+            return dataclasses.replace(
+                q, slots_=tuple(tuple(analyze_term(t, an) for t in s)
+                                for s in q.slots))
         if isinstance(q, DisMaxQuery):
             return dataclasses.replace(
                 q, terms_=tuple(self._an_node(c, q.field)
@@ -579,7 +588,8 @@ class IndexSearcher:
             out.add((parent_field, q))
         elif isinstance(q, TermQuery):
             out.add((q.field, q.term))
-        elif isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery)):
+        elif isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery,
+                            MultiPhraseQuery)):
             out.update((q.field, t) for t in q.terms)
         elif isinstance(q, DisMaxQuery):
             for c in q.terms_:
@@ -622,6 +632,25 @@ class IndexSearcher:
             idfs = [BM25Scorer(ts[t][0], dc, sttf).idf for t in q.terms]
             sc = _PhraseScorer(idfs, dc, sttf, boost_mult * q.boost)
             return ("phrase", q.field, list(q.terms), sc, q.slop)
+        if isinstance(q, MultiPhraseQuery):
+            # same plan-node kind as phrase, with tuple slots where a
+            # position has alternatives. Weight stats: EVERY present
+            # term's statistics feed the similarity — idf is summed
+            # over all terms in all slots (MultiPhraseQuery.java
+            # MultiPhraseWeight ctor gathers allTermStats). A slot
+            # whose every alternative is corpus-absent can never match.
+            ts = stats.get(q.field, {})
+            slots = []
+            for s in q.slots:
+                present = tuple(t for t in s if t in ts)
+                if not present:
+                    return None
+                slots.append(present[0] if len(present) == 1 else present)
+            dc, sttf = self._field_stats(q.field)
+            idfs = [BM25Scorer(ts[t][0], dc, sttf).idf
+                    for s in q.slots for t in s if t in ts]
+            sc = _PhraseScorer(idfs, dc, sttf, boost_mult * q.boost)
+            return ("phrase", q.field, slots, sc, q.slop)
         if isinstance(q, SynonymQuery):
             ts = stats.get(q.field, {})
             present = [t for t in q.terms if t in ts]
