@@ -94,6 +94,18 @@ def _rand_node(rng, sc, ph, stats, sttf, depth=0):
         return ("term", "text", t, sc(t, boost=float(rng.choice([1.0, 2.0]))))
     if kind == "phrase":
         ts = [VOCAB[rng.integers(0, 10)] for _ in range(2)]
+        if rng.random() < 0.4:
+            # MultiPhraseQuery slot: one position carries alternatives;
+            # scorer idf sums over ALL members (MultiPhraseWeight)
+            alt = tuple(sorted({VOCAB[rng.integers(0, 10)]
+                                for _ in range(2)}))
+            slot_i = int(rng.integers(0, 2))
+            slots = list(ts)
+            slots[slot_i] = alt if len(alt) > 1 else alt[0]
+            flat = [m for s in slots
+                    for m in ((s,) if isinstance(s, str) else s)]
+            return ("phrase", "text", slots, ph(flat),
+                    int(rng.choice([0, 2])))
         return ("phrase", "text", ts, ph(ts), int(rng.choice([0, 2])))
     if kind == "synonym":
         ts = sorted({VOCAB[rng.integers(0, 15)] for _ in range(2)})
