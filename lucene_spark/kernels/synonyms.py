@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from .tokenizer import analyze_one
 
-__all__ = ["SynonymMap", "synonym_query"]
+__all__ = ["SynonymMap", "synonym_query", "synonym_phrase_query"]
 
 
 class SynonymMap:
@@ -147,3 +147,61 @@ def synonym_query(text: str, syn_map: SynonymMap, field: str = "text",
     if operator == "and":
         return PreAnalyzed(BooleanQuery(must=tuple(clauses), field=field))
     return PreAnalyzed(BooleanQuery(should=tuple(clauses), field=field))
+
+
+MAX_PHRASE_PATHS = 64  # the graph-path guard (QueryBuilder's
+# TooComplexToDeterminizeException role for phrase expansion)
+
+
+def synonym_phrase_query(text: str, syn_map: SynonymMap,
+                         field: str = "text", slop: int = 0,
+                         analyzer: str | None = None):
+    """PHRASE-context synonym expansion — the
+    QueryBuilder.analyzeGraphPhrase shape
+    (core:util/QueryBuilder.java:560-620 via createPhraseQuery with a
+    graph token stream):
+
+    - every span expands to single tokens -> ONE MultiPhraseQuery
+      whose slot i is span i's alternative set (QueryBuilder's
+      analyzeMultiPhrase path — the reference emits exactly a
+      MultiPhraseQuery when positions carry stacked single tokens);
+    - any span with a multi-token path -> disjunction of the graph's
+      complete phrase paths, each scored with its own stats (capped at
+      MAX_PHRASE_PATHS). The reference builds SpanNearQuery chains
+      here; a SHOULD-of-PhraseQuery over the enumerated paths is the
+      documented equivalent for our engine (same match set for exact
+      phrases; per-path stats instead of blended span stats).
+
+    Returns PreAnalyzed (tokens already went through the chain)."""
+    from ..search.query import (BooleanQuery, MatchAllQuery,
+                                MultiPhraseQuery, PhraseQuery,
+                                PreAnalyzed, TermQuery)
+    an = analyzer if analyzer is not None else syn_map.analyzer
+    toks = analyze_one(text, an)
+    spans = syn_map.match(toks)
+    if not spans:
+        return PreAnalyzed(MatchAllQuery(boost=0.0))
+    if all(all(len(p) == 1 for p in paths) for _i, _ln, paths in spans):
+        slots = tuple(tuple(sorted({p[0] for p in paths}))
+                      for _i, _ln, paths in spans)
+        if len(slots) == 1 and len(slots[0]) == 1:
+            return PreAnalyzed(TermQuery(slots[0][0], field))
+        return PreAnalyzed(MultiPhraseQuery(slots, field, slop))
+    # enumerate complete token paths through the graph (cartesian of
+    # span alternatives), capped
+    paths_acc = [()]
+    for _i, _ln, paths in spans:
+        nxt = []
+        for prefix in paths_acc:
+            for p in paths:
+                nxt.append(prefix + tuple(p))
+                if len(nxt) > MAX_PHRASE_PATHS:
+                    raise ValueError(
+                        f"synonym phrase expands to more than "
+                        f"{MAX_PHRASE_PATHS} paths")
+        paths_acc = nxt
+    subs = [TermQuery(p[0], field) if len(p) == 1
+            else PhraseQuery(p, field, slop) for p in paths_acc]
+    if len(subs) == 1:
+        return PreAnalyzed(subs[0])
+    return PreAnalyzed(BooleanQuery(should=tuple(subs), field=field))

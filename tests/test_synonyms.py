@@ -134,3 +134,49 @@ def test_graph_query_on_stemmed_index(spark, tmp_path_factory):
     q = synonym_query("merges", m, analyzer="porter")
     got = {d for d, _ in s.search(q, k=10)}
     assert got == {0, 1}
+
+
+def test_phrase_context_shapes():
+    """QueryBuilder.analyzeGraphPhrase (QueryBuilder.java:560-620):
+    stacked single tokens -> MultiPhraseQuery; a multi-token path ->
+    disjunction of complete phrase paths."""
+    from lucene_spark.kernels.synonyms import synonym_phrase_query
+    from lucene_spark.search.query import MultiPhraseQuery
+    m = SynonymMap(["slow, fast", "merge join, join"])
+    # "slow scan": one position with alternatives + one plain term
+    q = synonym_phrase_query("slow scan", m).query
+    assert isinstance(q, MultiPhraseQuery)
+    assert q.slots == [("fast", "slow"), ("scan",)]
+    assert q.slop == 0
+    # slop threads through
+    q = synonym_phrase_query("slow scan", m, slop=2).query
+    assert q.slop == 2
+    # multi-token path -> all complete paths, each its own phrase
+    q = synonym_phrase_query("fast merge join", m).query
+    assert isinstance(q, BooleanQuery)
+    paths = {tuple(c.terms_) for c in q.should}
+    assert paths == {("fast", "merge", "join"), ("slow", "merge", "join"),
+                     ("fast", "join"), ("slow", "join")}
+    # single unmatched term collapses
+    q = synonym_phrase_query("scan", m).query
+    assert isinstance(q, TermQuery)
+    # the path-explosion guard
+    mm = SynonymMap(["a0 b0, c0"])
+    with pytest.raises(ValueError):
+        synonym_phrase_query(" ".join(["a0 b0"] * 8), mm)
+
+
+def test_phrase_context_rank_identical_to_oracle(spark, syn_corpus):
+    from lucene_spark.kernels.synonyms import synonym_phrase_query
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.oracle import BruteForceOracle
+    out, pdf = syn_corpus
+    s = IndexSearcher(spark, out)
+    m = SynonymMap(["merge, hash"])
+    # "(merge|hash) join" as ONE MultiPhraseQuery
+    q = synonym_phrase_query("merge join", m)
+    got = s.search(q, k=10)
+    oracle = BruteForceOracle(pdf)
+    want = oracle.topk_query(q.query, 10)
+    assert got == want
+    assert {d for d, _ in got} == {1, 2, 6}  # merge join / hash join
