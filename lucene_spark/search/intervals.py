@@ -4,7 +4,8 @@ Intervals.java): composable positional sources with MINIMAL-interval
 semantics.
 
 Combinators: Term, Ordered, Unordered, MaxGaps, MaxWidth, Containing,
-NotContaining, ContainedBy, NotContainedBy — plus non-Term interval
+NotContaining, ContainedBy, NotContainedBy, Before, After,
+Overlapping, NonOverlapping, Extend — plus non-Term interval
 SOURCES: Or (Intervals.or, union of child interval sets), Phrase
 (Intervals.phrase, one interval per exact-phrase occurrence) and
 Prefix (Intervals.prefix, resolved against the term dictionary to an
@@ -35,7 +36,8 @@ from .kernels import POS_OFF, _conj_candidates, _inner_chunk
 
 __all__ = ["Term", "Or", "Phrase", "Prefix", "Ordered", "Unordered",
            "MaxGaps", "MaxWidth", "Containing", "NotContaining",
-           "ContainedBy", "NotContainedBy", "eval_intervals",
+           "ContainedBy", "NotContainedBy", "Before", "After",
+           "Overlapping", "NonOverlapping", "Extend", "eval_intervals",
            "leaf_terms", "required_terms", "candidate_docs",
            "resolve_prefixes", "map_terms"]
 
@@ -123,6 +125,53 @@ class NotContainedBy:
     big: object
 
 
+@dataclass(frozen=True)
+class Before:
+    """Source intervals that end before the start of SOME reference
+    interval in the same doc (Intervals.before,
+    queries/intervals/Intervals.java)."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class After:
+    """Source intervals that start after the end of SOME reference
+    interval in the same doc (Intervals.after)."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class Overlapping:
+    """Source intervals overlapping at least one reference interval
+    (Intervals.overlapping)."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class NonOverlapping:
+    """Minuend intervals with NO overlap with any subtrahend interval
+    (Intervals.nonOverlapping). The subtrahend is not required — its
+    absence lets every minuend interval pass."""
+    source: object
+    reference: object
+
+
+@dataclass(frozen=True)
+class Extend:
+    """Intervals of the source widened by ``before`` positions on the
+    left (clamped at position 0) and ``after`` on the right
+    (Intervals.extend). Gap accounting treats the extension as width —
+    an enclosing MaxGaps sees the widened interval (documented; the
+    reference's ExtendedIntervalsSource reports adjusted ends the same
+    way)."""
+    source: object
+    before: int = 0
+    after: int = 0
+
+
 def leaf_terms(src) -> set:
     if isinstance(src, Term):
         return {src.term}
@@ -139,6 +188,10 @@ def leaf_terms(src) -> set:
         return leaf_terms(src.big) | leaf_terms(src.small)
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return leaf_terms(src.small) | leaf_terms(src.big)
+    if isinstance(src, (Before, After, Overlapping, NonOverlapping)):
+        return leaf_terms(src.source) | leaf_terms(src.reference)
+    if isinstance(src, Extend):
+        return leaf_terms(src.source)
     if isinstance(src, Prefix):
         raise TypeError("Prefix must be resolved against the term "
                         "dictionary first (resolve_prefixes)")
@@ -174,6 +227,13 @@ def required_terms(src) -> set:
         return required_terms(src.big)
     if isinstance(src, NotContainedBy):
         return required_terms(src.small)
+    if isinstance(src, (Before, After, Overlapping)):
+        # a match needs both an interval AND a qualifying reference
+        return required_terms(src.source) | required_terms(src.reference)
+    if isinstance(src, NonOverlapping):
+        return required_terms(src.source)
+    if isinstance(src, Extend):
+        return required_terms(src.source)
     if isinstance(src, Prefix):
         raise TypeError("Prefix must be resolved against the term "
                         "dictionary first (resolve_prefixes)")
@@ -197,6 +257,9 @@ def _n_leaves(src) -> int:
         return _n_leaves(src.big)
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return _n_leaves(src.small)
+    if isinstance(src, (Before, After, Overlapping, NonOverlapping,
+                        Extend)):
+        return _n_leaves(src.source)
     raise TypeError(type(src))
 
 
@@ -222,6 +285,10 @@ def map_terms(src, fn):
         return type(src)(M(src.big), M(src.small))
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return type(src)(M(src.small), M(src.big))
+    if isinstance(src, (Before, After, Overlapping, NonOverlapping)):
+        return type(src)(M(src.source), M(src.reference))
+    if isinstance(src, Extend):
+        return Extend(M(src.source), src.before, src.after)
     raise TypeError(type(src))
 
 
@@ -244,6 +311,10 @@ def resolve_prefixes(src, expand):
         return type(src)(R(src.big), R(src.small))
     if isinstance(src, (ContainedBy, NotContainedBy)):
         return type(src)(R(src.small), R(src.big))
+    if isinstance(src, (Before, After, Overlapping, NonOverlapping)):
+        return type(src)(R(src.source), R(src.reference))
+    if isinstance(src, Extend):
+        return Extend(R(src.source), src.before, src.after)
     raise TypeError(type(src))
 
 
@@ -393,6 +464,56 @@ def eval_intervals(src, pos_of) -> tuple:
                    & (se <= be[idx_c]))
         keep = hit if isinstance(src, ContainedBy) else ~hit
         return ss[keep], se[keep]
+    if isinstance(src, (Before, After)):
+        ss, se = E(src.source, pos_of)
+        rs, re_ = E(src.reference, pos_of)
+        if ss.size == 0 or rs.size == 0:
+            return _empty()
+        if isinstance(src, Before):
+            # exists r with r.start > i.end <=> i.end < LAST ref start
+            # of the doc (keyed arrays ascend; the last start of doc d
+            # is the last value below (d+1) << 32)
+            idx = np.searchsorted(rs, ((ss >> 32) + 1) << 32,
+                                  side="left") - 1
+            idx_c = np.maximum(idx, 0)
+            hit = ((idx >= 0) & _same_doc(rs[idx_c], ss)
+                   & (se < rs[idx_c]))
+        else:
+            # exists r with r.end < i.start <=> i.start > FIRST ref
+            # end of the doc
+            idx = np.searchsorted(re_, (ss >> 32) << 32, side="left")
+            idx_c = np.minimum(idx, re_.size - 1)
+            hit = ((idx < re_.size) & _same_doc(re_[idx_c], ss)
+                   & (ss > re_[idx_c]))
+        return ss[hit], se[hit]
+    if isinstance(src, (Overlapping, NonOverlapping)):
+        ss, se = E(src.source, pos_of)
+        rs, re_ = E(src.reference, pos_of)
+        if ss.size == 0:
+            return _empty()
+        if rs.size == 0:
+            hit = np.zeros(ss.size, dtype=bool)
+        else:
+            # first ref with end >= i.start has the smallest start
+            # among that suffix (minimal sets: starts ascend with
+            # ends); overlap iff that start <= i.end in the same doc
+            idx = np.searchsorted(re_, ss, side="left")
+            idx_c = np.minimum(idx, re_.size - 1)
+            hit = ((idx < re_.size) & _same_doc(rs[idx_c], ss)
+                   & (rs[idx_c] <= se))
+        keep = hit if isinstance(src, Overlapping) else ~hit
+        return ss[keep], se[keep]
+    if isinstance(src, Extend):
+        s, e = E(src.source, pos_of)
+        if s.size == 0:
+            return _empty()
+        base = (s >> 32) << 32
+        s2 = np.maximum(base, s - np.int64(src.before))
+        e2 = e + np.int64(src.after)
+        # clamping at position 0 can break minimality — re-minimalize
+        # like Or does
+        order = np.lexsort((-s2, e2))
+        return _minimal_by_prefix_start(s2[order], e2[order])
     raise TypeError(type(src))
 
 

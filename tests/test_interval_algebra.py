@@ -9,12 +9,13 @@ import pytest
 from lucene_spark.index.catalog import IndexCatalog
 from lucene_spark.kernels import codec
 from lucene_spark.search import IndexSearcher
-from lucene_spark.search.intervals import (ContainedBy, Containing, MaxGaps,
-                                           MaxWidth, NotContainedBy,
-                                           NotContaining, Or, Ordered,
-                                           Phrase, Term, Unordered,
-                                           candidate_docs, match_bucket,
-                                           required_terms)
+from lucene_spark.search.intervals import (After, Before, ContainedBy,
+                                           Containing, Extend, MaxGaps,
+                                           MaxWidth, NonOverlapping,
+                                           NotContainedBy, NotContaining,
+                                           Or, Ordered, Overlapping, Phrase,
+                                           Term, Unordered, candidate_docs,
+                                           match_bucket, required_terms)
 from lucene_spark.search.kernels import TermChunk, _conj_candidates
 
 
@@ -86,6 +87,24 @@ def brute(tokens, src):
         if isinstance(src, ContainedBy):
             return hit
         return [iv for iv in small if iv not in hit]
+    if isinstance(src, Before):
+        ref = brute(tokens, src.reference)
+        return [(s, e) for s, e in brute(tokens, src.source)
+                if any(r[0] > e for r in ref)]
+    if isinstance(src, After):
+        ref = brute(tokens, src.reference)
+        return [(s, e) for s, e in brute(tokens, src.source)
+                if any(r[1] < s for r in ref)]
+    if isinstance(src, (Overlapping, NonOverlapping)):
+        ref = brute(tokens, src.reference)
+        hit = [(s, e) for s, e in brute(tokens, src.source)
+               if any(r[0] <= e and r[1] >= s for r in ref)]
+        if isinstance(src, Overlapping):
+            return hit
+        return [iv for iv in brute(tokens, src.source) if iv not in hit]
+    if isinstance(src, Extend):
+        return _minimal([(max(0, s - src.before), e + src.after)
+                         for s, e in brute(tokens, src.source)])
     raise TypeError(type(src))
 
 
@@ -99,6 +118,9 @@ def _leaves(src):
     if isinstance(src, (Ordered, Unordered)):
         return sum(_leaves(s) for s in src.sources)
     if isinstance(src, (MaxGaps, MaxWidth)):
+        return _leaves(src.source)
+    if isinstance(src, (Before, After, Overlapping, NonOverlapping,
+                        Extend)):
         return _leaves(src.source)
     raise TypeError(type(src))
 
@@ -181,6 +203,20 @@ CORPUS = [
                 MaxWidth(Ordered((Term("a"), Term("c"))), 5)),
     Containing(Ordered((Term("a"), Term("c"))), Or((Term("b"), Term("x")))),
     Or((Phrase(("a", "b")), Phrase(("b", "c")))),
+    # positional-relation combinators (Intervals.before/after/
+    # overlapping/nonOverlapping/extend)
+    Before(Term("a"), Term("c")),
+    Before(Phrase(("a", "b")), Term("c")),
+    After(Term("c"), Term("a")),
+    After(Ordered((Term("b"), Term("c"))), Term("a")),
+    Overlapping(Ordered((Term("a"), Term("c"))), Phrase(("b", "c"))),
+    Overlapping(Unordered((Term("a"), Term("b"))), Term("c")),
+    NonOverlapping(Ordered((Term("a"), Term("c"))), Term("b")),
+    NonOverlapping(Term("a"), Phrase(("b", "c"))),
+    Extend(Term("b"), 1, 1),
+    Extend(Phrase(("a", "b")), 2, 0),
+    Containing(Extend(Term("b"), 1, 1), Term("a")),
+    Before(Or((Term("a"), Term("b"))), Term("c")),
 ], ids=lambda s: type(s).__name__ + str(abs(hash(repr(s))) % 1000))
 def test_combinators_match_bruteforce(src):
     check(CORPUS, src)
@@ -201,6 +237,12 @@ def test_randomized_corpora():
         Ordered((Or((Term("a"), Term("b"))), Term("c"))),
         Or((Phrase(("a", "b")), Term("e"))),
         Unordered((Or((Term("d"), Term("e"))), Phrase(("a", "b")))),
+        Before(Ordered((Term("a"), Term("b"))), Term("e")),
+        After(Term("e"), Unordered((Term("a"), Term("b")))),
+        Overlapping(MaxWidth(Unordered((Term("a"), Term("c"))), 5),
+                    Phrase(("b", "d"))),
+        NonOverlapping(Ordered((Term("a"), Term("c"))), Term("e")),
+        Extend(Ordered((Term("a"), Term("b"))), 1, 2),
     ]
     for src in sources:
         check(corpus, src)
