@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["osa_distance", "osa_leq"]
+__all__ = ["osa_distance", "osa_distances", "osa_leq"]
 
 
 def osa_distance(a: str, b: str) -> int:
@@ -83,9 +83,26 @@ def osa_leq(terms, pattern: str, k: int,
     band = np.abs(lens - m) <= k
     if m == 0:
         return band  # distance == len(term)
+    dist = osa_distances(terms, pattern, transpositions)
+    return band & (dist <= k)
+
+
+def osa_distances(terms, pattern: str,
+                  transpositions: bool = True) -> np.ndarray:
+    """int32 OSA distances of every batch term to the pattern — the
+    same banded-matrix DP osa_leq runs, exposed for rankers that need
+    the distance itself (DirectSpellChecker's similarity ordering)."""
+    terms = ["" if t is None else str(t) for t in terms]
+    n = len(terms)
+    if n == 0:
+        return np.zeros(0, dtype=np.int32)
+    m = len(pattern)
+    lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=n)
+    if m == 0:
+        return lens.astype(np.int32)
     max_len = int(lens.max()) if n else 0
     if max_len == 0:
-        return band & (m <= k)
+        return np.full(n, m, dtype=np.int32)
     T = _codepoint_matrix(terms, max_len)
     P = np.frombuffer(pattern.encode("utf-32-le"), dtype=np.uint32)
     # dp rows over target prefix length j; columns over pattern prefix i
@@ -110,5 +127,4 @@ def osa_leq(terms, pattern: str, k: int,
             cur[:, i] = v
         final[:, j] = cur[:, m]
         prev2, prev, t_prev = prev, cur, tc
-    dist = final[np.arange(n), np.minimum(lens, max_len)]
-    return band & (dist <= k)
+    return final[np.arange(n), np.minimum(lens, max_len)]

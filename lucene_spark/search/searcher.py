@@ -1392,6 +1392,79 @@ class IndexSearcher:
                 .orderBy(F.col("weight").desc(), F.col("term").asc())
                 .limit(n))
 
+    def spell_suggest(self, term: str, n: int = 5, max_edits: int = 2,
+                      field: str | None = None, min_prefix: int = 1,
+                      min_query_length: int = 4,
+                      max_query_frequency: float = 0.01,
+                      threshold_frequency: int = 0,
+                      mode: str = "not_in_index") -> DataFrame:
+        """DirectSpellChecker analog ("did you mean", suggest/src/java/
+        org/apache/lucene/search/spell/DirectSpellChecker.java):
+        dictionary terms within ``max_edits`` OSA distance of the query
+        term (the class's LuceneLevenshteinDistance counts a
+        transposition as one edit), sharing the first ``min_prefix``
+        chars, ranked by (similarity desc, df desc, term asc) where
+        similarity = 1 - dist / min(|term|, |candidate|) — the
+        SuggestWordQueue default comparator with the default distance.
+
+        Gates, mirroring suggestSimilar: a query shorter than
+        ``min_query_length`` gets no suggestions; a query whose df
+        exceeds ceil(max_query_frequency * docCount) is considered
+        correctly spelled; ``mode`` = 'not_in_index' (default — suggest
+        only when the term has df 0), 'more_popular' (candidates must
+        have df > the query's df), or 'always'. ``threshold_frequency``
+        drops rare candidates.
+
+        The candidate scan is the same pushed-down termstats path the
+        fuzzy suggester uses: length band + prefix predicates reach the
+        parquet scan; OSA distances run batch-vectorized on executors;
+        the top-n is a TakeOrderedAndProject."""
+        import math
+        f = field or self.field
+        if len(term) < min_query_length:
+            return self.spark.createDataFrame(
+                [], "term string, df bigint, dist int, score double")
+        ts_q = self.term_stats([term], f)
+        qdf = ts_q.get(term, (0,))[0]
+        dc, _ = self._field_stats(f)
+        if qdf > math.ceil(max_query_frequency * dc):
+            return self.spark.createDataFrame(
+                [], "term string, df bigint, dist int, score double")
+        if mode == "not_in_index" and qdf > 0:
+            return self.spark.createDataFrame(
+                [], "term string, df bigint, dist int, score double")
+        from pyspark.sql.functions import pandas_udf
+        from ..kernels.osa import osa_distances
+        pat, k_ = term, int(max_edits)
+
+        @pandas_udf("int")
+        def _osa_d(s: pd.Series) -> pd.Series:
+            return pd.Series(osa_distances(s.tolist(), pat),
+                             index=s.index).astype("int32")
+
+        ts = self._termstats_df(F.col("field") == f)
+        cond = (F.length("term").between(len(term) - k_,
+                                         len(term) + k_)
+                & (F.col("term") != term))
+        if min_prefix > 0:
+            cond = cond & F.col("term").startswith(term[:min_prefix])
+        if threshold_frequency > 0:
+            cond = cond & (F.col("df") >= threshold_frequency)
+        if mode == "more_popular":
+            cond = cond & (F.col("df") > qdf)
+        out = (ts.filter(cond)
+               .withColumn("dist", _osa_d(F.col("term")))
+               .filter(F.col("dist") <= k_)
+               .withColumn("score",
+                           1.0 - F.col("dist")
+                           / F.least(F.lit(len(term)), F.length("term"))
+                           .cast("double"))
+               .select("term", "df", "dist", "score")
+               .orderBy(F.col("score").desc(), F.col("df").desc(),
+                        F.col("term").asc())
+               .limit(n))
+        return out
+
     def sort_search_df(self, query, by, k: int = 10,
                        desc: bool = True, after: tuple | None = None,
                        doc_filter: str | None = None,
