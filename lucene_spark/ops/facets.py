@@ -114,3 +114,35 @@ def range_counts(matches: DataFrame, docs: DataFrame, value_col: str,
                       for i, (label, *_x) in enumerate(ranges))
     return row.selectExpr(
         f"stack({len(ranges)}, {stack}) AS (range_label, n_docs)")
+
+
+def association_sums(matches: DataFrame, docs: DataFrame, path_col: str,
+                     assoc_col: str, max_level: int | None = None,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Facet associations (facet/taxonomy/TaxonomyFacetIntAssociations
+    .java / TaxonomyFacetFloatAssociations.java with
+    AssociationAggregationFunction.SUM): instead of counting matching
+    docs per category, SUM each doc's association value into every
+    ancestor of its taxonomy path — e.g. a per-doc confidence or
+    revenue weight attached to the category (IntAssociationFacetField /
+    FloatAssociationFacetField). Returns (level, path, n_docs, sum_assoc):
+    the reference's associations API reports both the aggregated value
+    and the doc count.
+
+    Same Catalyst shape as taxonomy_counts: one prefix posexplode, one
+    map-side-combined groupBy — NULL associations contribute nothing
+    (docs without the association field are skipped, matching the
+    reference's per-doc ords iteration)."""
+    j = matches.select(id_col).join(
+        docs.select(id_col, path_col, assoc_col), id_col)
+    prefixes = F.expr(
+        f"transform(sequence(1, size(split({path_col}, '/'))), "
+        f"i -> array_join(slice(split({path_col}, '/'), 1, i), '/'))")
+    ex = j.select(F.posexplode(prefixes).alias("lvl0", "path"),
+                  F.col(assoc_col).alias("_assoc"))
+    out = (ex.groupBy((F.col("lvl0") + 1).alias("level"), "path")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("_assoc").alias("sum_assoc")))
+    if max_level is not None:
+        out = out.filter(F.col("level") <= max_level)
+    return out

@@ -106,3 +106,22 @@ def test_range_counts_plan_is_pure_catalyst(spark):
                       [("x", None, True, 5, False)])
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "BatchEval" not in plan
+
+
+def test_association_sums(spark, docs, matches):
+    """TaxonomyFacetIntAssociations SUM: per-category sums of a per-doc
+    association value, into every ancestor; NULL associations skipped."""
+    w = spark.createDataFrame(
+        [(0, 10), (1, 20), (2, 5), (3, 7), (4, 3), (5, None), (6, 2),
+         (7, 100)],
+        "doc_id bigint, weight int")
+    d = docs.join(w, "doc_id")
+    got = {(r["level"], r["path"]): (r["n_docs"], r["sum_assoc"])
+           for r in FC.association_sums(matches, d, "path",
+                                        "weight").collect()}
+    # doc 7 (weight 100) does not match; doc 5 has NULL weight
+    assert got[(1, "web")] == (4, 37)        # 10+20+5+2
+    assert got[(1, "code")] == (3, 10)       # 7+3+None
+    assert got[(2, "code/py")] == (2, 10)
+    assert got[(3, "code/py/nb")] == (1, 3)
+    assert got[(2, "web/en")] == (2, 30)
