@@ -66,13 +66,31 @@ def _as_transcripts(docs: DataFrame) -> DataFrame:
     )
 
 
+# One IndexSearcher per (session, index dir): the searcher memoizes its
+# base DataFrames (schema inference + fixed projections are pure driver
+# latency, ~0.1-0.2 s per spark.read.parquet), so reusing it across the
+# 50 queries() entries turns that cost from per-query into one-time —
+# the same one-open-IndexReader-per-searcher discipline the reference
+# requires of its users. Keyed on the SparkSession object: a new
+# session (driver restart) gets fresh searchers.
+_SEARCHERS: dict = {}
+
+
+def _cached_searcher(spark: SparkSession, out: str) -> IndexSearcher:
+    key = (id(spark), out)
+    s = _SEARCHERS.get(key)
+    if s is None:
+        s = _SEARCHERS[key] = IndexSearcher(spark, out)
+    return s
+
+
 def _searcher(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     key = _FORMAT_VERSION + "_" + re.sub(r"\W+", "_", os.path.abspath(sf_dir))
     out = os.path.join(_CACHE_ROOT, key)
     if not IndexCatalog(out).has_table("postings"):
         build_index(spark, _as_transcripts(_docs(spark, sf_dir)), out,
                     num_buckets=4, keyword_fields=("role", "tool"))
-    return IndexSearcher(spark, out)
+    return _cached_searcher(spark, out)
 
 
 def _as_conversations(docs: DataFrame) -> DataFrame:
@@ -99,7 +117,7 @@ def _searcher_conv(spark: SparkSession, sf_dir: str) -> IndexSearcher:
     if not IndexCatalog(out).has_table("postings"):
         build_index(spark, _as_conversations(_docs(spark, sf_dir)), out,
                     num_buckets=4)
-    return IndexSearcher(spark, out)
+    return _cached_searcher(spark, out)
 
 
 def _searcher_stem(spark: SparkSession, sf_dir: str,
@@ -115,7 +133,7 @@ def _searcher_stem(spark: SparkSession, sf_dir: str,
     if not IndexCatalog(out).has_table("postings"):
         build_index(spark, _as_transcripts(_docs(spark, sf_dir)), out,
                     num_buckets=4, analyzers={"text": chain})
-    return IndexSearcher(spark, out)
+    return _cached_searcher(spark, out)
 
 
 def _topk_df(spark, sf_dir, query, k) -> DataFrame:

@@ -146,6 +146,50 @@ class IndexSearcher:
         # invalidation is needed — a new searcher starts a fresh cache.
         from collections import OrderedDict
         self._filter_cache: OrderedDict = OrderedDict()
+        # base-DataFrame cache: spark.read.parquet re-runs schema
+        # inference + partition discovery on EVERY call (~0.2 s per
+        # table on a partitioned postings dir — pure driver latency).
+        # The searcher is a point-in-time snapshot (paths resolved at
+        # init), so the base relation per table is immutable and safe
+        # to build once; filters on the cached DataFrame still push
+        # down (each .filter makes a fresh plan over the shared scan).
+        # This is Lucene's one-open-SegmentReader-per-searcher shape.
+        self._base_dfs: dict = {}
+
+    def _read_cached(self, locations) -> DataFrame:
+        key = ((locations,) if isinstance(locations, str)
+               else tuple(locations))
+        df = self._base_dfs.get(key)
+        if df is None:
+            df = self._base_dfs[key] = read_table(self.spark, list(key))
+        return df
+
+    def _memo_df(self, key, build) -> DataFrame:
+        """Memoize a constant DataFrame (immutable logical plan) under a
+        value key — empty results and fixed projections are rebuilt on
+        every query otherwise, and each createDataFrame/select is a py4j
+        round-trip (~0.1 s for createDataFrame) that dominates warm
+        single-query latency."""
+        df = self._base_dfs.get(key)
+        if df is None:
+            df = self._base_dfs[key] = build()
+        return df
+
+    def _empty_result(self) -> DataFrame:
+        return self._memo_df(
+            "_empty_result",
+            lambda: self.spark.createDataFrame([], RESULT_SCHEMA))
+
+    def _norms_proj(self, *cols) -> DataFrame:
+        """The norms-table projection used by every scored query."""
+        return self._memo_df(
+            ("_norms", cols),
+            lambda: self._read_cached(self.norms_paths).select(*cols))
+
+    def _live_proj(self, *cols) -> DataFrame:
+        return self._memo_df(
+            ("_live", cols),
+            lambda: self._read_cached(self.livedocs_path).select(*cols))
 
     @staticmethod
     def _term_hs(terms) -> list:
@@ -162,7 +206,7 @@ class IndexSearcher:
         """Postings scan with directory-level pruning (term_h partition
         equality) + row-group pruning (sorted term column min/max) —
         the term-dictionary seek."""
-        return (read_table(self.spark, self.postings_paths)
+        return (self._read_cached(self.postings_paths)
                 .filter(F.col("term_h").isin(self._term_hs(terms)) &
                         (F.col("field") == field) &
                         F.col("term").isin(list(terms))))
@@ -174,7 +218,7 @@ class IndexSearcher:
         _postings_for; kernels key chunks by the exact (field, term)."""
         fields = sorted({f for f, _ in pairs})
         terms = sorted({t for _, t in pairs})
-        return (read_table(self.spark, self.postings_paths)
+        return (self._read_cached(self.postings_paths)
                 .filter(F.col("term_h").isin(self._term_hs(terms)) &
                         F.col("field").isin(fields) &
                         F.col("term").isin(terms)))
@@ -193,7 +237,7 @@ class IndexSearcher:
         the filter still reaches each parquet scan BEFORE the shuffle,
         so a seek for q query terms stays O(matching rows), not
         O(vocabulary)."""
-        ts = read_table(self.spark, self.termstats_paths)
+        ts = self._read_cached(self.termstats_paths)
         if pushed_filter is not None:
             ts = ts.filter(pushed_filter)
         if len(self.termstats_paths) > 1:
@@ -307,7 +351,7 @@ class IndexSearcher:
                           if hi is not None else len(terms))
                     sel = terms[i0:i1]
                 return sel[:query.max_expansions]
-        ts = (read_table(self.spark, self.termstats_paths)
+        ts = (self._read_cached(self.termstats_paths)
               .filter(F.col("field") == query.field)
               .select("term"))
         if kind == "prefix":
@@ -368,10 +412,12 @@ class IndexSearcher:
         per-bucket chunk frame; returns (df, has_live)."""
         if self.livedocs_path is None:
             return df, False
-        live_df = (self.spark.read.parquet(self.livedocs_path)
-                   .select("bucket_id",
-                           F.col("base_doc").alias("_lv_base"),
-                           F.col("num_docs").alias("_lv_n"), "live"))
+        live_df = self._memo_df(
+            ("_live", "aliased"),
+            lambda: self._read_cached(self.livedocs_path)
+            .select("bucket_id",
+                    F.col("base_doc").alias("_lv_base"),
+                    F.col("num_docs").alias("_lv_n"), "live"))
         return df.join(live_df, "bucket_id", "left"), True
 
     @staticmethod
@@ -396,9 +442,8 @@ class IndexSearcher:
         if cached is not None:
             self._filter_cache.move_to_end(doc_filter)
             return cached
-        nm = (read_table(self.spark, self.norms_paths)
-              .select("bucket_id", "base_doc", "num_docs"))
-        filtered = (read_table(self.spark, self.docstore_paths)
+        nm = self._norms_proj("bucket_id", "base_doc", "num_docs")
+        filtered = (self._read_cached(self.docstore_paths)
                     .filter(doc_filter)
                     .select("bucket_id", "doc_id")
                     .join(F.broadcast(nm), "bucket_id"))
@@ -429,15 +474,13 @@ class IndexSearcher:
         else. FieldExistsQuery is sugar: MatchAll with an IS NOT NULL
         doc_filter pushed to the docstore scan."""
         spark = self.spark
-        nm = (read_table(spark, self.norms_paths)
-              .select("bucket_id", "base_doc", "num_docs"))
+        nm = self._norms_proj("bucket_id", "base_doc", "num_docs")
         has_filter = doc_filter is not None
         if has_filter:
             nm = nm.join(self._doc_filter_bitmaps(doc_filter), "bucket_id")
         has_live = self.livedocs_path is not None
         if has_live:
-            live_df = (spark.read.parquet(self.livedocs_path)
-                       .select("bucket_id", "live"))
+            live_df = self._live_proj("bucket_id", "live")
             nm = nm.join(live_df, "bucket_id", "left")
         b = np.float32(boost)
 
@@ -757,9 +800,11 @@ class IndexSearcher:
         """
         spark = self.spark
         if mode == "count":
-            empty = spark.createDataFrame([(0,)], "n bigint")
+            empty = self._memo_df(
+                "_count_zero",
+                lambda: spark.createDataFrame([(0,)], "n bigint"))
         else:
-            empty = spark.createDataFrame([], RESULT_SCHEMA)
+            empty = self._empty_result()
         q = self._expand_mtq_tree(rewrite(query))
         q = rewrite(q)  # expansion may enable further elision
         pairs: set = set()
@@ -779,8 +824,7 @@ class IndexSearcher:
             return empty
         chunks_df = (self._postings_for_pairs(present)
                      .select("field", "term", "bucket_id", "blocks"))
-        norms_df = (read_table(spark, self.norms_paths)
-                    .select("bucket_id", "base_doc", "norms"))
+        norms_df = self._norms_proj("bucket_id", "base_doc", "norms")
         joined = chunks_df.join(norms_df, "bucket_id")
         has_filter = doc_filter is not None
         if has_filter:
@@ -906,7 +950,7 @@ class IndexSearcher:
         if isinstance(query, MultiTermQuery):
             expanded = self.expand_terms(query)
             if not expanded:
-                return spark.createDataFrame([], RESULT_SCHEMA)
+                return self._empty_result()
             if query.rewrite == "scoring_boolean":
                 return self._search_df_impl(
                     OrQuery(tuple(expanded), field=query.field,
@@ -915,7 +959,7 @@ class IndexSearcher:
         terms = query.terms
         qtype = _qtype(query)
         tstats = self.term_stats(terms, query.field)
-        empty = spark.createDataFrame([], RESULT_SCHEMA)
+        empty = self._empty_result()
         if qtype in ("and", "phrase") and any(t not in tstats for t in terms):
             return empty  # a required term is absent from the corpus
         if qtype == "boolean" and any(
@@ -937,8 +981,7 @@ class IndexSearcher:
         chunks_df = (self._postings_for(present, query.field)
                      .select("term", "bucket_id", "max_score",
                              "block_max_scores", "blocks"))
-        norms_df = (read_table(spark, self.norms_paths)
-                    .select("bucket_id", "base_doc", "norms"))
+        norms_df = self._norms_proj("bucket_id", "base_doc", "norms")
         # Attach the bucket's packed norms to each chunk row: an equi-join
         # on bucket_id (norms rows are small; only buckets that actually
         # contain a query term produce kernel tasks).
@@ -951,8 +994,7 @@ class IndexSearcher:
                                  "bucket_id")
         has_live = self.livedocs_path is not None
         if has_live:
-            live_df = (spark.read.parquet(self.livedocs_path)
-                       .select("bucket_id", "live"))
+            live_df = self._live_proj("bucket_id", "live")
             joined = joined.join(live_df, "bucket_id", "left")
 
         term_order = list(terms)
@@ -1064,8 +1106,8 @@ class IndexSearcher:
         boost = float(query.boost)
         chunks_df = (self._postings_for(expanded, query.field)
                      .select("term", "bucket_id", "block_max_scores", "blocks"))
-        norms_df = (read_table(spark, self.norms_paths)
-                    .select("bucket_id", "base_doc", "num_docs", "norms"))
+        norms_df = self._norms_proj("bucket_id", "base_doc",
+                                    "num_docs", "norms")
         joined = chunks_df.join(norms_df, "bucket_id")
         has_filter = doc_filter is not None
         if has_filter:
@@ -1190,8 +1232,7 @@ class IndexSearcher:
         chunks_df = (self._postings_for_pairs(need)
                      .select("field", "term", "bucket_id",
                              "block_max_scores", "blocks"))
-        norms_df = (read_table(spark, self.norms_paths)
-                    .select("bucket_id", "base_doc", "norms"))
+        norms_df = self._norms_proj("bucket_id", "base_doc", "norms")
         joined = chunks_df.join(norms_df, "bucket_id")
         joined, has_live = self._attach_live(joined)
         live_docset = IndexSearcher._live_docset
@@ -1496,7 +1537,7 @@ class IndexSearcher:
         specs = self._sort_specs(by, desc)
         m = self.matches_df(query, doc_filter).select("doc_id")
         ds = (metadata if metadata is not None
-              else read_table(self.spark, self.docstore_paths))
+              else self._read_cached(self.docstore_paths))
         cols = [c for c, _, _ in specs]
         j = m.join(ds.select("doc_id", *cols), "doc_id")
         keys = []
@@ -1558,7 +1599,7 @@ class IndexSearcher:
         field = getattr(query, "field", self.field)
         tstats = self.term_stats(terms, field)
         doc_count, sum_ttf = self._field_stats(field)
-        row = (read_table(self.spark, self.docstore_paths)
+        row = (self._read_cached(self.docstore_paths)
                .filter(F.col("doc_id") == doc_id)
                .select("norm", "token_count").collect())
         if not row:
@@ -1605,7 +1646,7 @@ class IndexSearcher:
             elif cond is None:
                 n = self.doc_count
             else:
-                n = read_table(self.spark, self.docstore_paths) \
+                n = self._read_cached(self.docstore_paths) \
                     .filter(cond).count()
             return self.spark.createDataFrame([(n,)], "n bigint")
         return self._search_tree(self._analyze_query(query), k=0,
@@ -1630,7 +1671,7 @@ class IndexSearcher:
             if self.livedocs_path is None:
                 if cond is None:
                     return self.doc_count
-                return read_table(self.spark, self.docstore_paths) \
+                return self._read_cached(self.docstore_paths) \
                     .filter(cond).count()
             return self._bitmap_count(cond)
         row = self.count_df(query).collect()
@@ -1640,12 +1681,10 @@ class IndexSearcher:
         """Popcount of (filter bitmap AND live bitmap) per bucket,
         summed — counting under deletes without materializing docs."""
         spark = self.spark
-        nm = (read_table(spark, self.norms_paths)
-              .select("bucket_id", "num_docs"))
+        nm = self._norms_proj("bucket_id", "num_docs")
         if doc_filter is not None:
             nm = nm.join(self._doc_filter_bitmaps(doc_filter), "bucket_id")
-        live_df = (spark.read.parquet(self.livedocs_path)
-                   .select("bucket_id", "live"))
+        live_df = self._live_proj("bucket_id", "live")
         nm = nm.join(live_df, "bucket_id", "left")
         has_filter = doc_filter is not None
 
@@ -1692,8 +1731,8 @@ class IndexSearcher:
                      .select("bucket_id", "blocks"))
         has_live = self.livedocs_path is not None
         if has_live:
-            live_df = (self.spark.read.parquet(self.livedocs_path)
-                       .select("bucket_id", "base_doc", "num_docs", "live"))
+            live_df = self._live_proj("bucket_id", "base_doc",
+                                      "num_docs", "live")
             chunks_df = chunks_df.join(live_df, "bucket_id", "left")
 
         def run(batches):
@@ -1872,7 +1911,7 @@ class IndexSearcher:
         Returns top-k (conv_id, score, n_children) by (score desc,
         conv_id asc)."""
         m = self.matches_df(child_query, doc_filter)
-        ds = read_table(self.spark, self.docstore_paths) \
+        ds = self._read_cached(self.docstore_paths) \
             .select("doc_id", "conv_id")
         joined = m.join(ds, "doc_id")
         if score_mode == "none":
@@ -1914,7 +1953,7 @@ class IndexSearcher:
         the to-side scan — the to-side corpus never shuffles. Returns
         top-k (doc_id, score) by (score desc, doc_id asc)."""
         m = self.matches_df(from_query, doc_filter)
-        ds = (read_table(self.spark, self.docstore_paths)
+        ds = (self._read_cached(self.docstore_paths)
               .select("doc_id", from_field))
         joined = m.join(ds, "doc_id")
         if score_mode == "none":
@@ -1929,7 +1968,7 @@ class IndexSearcher:
                     .select(F.col(from_field).alias("_jv"),
                             F.col("_s").cast("float").alias("score")))
         to = (to_docs if to_docs is not None
-              else read_table(self.spark, self.docstore_paths))
+              else self._read_cached(self.docstore_paths))
         out = (to.select("doc_id", F.col(to_field).alias("_jv"))
                .join(F.broadcast(vals), "_jv")
                .select("doc_id", "score"))
@@ -1947,7 +1986,7 @@ class IndexSearcher:
         import math
         # per-doc term freqs: re-analyze the stored text (the reference
         # re-tokenizes the document's fields the same way)
-        row = (read_table(self.spark, self.docstore_paths)
+        row = (self._read_cached(self.docstore_paths)
                .filter(F.col("doc_id") == doc_id)
                .select("text").collect())
         if not row:
@@ -1984,7 +2023,7 @@ class IndexSearcher:
         re-order by a Catalyst expression over ``score`` + any doc
         column (whole-stage codegen; the top-N side is broadcast).
         Returns (doc_id, score, new_score) ordered by the new score."""
-        ds = read_table(self.spark, self.docstore_paths)
+        ds = self._read_cached(self.docstore_paths)
         joined = ds.join(F.broadcast(topk_df), "doc_id", "inner")
         return (joined
                 .withColumn(score_col, F.expr(expr).cast("double"))
@@ -1995,5 +2034,5 @@ class IndexSearcher:
     def retrieve(self, topk_df: DataFrame) -> DataFrame:
         """Stored-fields retrieval: join top-k doc_ids back to the docstore
         (broadcast the tiny top-k side, not the corpus)."""
-        ds = read_table(self.spark, self.docstore_paths)
+        ds = self._read_cached(self.docstore_paths)
         return ds.join(F.broadcast(topk_df), "doc_id", "inner")
