@@ -6,26 +6,37 @@ StandardTokenizer (UAX#29 word break, StandardTokenizer.java:31-76)
 maxTokenLength = 255 (tokens longer than the limit are split at
 maxTokenLength-char intervals).
 
-Scope: one vectorized regex (pandas ``str.findall`` — no per-row Python
-on the hot path) approximating the UAX#29 word-break rules
-(StandardTokenizerImpl.jflex) that real corpora hit:
+Two execution paths, both golden-tested against the reference's
+generated scanner (StandardTokenizerImpl.jflex / .java, run via
+javac — tests/golden/uax29_golden.tsv, tools/make_uax29_golden.py):
 
-- Unicode letter/digit/underscore runs (ALetter/Numeric/ExtendNumLet;
-  WB5/8/9/10/13a/13b) — accented letters, mixed alphanumerics;
-- MidNumLet ' ’ . between word chars joins (WB6/7, WB11/12):
-  "don't", "o’clock", "u.s.a", "3.14" are single tokens;
-- MidNum , between digits joins: "1,000"; MidLetter : between letters
-  joins: Swedish "a:b" — but "1:2" and "a,b" split, like the reference;
-- hyphens SPLIT ("state-of-the-art" -> 4 tokens) — UAX#29 behavior;
-- Han and Hiragana emit one token PER CHARACTER (WB999), Katakana
-  emits runs (WB13) — the reference's CJK behavior;
-- everything else (punctuation, symbols, emoji) is dropped.
+- **ASCII fast path** (stdlib ``re``, C-speed): the exact UAX#29
+  word-break subset reachable from pure-ASCII text — ALetter runs,
+  Numeric runs, ExtendNumLet '_' joins (WB13a/b), MidNumLet '.' and
+  SingleQuote ' between letters or between digits (WB6/7/11/12),
+  MidLetter ':' letters-only, MidNum ','/';' digits-only, and direct
+  letter<->digit concatenation ("mp3"). Hyphens split. Pure-ASCII
+  rows never involve Extend/Format/ZWJ/emoji (all non-ASCII).
 
-Known deviations, documented: the exotic MidLetter set (U+00B7 etc.)
-beyond ':' is not joined; Extend/Format (combining marks, ZWJ) are not
-made transparent; regional-indicator pairs are dropped. ASCII-alnum
+- **Full UAX#29 path** (the ``regex`` module's Unicode property
+  classes, rows containing any non-ASCII char): a direct transcription
+  of the jflex grammar — WB4 Extend/Format/ZWJ transparency (NFD
+  combining marks, ZWNJ/ZWJ, soft hyphens stay inside the token, like
+  the reference's scanner which copies the raw matched span), Hebrew
+  letter + single/double-quote forms (WB7a-c), Katakana runs with
+  ExtendNumLet joins, Han/Hiragana singles (WB999), Southeast-Asian
+  Complex_Context runs (Thai/Lao/...), regional-indicator pairs and
+  TR51 emoji sequences (ZWJ chains, skin modifiers, presentation
+  selectors, keycaps, tag sequences) as single EMOJI tokens.
+
+Known deviations, documented: token boundaries follow the regex
+module's Unicode tables (15.x) while the reference grammar is frozen
+at Unicode 12.1 — a handful of code points changed word-break class
+between the two; and we lowercase BEFORE tokenizing (the reference
+tokenizes, then LowerCaseFilter) which can differ only for the rare
+chars whose word-break class changes under case mapping. ASCII-alnum
 corpora (the fixtures and the DuckDB oracle prelude) tokenize
-identically to the previous [0-9A-Za-z]+ subset.
+identically to the [0-9A-Za-z]+ subset.
 """
 
 from __future__ import annotations
@@ -41,8 +52,112 @@ __all__ = ["MAX_TOKEN_LENGTH", "tokenize_series", "token_counts",
 
 MAX_TOKEN_LENGTH = 255  # StandardAnalyzer.java:52
 
-# word chars excluding Han/Hiragana/Katakana (handled by their own
-# alternatives): [^\W...] = \w AND NOT kana/han
+# ---------------------------------------------------------------------------
+# ASCII fast path: exact UAX#29 subset for pure-ASCII (lowercased) text.
+# ASCII word-break classes: ALetter=[a-z], Numeric=[0-9], ExtendNumLet=_,
+# MidNumLet=. , SingleQuote=' , MidLetter=: , MidNum=[,;]. A "core" is a
+# digit or letter sequence with single mid-joiners (or '_' runs) between
+# same-class chars; cores concatenate directly (WB9/10) or across '_'
+# runs (WB13a/b), with leading/trailing '_' kept.
+# ---------------------------------------------------------------------------
+_A_NUM = r"[0-9]+(?:(?:_*|[.,;'])[0-9]+)*"
+_A_LET = r"[a-z]+(?:(?:_*|[.':])[a-z]+)*"
+_A_SEQ = rf"(?:{_A_NUM}|{_A_LET})+"
+_ASCII_RE = re.compile(rf"_*{_A_SEQ}(?:_+{_A_SEQ})*_*")
+
+# ---------------------------------------------------------------------------
+# Full UAX#29 path: direct transcription of StandardTokenizerImpl.jflex
+# using the `regex` module's Unicode property classes (V1 set operations).
+# Every base class absorbs trailing Extend/Format/ZWJ (WB4); the emoji
+# macros exclude FE0E/FE0F from the absorption so presentation-selector
+# sequences parse, and hold back a ZWJ that glues the next emoji unit
+# (jflex longest-match keeps it for the ZWJ-sequence loop; a backtracking
+# regex needs the lookahead to avoid committing it to the absorption).
+# ---------------------------------------------------------------------------
+try:
+    import regex as _rx
+except ImportError:  # pragma: no cover - regex is a baked-in dependency
+    _rx = None
+
+_UAX29_RE = None
+if _rx is not None:
+    _EFZ = r"[\p{WB=Format}\p{WB=Extend}\p{WB=ZWJ}]*"
+    _AHL = r"[\p{WB=ALetter}\p{WB=Hebrew_Letter}]" + _EFZ
+    _NUM = r"\p{WB=Numeric}" + _EFZ
+    _KAT = r"\p{WB=Katakana}" + _EFZ
+    # [--\u055F]: ARMENIAN ABBREVIATION MARK became MidLetter in
+    # Unicode 14; the reference grammar is frozen at 12.1 (splits)
+    _MIDL = (r"[[\p{WB=MidLetter}--[\u055F]]"
+             r"\p{WB=MidNumLet}\p{WB=Single_Quote}]" + _EFZ)
+    _MIDN = r"[\p{WB=MidNum}\p{WB=MidNumLet}\p{WB=Single_Quote}]" + _EFZ
+    _ENL = r"\p{WB=ExtendNumLet}" + _EFZ
+    # WORD/NUMERIC rule (boundary-identical; the grammar's separate
+    # NUMERIC/HANGUL/KATAKANA rules exist "for typing purposes only").
+    # The grammar expresses WB7a-c as a standalone Hebrew branch; a
+    # backtracking regex matches greedily, not longest, so a leading
+    # AHLetter run would strand a trailing Hebrew quote form ("מא'").
+    # Instead the quote forms live INSIDE the AHLetter loop, gated by a
+    # Hebrew-letter lookbehind/lookahead: Hebrew x Single_Quote may end
+    # the token (WB7a), Hebrew Double_Quote x Hebrew joins (WB7b/c).
+    # ... but NOT when that Hebrew letter itself closed a MidLetter
+    # join ("מ·מ"א" stays two tokens): in the grammar the quote-form
+    # Hebrew letter starts its own sequence iteration, which a letter
+    # consumed as a MidLetter join target can never do.
+    # the blocking MidLetter must itself have JOINED (an AHLetter
+    # precedes it) — a dropped MidLetter before a fresh token must not
+    # block ("．ב'" still takes the quote; "מ·מ'" does not)
+    _HEB_BEHIND = (r"(?<=\p{WB=Hebrew_Letter}"
+                   r"[\p{WB=Format}\p{WB=Extend}\p{WB=ZWJ}]*)"
+                   r"(?<![\p{WB=ALetter}\p{WB=Hebrew_Letter}]"
+                   r"[\p{WB=Format}\p{WB=Extend}\p{WB=ZWJ}]*"
+                   r"[\p{WB=MidLetter}\p{WB=MidNumLet}"
+                   r"\p{WB=Single_Quote}]"
+                   r"[\p{WB=Format}\p{WB=Extend}\p{WB=ZWJ}]*"
+                   r"\p{WB=Hebrew_Letter}"
+                   r"[\p{WB=Format}\p{WB=Extend}\p{WB=ZWJ}]*)")
+    _HEBDQ = (rf"{_HEB_BEHIND}\p{{WB=Double_Quote}}{_EFZ}"
+              r"(?=\p{WB=Hebrew_Letter})")
+    _HEBSQ = rf"{_HEB_BEHIND}\p{{WB=Single_Quote}}{_EFZ}"
+    _SEQ = (rf"(?:{_NUM}(?:(?:(?:{_ENL})*|{_MIDN}){_NUM})*"
+            rf"|{_AHL}(?:(?:(?:{_ENL})*|{_MIDL}|{_HEBDQ}){_AHL})*"
+            rf"(?:{_HEBSQ})?)+")
+    _GRP = rf"(?:{_KAT}(?:(?:{_ENL})*{_KAT})*|{_SEQ})"
+    _WORD = rf"(?:{_ENL})*{_GRP}(?:(?:{_ENL})+{_GRP})*(?:{_ENL})*"
+    # emoji macros (TR51 emoji_sequence, jflex EMOJI rule)
+    _EMOJI_UNIT_START = (r"(?:\p{Extended_Pictographic}"
+                         r"|[\p{Emoji}--[\p{WB=Regional_Indicator}"
+                         r"0-9#*\u00A9\u00AE\u2122\u3030\u303D"
+                         r"\p{Emoji_Modifier}]]"
+                         r"|\p{Emoji_Modifier_Base}|\p{Emoji_Modifier})")
+    _EFZE = (r"(?:[[\p{WB=Format}\p{WB=Extend}]--[\uFE0E\uFE0F]]"
+             rf"|\p{{WB=ZWJ}}(?!\p{{WB=ZWJ}}*{_EMOJI_UNIT_START}))*")
+    _ECHAR = (r"(?:\p{Extended_Pictographic}"
+              r"|[\p{Emoji}--[\p{WB=Regional_Indicator}"
+              r"0-9#*\u00A9\u00AE\u2122\u3030\u303D\p{Emoji_Modifier}]])")
+    _EPS = r"\uFE0F"
+    _ECPM = (rf"(?:\p{{WB=ZWJ}}*{_ECHAR}{_EFZE}{_EPS}?"
+             rf"|(?:\p{{WB=ZWJ}}*\p{{Emoji_Modifier_Base}}{_EFZE})?"
+             rf"\p{{Emoji_Modifier}}{_EFZE})")
+    # RegionalIndicatorEx uses the PLAIN ExtFmtZwj (the jflex defines it
+    # in the word-rule macro block): FE0E/FE0F after a flag ARE absorbed
+    _RI = r"\p{WB=Regional_Indicator}" + _EFZ
+    _EMOJI = (rf"(?:{_ECPM}(?:(?:\p{{WB=ZWJ}}{_ECPM})*"
+              rf"|[\U000E0020-\U000E007E]+\U000E007F)"
+              rf"|[0-9#*]{_EFZE}{_EPS}?\u20E3{_EFZE}"
+              rf"|(?:{_RI}){{2}})")
+    _SEA = rf"(?:\p{{LineBreak=Complex_Context}}{_EFZ})+"
+    _HAN = r"\p{Script=Han}" + _EFZ
+    _HIRA = r"\p{Script=Hiragana}" + _EFZ
+    # WORD before EMOJI: where both match (digit keycaps — U+20E3 is
+    # WB=Extend so the word rule absorbs it) the boundaries coincide and
+    # the reference drops token types anyway; jflex longest-match even
+    # prefers the word rule's longer span ("3\u20E34" is ONE numeric token).
+    _UAX29_RE = _rx.compile(
+        rf"{_WORD}|{_EMOJI}|{_SEA}|{_HAN}|{_HIRA}", flags=_rx.V1)
+
+# legacy approximation, used only if the regex module is unavailable:
+# word runs with MidNumLet/MidNum/MidLetter joins, Katakana runs,
+# Han/Hiragana singles; no WB4 transparency, no emoji
 _W = r"[^\W぀-ヿ一-鿿]"
 _LET = r"[^\W\d_぀-ヿ一-鿿]"  # letters only
 _WORD_RE = re.compile(
@@ -53,6 +168,36 @@ _WORD_RE = re.compile(
     rf"|(?<=\d),\d+"                         # MidNum between digits
     rf"|(?<={_LET}):{_LET}+"                 # MidLetter between letters
     r")*")
+
+
+def _findall(text: str) -> list:
+    """Word-break one lowercased string: ASCII rows through the exact
+    C-speed subset, anything else through the full UAX#29 grammar."""
+    if text.isascii():
+        return _ASCII_RE.findall(text)
+    if _UAX29_RE is not None:
+        return _UAX29_RE.findall(text)
+    return _WORD_RE.findall(text)
+
+
+def tokenize_spans(text: str):
+    """Offset-aware word break over RAW (original-case) text — same
+    dispatch and boundaries as tokenize_series; used by the highlighter
+    to locate term occurrences. Yields re/regex match objects
+    (.group(0)/.start()/.end()). Case-insensitive: ASCII classes are
+    lowercase-only and Unicode property classes are case-specific, so
+    matching is done on the lowercased text; offsets transfer because
+    str.lower() is length-preserving for every char the grammar can
+    start or extend a token with (the rare length-changing case
+    mappings like İ->i̇ are all single token-internal chars)."""
+    low = (text or "").lower()
+    if len(low) != len(text or ""):  # length-changing case mapping
+        low = text or ""             # match original-case text instead
+    if low.isascii():
+        return _ASCII_RE.finditer(low)
+    if _UAX29_RE is not None:
+        return _UAX29_RE.finditer(low)
+    return _WORD_RE.finditer(low)
 
 
 def _split_long(tokens: list) -> list:
@@ -70,14 +215,17 @@ def _split_long(tokens: list) -> list:
 def tokenize_series(texts: pd.Series) -> pd.Series:
     """text -> list[str] tokens (lowercased), vectorized.
 
-    pandas str ops run in C over the whole Arrow batch; the long-token
-    split is a cheap per-list fixup only applied to rows that need it.
+    The per-row dispatch (str.isascii is a C-level scan) keeps ASCII
+    corpora on the stdlib-re fast path; pandas .str.findall is itself a
+    per-row loop over a C regex, so the comprehension costs the same.
+    The long-token split is a cheap fixup only for rows that need it.
     """
-    toks = texts.fillna("").str.lower().str.findall(_WORD_RE)
+    filled = texts.fillna("")
+    lowered = filled.str.lower()
+    toks = pd.Series([_findall(t) for t in lowered], index=texts.index)
     # fast path: only rows containing a >255-char token need the split
-    needs = texts.fillna("").str.len() > MAX_TOKEN_LENGTH
+    needs = filled.str.len() > MAX_TOKEN_LENGTH
     if needs.any():
-        toks = toks.copy()
         idx = toks.index[needs]
         toks.loc[idx] = [_split_long(t) for t in toks.loc[idx]]
     return toks
@@ -90,7 +238,7 @@ def token_counts(texts: pd.Series) -> np.ndarray:
 
 def tokenize_one(text: str) -> list:
     """Single-string helper for tests/driver-side use."""
-    return _split_long(_WORD_RE.findall((text or "").lower()))
+    return _split_long(_findall((text or "").lower()))
 
 
 # ---------------------------------------------------------------------------

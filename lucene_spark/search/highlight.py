@@ -15,7 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..kernels.tokenizer import _WORD_RE
+from ..kernels.tokenizer import tokenize_spans
 
 SNIPPET_SCHEMA = "doc_id bigint, snippet string, n_hits int"
 
@@ -35,7 +35,7 @@ def highlight(retrieved: DataFrame, terms: list, text_col: str = "text",
             out_ids, out_snips, out_hits = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf[text_col]):
                 toks = [(m.group(0), m.start(), m.end())
-                        for m in _WORD_RE.finditer(text or "")]
+                        for m in tokenize_spans(text)]
                 hits = [i for i, (w, _, _) in enumerate(toks)
                         if w.lower() in tset]
                 n = len(hits)
@@ -109,7 +109,7 @@ def highlight_passages(retrieved: DataFrame, terms: list, df_by_term: dict,
                 for m in _SENT_RE.finditer(text or ""):
                     seg = m.group(0)
                     toks = [(w.group(0), w.start()) for w in
-                            _WORD_RE.finditer(seg)]
+                            tokenize_spans(seg)]
                     tf: dict = {}
                     for w, _ in toks:
                         lw = w.lower()
@@ -121,10 +121,15 @@ def highlight_passages(retrieved: DataFrame, terms: list, df_by_term: dict,
                     best.append((sc, m.start(), seg, sum(tf.values())))
                 best.sort(key=lambda r: (-r[0], r[1]))
                 for sc, start, seg, nh in best[:max_passages]:
-                    marked = _WORD_RE.sub(
-                        lambda w: (f"{pre}{w.group(0)}{post}"
-                                   if w.group(0).lower() in tset
-                                   else w.group(0)), seg).strip()
+                    parts, prev = [], 0
+                    for w in tokenize_spans(seg):
+                        if w.group(0).lower() in tset:
+                            parts.append(seg[prev:w.start()])
+                            parts.append(f"{pre}{seg[w.start():w.end()]}"
+                                         f"{post}")
+                            prev = w.end()
+                    parts.append(seg[prev:])
+                    marked = "".join(parts).strip()
                     rows.append((int(doc_id), marked, float(sc),
                                  int(start), int(nh)))
             import numpy as np

@@ -54,9 +54,23 @@ UAX_CASES = [
     ("hello, world!", ["hello", "world"]),
     ("日本語テスト", ["日", "本", "語", "テスト"]),  # Han singles, Katakana run
     ("ひらがな", ["ひ", "ら", "が", "な"]),
-    ("emoji 😀 here", ["emoji", "here"]),
+    # StandardTokenizer emits EMOJI tokens (StandardTokenizer.java:64)
+    ("emoji 😀 here", ["emoji", "😀", "here"]),
     ("trailing' quote'", ["trailing", "quote"]),
     ("'leading", ["leading"]),
+    # round-5 exact-grammar upgrades
+    ("1;2 one;two", ["1;2", "one", "two"]),     # MidNum ';' digits only
+    ("a.1 1.a", ["a", "1", "1", "a"]),          # '.' same-class only
+    ("école naïve", ["école", "naïve"]),  # NFD combining marks (WB4)
+    ("می‌روم", ["می‌روم"]),                       # ZWNJ transparency
+    ("co⁠op don­t", ["co⁠op", "don­t"]),  # Format
+    ("l·l a·b", ["l·l", "a·b"]),                # exotic MidLetter U+00B7
+    ("מ' א\"ב מא'", ["מ'", "א\"ב", "מא'"]),     # Hebrew WB7a-c
+    ("🇺🇸 x🇺🇸y 🇺", ["🇺🇸", "x", "🇺🇸", "y"]),  # RI pairs
+    ("👍🏽 👨‍👩‍👧", ["👍🏽", "👨‍👩‍👧"]),          # modifier + ZWJ sequence
+    ("#️⃣ ok™", ["#️⃣", "ok", "™"]),             # keycap, ext-pict symbol
+    ("สวัสดีครับ abcไทย123", ["สวัสดีครับ", "abc", "ไทย", "123"]),  # SEA
+    ("한글abc क्षि", ["한글abc", "क्षि"]),        # Hangul run, virama join
 ]
 
 
@@ -83,3 +97,68 @@ def test_ascii_alnum_subset_unchanged():
                "batch  hash\tvector\nstream", "Mixed CASE tokens 007"]
     for s in samples:
         assert tokenize_one(s) == old.findall(s.lower())
+
+
+# ---- UAX#29 golden parity vs the reference's generated scanner ---------
+
+def _load_uax29_golden():
+    import pathlib
+    base = pathlib.Path(__file__).parent / "golden"
+    lines = (base / "uax29_corpus.txt").read_text("utf-8").splitlines()
+    gold: dict = {}
+    for row in (base / "uax29_golden.tsv").read_text("utf-8").splitlines():
+        n, _t, cps = row.split("\t")
+        gold.setdefault(int(n), []).append(
+            "".join(chr(int(x, 16)) for x in cps.split(",")))
+    return lines, gold
+
+
+def test_uax29_golden_parity():
+    """Token-for-token parity with the reference's jflex-generated
+    StandardTokenizerImpl (golden produced by RUNNING the patched
+    reference scanner — tools/make_uax29_golden.py). The corpus covers
+    every grammar branch: ASCII mid-joins, WB4 Extend/Format/ZWJ
+    transparency, Hebrew quote forms (incl. the iteration-boundary
+    cases differential fuzzing found), regional-indicator pairs with
+    presentation selectors, TR51 emoji/keycap/tag sequences, CJK,
+    Hangul, Southeast-Asian runs. Beyond this corpus, 28k random lines
+    over the same class alphabet matched the Java scanner exactly."""
+    lines, gold = _load_uax29_golden()
+    assert len(lines) >= 40
+    for i, line in enumerate(lines, 1):
+        assert tokenize_one(line) == gold.get(i, []), f"line {i}: {line!r}"
+
+
+def test_uax29_no_backtracking_blowup():
+    """Pathological inputs (long homogeneous runs ending in a breaker,
+    ZWJ floods, repeated quote forms) must tokenize in linear-ish time —
+    the grammar transcription is greedy with give-back only at token
+    tails, so no (a+)+-style explosion exists."""
+    import time
+    probes = [
+        "1" * 20000 + "€",
+        "a" * 20000 + "́" * 100 + "!",
+        ("1," * 5000) + "x",
+        "‍" * 2000 + "😀",
+        ("א'" * 3000),
+    ]
+    for p in probes:
+        t0 = time.perf_counter()
+        tokenize_one(p)
+        assert time.perf_counter() - t0 < 2.0
+
+
+def test_ascii_fast_path_equals_full_grammar():
+    """The stdlib-re ASCII fast path and the full regex-module grammar
+    must agree on every pure-ASCII string (the dispatch must be
+    invisible): force each through both engines."""
+    from lucene_spark.kernels import tokenizer as T
+    if T._UAX29_RE is None:
+        pytest.skip("regex module unavailable")
+    import random
+    rng = random.Random(7)
+    alphabet = "abz09_.,;:' -"
+    for _ in range(2000):
+        s = "".join(rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 24)))
+        assert T._ASCII_RE.findall(s) == T._UAX29_RE.findall(s), repr(s)
