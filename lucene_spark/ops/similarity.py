@@ -176,15 +176,17 @@ def ivf_cosine_topk(vectors: DataFrame, queries: DataFrame,
             .drop("_rk"))
 
 
-def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, dim: int,
-                    k: int = 10, n_planes: int = 16, bands: int = 4,
-                    id_col: str = "vec_id", vec_col: str = "embedding",
-                    q_id_col: str = "q_id") -> DataFrame:
-    """Approximate cosine top-k: band-bucketed sign sketches prune the
-    corpus, exact cosine re-ranks candidates. Recall grows with bands;
-    candidates per query shrink ~|corpus| / 2^(n_planes/bands) per band.
-    """
+def lsh_candidates(vectors: DataFrame, queries: DataFrame, dim: int,
+                   n_planes: int = 16, bands: int = 4,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   q_id_col: str = "q_id") -> DataFrame:
+    """The LSH candidate stage, exposed so pruning power is measurable:
+    (q_id, vec_id, cos) for every distinct corpus vector sharing at
+    least one sign-sketch band with the query. lsh_cosine_topk re-ranks
+    exactly over THIS set — |candidates| / |corpus| is the fraction of
+    the corpus the approximate path touches per query."""
     rows = n_planes // bands
+
     def banded(df, idc):
         s = df.withColumn("_sk", sketch_expr(vec_col, dim, n_planes))
         return s.select(
@@ -201,11 +203,23 @@ def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, dim: int,
     qb = qb.select(F.col("_qid"), F.col(vec_col).alias("_qv"), "band", "key")
     dot = _DOT.format(a=vec_col, b="_qv")
     cos = F.expr(f"{dot} / ({_norm_sql(vec_col)} * {_norm_sql('_qv')})")
-    cand = (vb.join(F.broadcast(qb), ["band", "key"])
+    return (vb.join(F.broadcast(qb), ["band", "key"])
             .filter(F.col(id_col) != F.col("_qid"))
             .select(F.col("_qid").alias(q_id_col), F.col(id_col),
                     cos.alias("cos"))
             .dropDuplicates([q_id_col, id_col]))
+
+
+def lsh_cosine_topk(vectors: DataFrame, queries: DataFrame, dim: int,
+                    k: int = 10, n_planes: int = 16, bands: int = 4,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    q_id_col: str = "q_id") -> DataFrame:
+    """Approximate cosine top-k: band-bucketed sign sketches prune the
+    corpus, exact cosine re-ranks candidates. Recall grows with bands;
+    candidates per query shrink ~|corpus| / 2^(n_planes/bands) per band.
+    """
+    cand = lsh_candidates(vectors, queries, dim, n_planes, bands,
+                          id_col, vec_col, q_id_col)
     w = Window.partitionBy(q_id_col).orderBy(F.col("cos").desc(),
                                              F.col(id_col).asc())
     return (cand.withColumn("_rk", F.row_number().over(w))
