@@ -246,7 +246,7 @@ def tokenize_one(text: str) -> list:
 # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java)
 # ---------------------------------------------------------------------------
 
-ANALYZERS = ("standard", "porter", "english", "fold", "cjk")
+ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -294,10 +294,15 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         bounds = np.cumsum(lens)[:-1]
         return pd.Series([list(x) for x in np.split(mapped, bounds)],
                          index=toks.index)
-    if analyzer != "english":
+    if analyzer == "english":
+        from .stem import english_unique as _drop_unique
+    elif analyzer == "german":
+        # GermanAnalyzer: stop set + normalization FSM + UniNE light
+        # stem (kernels/de.py) — stop removal like the english chain
+        from .de import german_unique as _drop_unique
+    else:
         raise ValueError(f"unknown analyzer {analyzer!r}")
-    from .stem import english_unique
-    mapped = english_unique(uniq)[codes]
+    mapped = _drop_unique(uniq)[codes]
     keep = mapped != ""
     row_idx = np.repeat(np.arange(lens.size), lens)[keep]
     kept = mapped[keep]
@@ -322,6 +327,11 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "fold":
         from .fold import fold_one
         return [fold_one(t) for t in toks]
+    if analyzer == "german":
+        from .de import GERMAN_STOP_WORDS, german_light_stem, \
+            german_normalize
+        return [german_light_stem(german_normalize(t)) for t in toks
+                if t not in GERMAN_STOP_WORDS]
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
@@ -357,6 +367,13 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         # single-slot caveat the stop-word note above documents.
         from .cjk import width_fold_one
         return width_fold_one(term.lower())
+    if analyzer == "german":
+        from .de import GERMAN_STOP_WORDS, german_light_stem, \
+            german_normalize
+        t = term.lower()
+        if t in GERMAN_STOP_WORDS:
+            return t
+        return german_light_stem(german_normalize(t))
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
