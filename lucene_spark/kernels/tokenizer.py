@@ -246,7 +246,8 @@ def tokenize_one(text: str) -> list:
 # PorterStemFilter, analysis/common/.../en/PorterStemFilter.java)
 # ---------------------------------------------------------------------------
 
-ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german")
+ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
+             "french")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -300,6 +301,10 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # GermanAnalyzer: stop set + normalization FSM + UniNE light
         # stem (kernels/de.py) — stop removal like the english chain
         from .de import german_unique as _drop_unique
+    elif analyzer == "french":
+        # FrenchAnalyzer: elision + stop set + UniNE light stem
+        # (kernels/fr.py) — stop removal like the english chain
+        from .fr import french_unique as _drop_unique
     else:
         raise ValueError(f"unknown analyzer {analyzer!r}")
     mapped = _drop_unique(uniq)[codes]
@@ -332,6 +337,14 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
             german_normalize
         return [german_light_stem(german_normalize(t)) for t in toks
                 if t not in GERMAN_STOP_WORDS]
+    if analyzer == "french":
+        from .fr import FRENCH_STOP_WORDS, french_elide, french_light_stem
+        out = []
+        for t in toks:
+            t = french_elide(t)
+            if t not in FRENCH_STOP_WORDS:
+                out.append(french_light_stem(t))
+        return out
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
@@ -374,6 +387,12 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         if t in GERMAN_STOP_WORDS:
             return t
         return german_light_stem(german_normalize(t))
+    if analyzer == "french":
+        from .fr import FRENCH_STOP_WORDS, french_elide, french_light_stem
+        t = french_elide(term.lower())
+        if t in FRENCH_STOP_WORDS:
+            return t
+        return french_light_stem(t)
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
