@@ -247,7 +247,7 @@ def tokenize_one(text: str) -> list:
 # ---------------------------------------------------------------------------
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
-             "french")
+             "french", "portuguese")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -305,6 +305,9 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # FrenchAnalyzer: elision + stop set + UniNE light stem
         # (kernels/fr.py) — stop removal like the english chain
         from .fr import french_unique as _drop_unique
+    elif analyzer == "portuguese":
+        # PortugueseAnalyzer: stop set + UniNE light stem (kernels/pt.py)
+        from .pt import portuguese_unique as _drop_unique
     else:
         raise ValueError(f"unknown analyzer {analyzer!r}")
     mapped = _drop_unique(uniq)[codes]
@@ -345,6 +348,10 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
             if t not in FRENCH_STOP_WORDS:
                 out.append(french_light_stem(t))
         return out
+    if analyzer == "portuguese":
+        from .pt import PORTUGUESE_STOP_WORDS, portuguese_light_stem
+        return [portuguese_light_stem(t) for t in toks
+                if t not in PORTUGUESE_STOP_WORDS]
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
@@ -393,6 +400,12 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         if t in FRENCH_STOP_WORDS:
             return t
         return french_light_stem(t)
+    if analyzer == "portuguese":
+        from .pt import PORTUGUESE_STOP_WORDS, portuguese_light_stem
+        t = term.lower()
+        if t in PORTUGUESE_STOP_WORDS:
+            return t
+        return portuguese_light_stem(t)
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
