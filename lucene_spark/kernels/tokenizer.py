@@ -247,7 +247,7 @@ def tokenize_one(text: str) -> list:
 # ---------------------------------------------------------------------------
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
-             "french", "portuguese")
+             "french", "portuguese", "spanish", "italian")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -308,6 +308,12 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     elif analyzer == "portuguese":
         # PortugueseAnalyzer: stop set + UniNE light stem (kernels/pt.py)
         from .pt import portuguese_unique as _drop_unique
+    elif analyzer == "spanish":
+        # SpanishAnalyzer: stop set + CLEF-2001 light stem (kernels/es.py)
+        from .es import spanish_unique as _drop_unique
+    elif analyzer == "italian":
+        # ItalianAnalyzer: elision + stop set + CLEF-2001 light stem
+        from .it import italian_unique as _drop_unique
     else:
         raise ValueError(f"unknown analyzer {analyzer!r}")
     mapped = _drop_unique(uniq)[codes]
@@ -352,6 +358,19 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
         from .pt import PORTUGUESE_STOP_WORDS, portuguese_light_stem
         return [portuguese_light_stem(t) for t in toks
                 if t not in PORTUGUESE_STOP_WORDS]
+    if analyzer == "spanish":
+        from .es import SPANISH_STOP_WORDS, spanish_light_stem
+        return [spanish_light_stem(t) for t in toks
+                if t not in SPANISH_STOP_WORDS]
+    if analyzer == "italian":
+        from .it import (ITALIAN_STOP_WORDS, italian_elide,
+                         italian_light_stem)
+        out = []
+        for t in toks:
+            t = italian_elide(t)
+            if t not in ITALIAN_STOP_WORDS:
+                out.append(italian_light_stem(t))
+        return out
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
@@ -406,6 +425,19 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         if t in PORTUGUESE_STOP_WORDS:
             return t
         return portuguese_light_stem(t)
+    if analyzer == "spanish":
+        from .es import SPANISH_STOP_WORDS, spanish_light_stem
+        t = term.lower()
+        if t in SPANISH_STOP_WORDS:
+            return t
+        return spanish_light_stem(t)
+    if analyzer == "italian":
+        from .it import (ITALIAN_STOP_WORDS, italian_elide,
+                         italian_light_stem)
+        t = italian_elide(term.lower())
+        if t in ITALIAN_STOP_WORDS:
+            return t
+        return italian_light_stem(t)
     if analyzer != "english":
         raise ValueError(f"unknown analyzer {analyzer!r}")
     from .stem import ENGLISH_STOP_WORDS, porter_stem, strip_possessive
