@@ -162,3 +162,19 @@ def test_ascii_fast_path_equals_full_grammar():
         s = "".join(rng.choice(alphabet)
                     for _ in range(rng.randint(1, 24)))
         assert T._ASCII_RE.findall(s) == T._UAX29_RE.findall(s), repr(s)
+
+
+def test_ascii_simple_dispatch_equals_grammar():
+    """Rows with no mid-joiner chars take the degenerate alnum+_ fast
+    pattern; it must agree with the full ASCII grammar everywhere the
+    dispatch can route to it (incl. bare-underscore runs, which are
+    not tokens)."""
+    from lucene_spark.kernels import tokenizer as T
+    import random
+    rng = random.Random(11)
+    al = "abz09_ -"
+    for _ in range(4000):
+        s = "".join(rng.choice(al) for _ in range(rng.randint(0, 24)))
+        assert T._A_SIMPLE.findall(s) == T._ASCII_RE.findall(s), repr(s)
+    assert tokenize_one("_") == []
+    assert tokenize_one("__ _a a_") == ["_a", "a_"]
