@@ -77,7 +77,10 @@ _SEARCHERS: dict = {}
 
 
 def _cached_searcher(spark: SparkSession, out: str) -> IndexSearcher:
-    key = (id(spark), out)
+    # keyed on the session OBJECT (identity equality): holding the ref
+    # pins it alive, so a dead session's id can never be reused by a
+    # new one and serve a searcher bound to a stopped session
+    key = (spark, out)
     s = _SEARCHERS.get(key)
     if s is None:
         s = _SEARCHERS[key] = IndexSearcher(spark, out)
