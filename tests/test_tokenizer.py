@@ -178,3 +178,27 @@ def test_ascii_simple_dispatch_equals_grammar():
         assert T._A_SIMPLE.findall(s) == T._ASCII_RE.findall(s), repr(s)
     assert tokenize_one("_") == []
     assert tokenize_one("__ _a a_") == ["_a", "a_"]
+
+
+def test_unicode_version_pins():
+    """Class drifts between the reference's frozen Unicode 12.1 tables
+    and the regex module's 15.x tables, pinned back to reference
+    behavior (found by a 975k-probe per-codepoint differential sweep
+    against the running reference scanner — zero disagreement remains
+    on any JDK-defined code point)."""
+    # prepended concatenation marks absorb like Format (not Numeric)
+    assert tokenize_one("a؀b 1؀1 ؀") == \
+        ["a؀b", "1؀1"]
+    # U+FE10/FE14 vertical comma/semicolon are MidNum (digits join)
+    assert tokenize_one("1︐1 1︔1 a︐a") == \
+        ["1︐1", "1︔1", "a", "a"]
+    # U+19DA was Complex_Context: its own token, no letter join
+    assert tokenize_one("a᧚a") == ["a", "᧚", "a"]
+    # segmented digits were ExtPict-reserved: emoji tokens, no join
+    assert tokenize_one("a\U0001FBF0a") == ["a", "\U0001FBF0", "a"]
+    # U+055A/U+055F became MidLetter later: reference splits
+    assert tokenize_one("x՚y x՟y") == ["x", "y", "x", "y"]
+    # regex-module ExtPict gaps restored: BLACK STAR is an EMOJI token
+    assert tokenize_one("a★b") == ["a", "★", "b"]
+    # pinned class reassignments: cedilla/tone bars are not letters
+    assert tokenize_one("a¸b a˥b") == ["a", "b", "a", "b"]
