@@ -828,6 +828,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _lang_pred_sql() -> str:
+    """DuckDB mirror of ops.textstats.lang_id: per-language
+    function-word counts over the SAME six stop-set profiles, argmax
+    with the same priority tie-break, 'unk' when nothing hits."""
+    profs = TS.lang_profiles()
+    counts = {}
+    for lang, words in profs:
+        lits = ", ".join("'" + w + "'" for w in words)
+        counts[lang] = (f"len(list_filter(t.toks, "
+                        f"x -> list_contains([{lits}], x)))")
+    mx = "greatest(" + ", ".join(counts[l] for l, _ in profs) + ")"
+    branches = "".join(f" WHEN {counts[l]} = {mx} THEN '{l}'"
+                       for l, _ in profs)
+    return f"(CASE WHEN {mx} = 0 THEN 'unk'{branches} END)"
+
+
 # ---------------------------------------------------------------------------
 # oracle SQL (DuckDB) — shared prelude replicating analyzer + BM25 stats
 # ---------------------------------------------------------------------------
@@ -1736,8 +1752,7 @@ SELECT d.doc_id, len(t.toks)::INT AS n_tokens,
              / greatest(len(t.toks), 1), 4) AS stopword_ratio,
        round(list_sum(list_transform(t.toks, x -> length(x)))::DOUBLE
              / greatest(len(t.toks), 1), 4) AS mean_token_len,
-       CASE WHEN list_has_any(t.toks, {stop}) THEN 'en' ELSE 'unk' END
-           AS lang_pred,
+       {_lang_pred_sql()} AS lang_pred,
        md5(array_to_string(t.toks, ' ')) AS fp
 FROM documents d JOIN tok t USING (doc_id)
 """

@@ -53,18 +53,48 @@ def text_quality(df: DataFrame, text_col: str = "text",
     )
 
 
+def lang_profiles() -> list:
+    """(lang, sorted function words) in deterministic PRIORITY order —
+    the analyzer-chain stop sets double as language profiles (the
+    classic function-word language-ID approach; a real system would
+    add n-gram profiles, but function words alone separate these six
+    well). Priority breaks argmax ties ('a' is a stop word in en, es
+    and pt — an otherwise-tied doc reads as the earlier language)."""
+    from ..kernels.de import GERMAN_STOP_WORDS
+    from ..kernels.es import SPANISH_STOP_WORDS
+    from ..kernels.fr import FRENCH_STOP_WORDS
+    from ..kernels.it import ITALIAN_STOP_WORDS
+    from ..kernels.pt import PORTUGUESE_STOP_WORDS
+    from ..kernels.stem import ENGLISH_STOP_WORDS
+    return [("en", sorted(ENGLISH_STOP_WORDS)),
+            ("de", sorted(GERMAN_STOP_WORDS)),
+            ("fr", sorted(FRENCH_STOP_WORDS)),
+            ("es", sorted(SPANISH_STOP_WORDS)),
+            ("pt", sorted(PORTUGUESE_STOP_WORDS)),
+            ("it", sorted(ITALIAN_STOP_WORDS))]
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """Function-word language-ID heuristic: predict 'en' when English
-    function words appear, else 'unk'. (A real system plugs in per-lang
-    n-gram profiles here; the operator shape — pure projection — holds.)"""
-    stop_arr = "array(" + ", ".join(f"'{s}'" for s in STOPWORDS) + ")"
+    """Function-word language ID over six profiles (en/de/fr/es/pt/it,
+    the analyzer-chain stop sets): argmax of per-language function-word
+    occurrence counts, priority tie-break, 'unk' when no profile hits.
+    Pure Catalyst projection — six filter/size passes over the token
+    array, no UDF, no shuffle."""
     toks = tokens_expr(text_col)
-    n_stop = F.expr(f"size(filter(toks, t -> array_contains({stop_arr}, t)))")
-    return (df.select(F.col(id_col), toks.alias("toks"))
-            .select(F.col(id_col),
-                    F.when(n_stop > 0, F.lit("en")).otherwise(F.lit("unk"))
-                    .alias("lang_pred")))
+    d = df.select(F.col(id_col), toks.alias("toks"))
+    counts = []
+    for lang, words in lang_profiles():
+        arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        counts.append(F.expr(
+            f"size(filter(toks, t -> array_contains({arr}, t)))")
+            .alias(f"_n_{lang}"))
+    d = d.select(id_col, *counts)
+    m = F.greatest(*[F.col(f"_n_{lang}") for lang, _ in lang_profiles()])
+    pred = F.when(m == 0, F.lit("unk"))
+    for lang, _ in lang_profiles():
+        pred = pred.when(F.col(f"_n_{lang}") == m, F.lit(lang))
+    return d.select(F.col(id_col), pred.alias("lang_pred"))
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",

@@ -184,3 +184,22 @@ def test_ivf_cosine_topk_recall(spark):
     v_cell = SIM._nearest_cells(emb, cents, "vec_id", "embedding", 1)
     sizes = v_cell.groupBy("cid").count().collect()
     assert max(r["count"] for r in sizes) < n_corpus
+
+
+def test_lang_id_six_profiles(spark):
+    """The upgraded function-word classifier discriminates the six
+    profile languages (analyzer-chain stop sets) and stays 'unk' on
+    text with no function-word hits."""
+    sents = [
+        (0, "the cat sat on the mat and it was happy there"),
+        (1, "die katze saß auf der matte und sie war sehr glücklich"),
+        (2, "le chat était sur le tapis et il était très heureux"),
+        (3, "el gato estaba en la alfombra y estaba muy feliz allí"),
+        (4, "o gato estava no tapete e ele estava muito feliz também"),
+        (5, "il gatto era sul tappeto ed era molto felice della cosa"),
+        (6, "zxqv wplk mnty"),
+    ]
+    df = spark.createDataFrame(sents, "doc_id long, text string")
+    lp = dict(lang_id(df).collect())
+    assert lp == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "pt",
+                  5: "it", 6: "unk"}
