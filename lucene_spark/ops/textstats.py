@@ -74,6 +74,23 @@ def lang_profiles() -> list:
             ("it", sorted(ITALIAN_STOP_WORDS))]
 
 
+def _lang_pred_over(d: DataFrame, keep: list) -> DataFrame:
+    """Append a lang_pred column computed from d's `toks` array —
+    shared by lang_id and analyze_by_lang (inline column, no join)."""
+    counts = []
+    for lang, words in lang_profiles():
+        arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        counts.append(F.expr(
+            f"size(filter(toks, t -> array_contains({arr}, t)))")
+            .alias(f"_n_{lang}"))
+    d = d.select(*keep, *counts)
+    m = F.greatest(*[F.col(f"_n_{lang}") for lang, _ in lang_profiles()])
+    pred = F.when(m == 0, F.lit("unk"))
+    for lang, _ in lang_profiles():
+        pred = pred.when(F.col(f"_n_{lang}") == m, F.lit(lang))
+    return d.select(*keep, pred.alias("lang_pred"))
+
+
 def lang_id(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """Function-word language ID over six profiles (en/de/fr/es/pt/it,
@@ -83,18 +100,7 @@ def lang_id(df: DataFrame, text_col: str = "text",
     array, no UDF, no shuffle."""
     toks = tokens_expr(text_col)
     d = df.select(F.col(id_col), toks.alias("toks"))
-    counts = []
-    for lang, words in lang_profiles():
-        arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
-        counts.append(F.expr(
-            f"size(filter(toks, t -> array_contains({arr}, t)))")
-            .alias(f"_n_{lang}"))
-    d = d.select(id_col, *counts)
-    m = F.greatest(*[F.col(f"_n_{lang}") for lang, _ in lang_profiles()])
-    pred = F.when(m == 0, F.lit("unk"))
-    for lang, _ in lang_profiles():
-        pred = pred.when(F.col(f"_n_{lang}") == m, F.lit(lang))
-    return d.select(F.col(id_col), pred.alias("lang_pred"))
+    return _lang_pred_over(d, [id_col])
 
 
 def fingerprint(df: DataFrame, text_col: str = "text",
@@ -104,3 +110,52 @@ def fingerprint(df: DataFrame, text_col: str = "text",
     return df.select(
         F.col(id_col),
         F.md5(F.concat_ws(" ", tokens_expr(text_col))).alias("fp"))
+
+
+LANG_CHAINS = {"en": "english", "de": "german", "fr": "french",
+               "es": "spanish", "pt": "portuguese", "it": "italian",
+               "unk": "standard"}
+
+
+def analyze_by_lang(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Route every document through ITS language's analyzer chain:
+    lang_id picks the profile, then each Arrow batch groups rows by
+    predicted language and runs the batch-vectorized chain per group
+    (analyze_series factorizes each group's vocabulary once). The
+    scale shape: one projection for the language, one mapInPandas for
+    the analysis — no shuffle, no per-row Python. This is the
+    multilingual normalization pass a mixed-language corpus needs
+    before cross-language dedup / fingerprinting (stemmed tokens
+    unify inflections within each language).
+
+    Returns (id_col, lang_pred, tokens array<string>).
+    """
+    import pandas as pd
+
+    from ..kernels.tokenizer import analyze_series
+
+    toks = tokens_expr(text_col)
+    with_lang = _lang_pred_over(
+        df.select(F.col(id_col), F.col(text_col), toks.alias("toks")),
+        [id_col, text_col])
+
+    def run(batches):
+        for pdf in batches:
+            out = pd.Series([None] * len(pdf), dtype=object)
+            for lang, idx in pdf.groupby("lang_pred").groups.items():
+                chain = LANG_CHAINS.get(str(lang), "standard")
+                toks = analyze_series(pdf.loc[idx, text_col], chain)
+                out.loc[idx] = toks.apply(list)
+            yield pd.DataFrame({id_col: pdf[id_col],
+                                "lang_pred": pdf["lang_pred"],
+                                "tokens": out})
+
+    from pyspark.sql.types import (ArrayType, LongType, StringType,
+                                   StructField, StructType)
+    schema = StructType([
+        StructField(id_col, LongType()),
+        StructField("lang_pred", StringType()),
+        StructField("tokens", ArrayType(StringType())),
+    ])
+    return with_lang.mapInPandas(run, schema)

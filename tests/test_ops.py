@@ -203,3 +203,26 @@ def test_lang_id_six_profiles(spark):
     lp = dict(lang_id(df).collect())
     assert lp == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "pt",
                   5: "it", 6: "unk"}
+
+
+def test_analyze_by_lang_routes_chains(spark):
+    """Each doc analyzes through its own language's chain: stop words
+    drop in that language and inflections stem to that language's
+    stems (häuser -> haus only under the German chain)."""
+    from lucene_spark.ops.textstats import analyze_by_lang
+    sents = [
+        (0, "the merging tables were all sorted quickly"),
+        (1, "die häuser der alten stadt sind sehr schön"),
+        (2, "le chat mange les poissons du grand château"),
+        (3, "zxqv wplk"),
+    ]
+    df = spark.createDataFrame(sents, "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in analyze_by_lang(df).collect()}
+    assert rows[0]["lang_pred"] == "en"
+    assert "merg" in rows[0]["tokens"] and "the" not in rows[0]["tokens"]
+    assert rows[1]["lang_pred"] == "de"
+    assert "haus" in rows[1]["tokens"] and "der" not in rows[1]["tokens"]
+    assert rows[2]["lang_pred"] == "fr"
+    assert "chateau" in rows[2]["tokens"] and "le" not in rows[2]["tokens"]
+    assert rows[3]["lang_pred"] == "unk"
+    assert rows[3]["tokens"] == ["zxqv", "wplk"]
