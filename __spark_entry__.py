@@ -825,6 +825,69 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return MM.extract_features(packed).select("id", "n_bytes", "sha")
     q["mm_features"] = mm_features
 
+    def ft_spell(sp, sf):
+        # DirectSpellChecker ("did you mean", suggest/src/java/org/
+        # apache/lucene/search/spell/DirectSpellChecker.java): dictionary
+        # terms within OSA distance (LuceneLevenshteinDistance — a
+        # transposition counts one edit) of a misspelled query term,
+        # sharing its first char, ranked (similarity desc, df desc,
+        # term asc) where similarity = 1 - dist/min(|q|, |cand|).
+        # 'vectr' — one close candidate; 'sark' — three candidates
+        # exercising the similarity ordering + the df tie-break
+        s = _searcher(sp, sf)
+        out = []
+        for pat in ("vectr", "sark"):
+            out.append(
+                s.spell_suggest(pat, n=5, max_edits=2)
+                .select(F.lit(pat).alias("op"), "term",
+                        F.col("df").cast("long").alias("df"),
+                        F.col("dist").cast("int").alias("dist"),
+                        F.round(F.col("score"), 3).alias("score_r")))
+        return out[0].unionByName(out[1])
+    q["ft_spell"] = ft_spell
+
+    def ft_facet_assoc(sp, sf):
+        # facet associations (facet/taxonomy/TaxonomyFacetIntAssociations
+        # .java with AssociationAggregationFunction.SUM): SUM each
+        # matching doc's association value (n_chars here) into every
+        # ancestor of its source/lang taxonomy path, reported alongside
+        # the doc count — one posexplode of path prefixes + one
+        # map-side-combined groupBy, pure Catalyst
+        from lucene_spark.ops import facets as FC
+        s = _searcher(sp, sf)
+        m = s.term_postings("batch").select("doc_id")
+        docs = (_docs(sp, sf)
+                .withColumn("path", F.concat_ws("/", "source", "lang")))
+        return (FC.association_sums(m, docs, "path", "n_chars",
+                                    max_level=2)
+                .select(F.col("level").cast("int").alias("level"), "path",
+                        F.col("n_docs").cast("long").alias("n_docs"),
+                        F.col("sum_assoc").cast("long").alias("sum_assoc")))
+    q["ft_facet_assoc"] = ft_facet_assoc
+
+    def ft_geo_point(sp, sf):
+        # LatLonPoint.newBoxQuery / newDistanceQuery
+        # (core:document/LatLonPoint.java:160,199) — the corpus has no
+        # geo columns, so per-doc coordinates derive from doc_id by
+        # integer arithmetic (identical expression in the oracle).
+        # 'box' crosses the antimeridian (splits into two pushed-down
+        # lon ranges, the reference's dateline handling); 'dist' runs
+        # the circle-bounding-box prefilter + exact haversine at
+        # GeoUtils.EARTH_MEAN_RADIUS_METERS inside codegen
+        from lucene_spark.ops import geo as GEO
+        d = _docs(sp, sf).select(
+            "doc_id",
+            ((F.col("doc_id") * 7919 % 18001) / 100.0 - 90.0).alias("lat"),
+            ((F.col("doc_id") * 104729 % 36001) / 100.0 - 180.0)
+            .alias("lon"))
+        box = (GEO.box_query(d, "lat", "lon", 10.0, 60.0, 170.0, -170.0)
+               .select(F.lit("box").alias("op"), "doc_id", "lat", "lon"))
+        dist = (GEO.distance_query(d, "lat", "lon", 40.0, -74.0,
+                                   3_000_000.0)
+                .select(F.lit("dist").alias("op"), "doc_id", "lat", "lon"))
+        return box.unionByName(dist)
+    q["ft_geo_point"] = ft_geo_point
+
     return q
 
 
@@ -1761,6 +1824,54 @@ FROM documents d JOIN tok t USING (doc_id)
 SELECT doc_id AS id, octet_length(text::BLOB)::INT AS n_bytes,
        sha256(text) AS sha
 FROM documents
+"""
+
+    # OSA == duckdb damerau_levenshtein here (see ft_fuzzy note); the
+    # not-in-index gate mirrors DirectSpellChecker's suggestMode default
+    def _spell_sql(pat: str) -> str:
+        L = len(pat)
+        return f"""
+SELECT '{pat}' AS op, term, df, dist, round(score, 3) AS score_r FROM (
+  SELECT term, df::BIGINT AS df,
+         damerau_levenshtein(term, '{pat}')::INT AS dist,
+         1.0 - damerau_levenshtein(term, '{pat}')::DOUBLE
+               / least({L}, length(term)) AS score
+  FROM tdict
+  WHERE term <> '{pat}' AND term LIKE '{pat[0]}%'
+    AND length(term) BETWEEN {L - 2} AND {L + 2}
+    AND damerau_levenshtein(term, '{pat}') <= 2
+    AND NOT EXISTS (SELECT 1 FROM tdict WHERE term = '{pat}')
+  ORDER BY score DESC, df DESC, term ASC LIMIT 5)"""
+
+    o["ft_spell"] = (P + _spell_sql("vectr")
+                     + "\nUNION ALL" + _spell_sql("sark"))
+
+    o["ft_facet_assoc"] = P + """
+, m AS (SELECT doc_id FROM tf WHERE term = 'batch')
+, j AS (SELECT d.source, d.lang, d.n_chars
+        FROM documents d JOIN m USING (doc_id))
+SELECT 1::INT AS level, source AS path, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS sum_assoc
+FROM j GROUP BY source
+UNION ALL
+SELECT 2::INT, source || '/' || lang, count(*)::BIGINT,
+       sum(n_chars)::BIGINT
+FROM j GROUP BY source, lang
+"""
+
+    o["ft_geo_point"] = P + """
+, g AS (SELECT doc_id,
+               (doc_id * 7919 % 18001) / 100.0 - 90.0 AS lat,
+               (doc_id * 104729 % 36001) / 100.0 - 180.0 AS lon
+        FROM documents)
+SELECT 'box' AS op, doc_id, lat, lon FROM g
+WHERE lat BETWEEN 10.0 AND 60.0 AND (lon >= 170.0 OR lon <= -170.0)
+UNION ALL
+SELECT 'dist', doc_id, lat, lon FROM g
+WHERE 2.0 * 6371008.7714 * asin(least(1.0, sqrt(
+        pow(sin(radians(lat - 40.0) / 2), 2) +
+        cos(radians(lat)) * cos(radians(40.0)) *
+        pow(sin(radians(lon - (-74.0)) / 2), 2)))) <= 3000000.0
 """
 
     return o
