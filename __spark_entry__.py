@@ -888,6 +888,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return box.unionByName(dist)
     q["ft_geo_point"] = ft_geo_point
 
+    def ft_quality(sp, sf):
+        # benchmark-quality harness (benchmark/quality/QualityStats.java
+        # + trec/TrecJudge.java): replay a judged query set, score
+        # P@5/10/20 (with the short-list extrapolation), AvP, MRR
+        # (top-5 window), recall per query, then the judged-queries
+        # average (the avp mean = MAP). Judgments derive from the
+        # corpus itself: relevant(q, d) := d contains BOTH qrel terms
+        # (a deterministic TrecJudge the oracle replicates exactly);
+        # 't_zero' has an unsatisfiable qrel -> max_good=0 -> excluded
+        # from the average like the reference's m-counter does.
+        from pyspark.sql.window import Window
+        from lucene_spark.ops import quality as QS
+        s = _searcher(sp, sf)
+        qset = {"t_vector": TermQuery("vector"),
+                "or_ssm": OrQuery(("scan", "sort", "merge")),
+                "t_slow": TermQuery("slow"),
+                "t_zero": TermQuery("merge")}
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("score").desc(), F.col("doc_id"))
+        res = (s.search_batch(qset, k=20)
+               .select(F.col("query_id").alias("qid"), "doc_id",
+                       F.row_number().over(w).alias("rank")))
+        qrel_terms = {"t_vector": ("vector", "index"),
+                      "or_ssm": ("scan", "sort"),
+                      "t_slow": ("slow", "fast"),
+                      "t_zero": ("merge", "zzqxunseen")}
+        qrels = None
+        for qid, (t1, t2) in qrel_terms.items():
+            j = (s.term_postings(t1).select("doc_id")
+                 .join(s.term_postings(t2).select("doc_id"), "doc_id")
+                 .select(F.lit(qid).alias("qid"), "doc_id"))
+            qrels = j if qrels is None else qrels.unionByName(j)
+        per = QS.quality_stats(res, qrels)
+        cast = [F.col("qid")] + [F.col(c).cast("double")
+                                 for c in per.columns if c != "qid"]
+        return per.select(*cast).unionByName(
+            QS.quality_average(per).select(*cast))
+    q["ft_quality"] = ft_quality
+
     return q
 
 
@@ -1872,6 +1911,68 @@ WHERE 2.0 * 6371008.7714 * asin(least(1.0, sqrt(
         pow(sin(radians(lat - 40.0) / 2), 2) +
         cos(radians(lat)) * cos(radians(40.0)) *
         pow(sin(radians(lon - (-74.0)) / 2), 2)))) <= 3000000.0
+"""
+
+    o["ft_quality"] = P + f"""
+, qs(qid, term) AS (VALUES ('t_vector', 'vector'), ('or_ssm', 'scan'),
+    ('or_ssm', 'sort'), ('or_ssm', 'merge'), ('t_slow', 'slow'),
+    ('t_zero', 'merge'))
+, m AS (SELECT qs.qid, f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        JOIN qs ON qs.term = f.term
+        GROUP BY qs.qid, f.doc_id)
+, res AS (SELECT qid, doc_id, row_number() OVER
+            (PARTITION BY qid ORDER BY s DESC, doc_id) AS rank
+          FROM m QUALIFY rank <= 20)
+, need(qid, term) AS (VALUES ('t_vector', 'vector'), ('t_vector', 'index'),
+    ('or_ssm', 'scan'), ('or_ssm', 'sort'), ('t_slow', 'slow'),
+    ('t_slow', 'fast'), ('t_zero', 'merge'), ('t_zero', 'zzqxunseen'))
+, nn AS (SELECT qid, count(*) AS c FROM need GROUP BY qid)
+, qrel AS (SELECT n.qid, f.doc_id
+           FROM tf f JOIN need n ON f.term = n.term
+           GROUP BY n.qid, f.doc_id
+           HAVING count(DISTINCT f.term) =
+                  (SELECT c FROM nn WHERE nn.qid = n.qid))
+, mg AS (SELECT qid, count(*) AS max_good FROM qrel GROUP BY qid)
+, rc AS (SELECT r.qid, r.rank,
+                CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel,
+                sum(CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END)
+                  OVER (PARTITION BY r.qid ORDER BY r.rank) * 1.0
+                  / r.rank AS p
+         FROM res r LEFT JOIN qrel qr
+           ON qr.qid = r.qid AND qr.doc_id = r.doc_id)
+, ag AS (SELECT qid, max(rank) AS np, sum(rel) AS ng,
+                sum(CASE WHEN rel = 1 THEN p END) AS prelsum,
+                min(CASE WHEN rel = 1 THEN rank END) AS first_rel,
+                max(CASE WHEN rank = 5 THEN p END) AS p5,
+                max(CASE WHEN rank = 10 THEN p END) AS p10,
+                max(CASE WHEN rank = 20 THEN p END) AS p20
+         FROM rc GROUP BY qid)
+, qids AS (SELECT qid FROM ag UNION SELECT qid FROM mg)
+, base AS (SELECT qi.qid, coalesce(a.np, 0) AS np, coalesce(a.ng, 0) AS ng,
+                  coalesce(m2.max_good, 0) AS mgd,
+                  a.prelsum, a.first_rel, a.p5, a.p10, a.p20
+           FROM qids qi LEFT JOIN ag a USING (qid)
+                        LEFT JOIN mg m2 USING (qid))
+, stats AS (SELECT qid, np::DOUBLE AS num_points, ng::DOUBLE AS num_good,
+    mgd::DOUBLE AS max_good,
+    round(CASE WHEN np >= 5 THEN p5 ELSE ng / 5.0 END, 6) AS p_at_5,
+    round(CASE WHEN np >= 10 THEN p10 ELSE ng / 10.0 END, 6) AS p_at_10,
+    round(CASE WHEN np >= 20 THEN p20 ELSE ng / 20.0 END, 6) AS p_at_20,
+    round(CASE WHEN first_rel <= 5 THEN 1.0 / first_rel
+          ELSE 0.0 END, 6) AS mrr,
+    round(CASE WHEN mgd > 0 THEN coalesce(prelsum, 0) / mgd
+          ELSE 0.0 END, 6) AS avp,
+    round(CASE WHEN mgd > 0 THEN ng * 1.0 / mgd
+               WHEN np > 0 THEN ng * 1.0 / np ELSE 0.0 END, 6) AS recall
+    FROM base)
+SELECT * FROM stats
+UNION ALL
+SELECT '__avg__', round(avg(num_points), 6), round(avg(num_good), 6),
+       round(avg(max_good), 6), round(avg(p_at_5), 6),
+       round(avg(p_at_10), 6), round(avg(p_at_20), 6),
+       round(avg(mrr), 6), round(avg(avp), 6), round(avg(recall), 6)
+FROM stats WHERE max_good > 0
 """
 
     return o
