@@ -930,6 +930,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return q
 
 
+def _osa_sql(col: str, pat: str) -> str:
+    """EXACT restricted Damerau-Levenshtein (OSA) of ``col`` against the
+    literal ``pat`` as one DuckDB expression — the engine's
+    kernels/osa.py distance, NOT duckdb's unrestricted
+    damerau_levenshtein (they disagree from distance 2 up: 'ixjon' vs
+    'jion' is DL=2 via transpose-then-insert-inside-the-pair but OSA=3,
+    which Lucene's LevenshteinAutomata also rejects). The two-row DP
+    runs as nested list_reduce folds; the accumulator rides in an
+    INT[][] ([prev2, prev, [i]]) because DuckDB struct-typed
+    accumulators alias their fields. Fuzz-verified against the OSA
+    kernel in tests/test_advice_r5_fixes.py."""
+    m = len(pat)
+    row0 = "[" + ",".join(str(j) for j in range(m + 1)) + "]::INT[]"
+    pl = "'" + pat.replace("'", "''") + "'"
+    big = 1 << 20
+    return f"""(list_reduce(
+ [[NULL::INT[], {row0}, [0]::INT[]]] ||
+ list_transform(range(1, len({col}) + 1),
+   ii -> [NULL::INT[], NULL::INT[], [ii::INT]]),
+ (st, cur) -> [st[2],
+   list_reduce(
+      [[cur[3][1]]::INT[]] ||
+      list_transform(range(1, {m} + 1), jj -> [jj::INT]),
+      (a, c) -> a || [least(
+            st[2][c[1] + 1] + 1,
+            a[c[1]] + 1,
+            st[2][c[1]] + CASE WHEN {col}[cur[3][1]] = {pl}[c[1]]
+                          THEN 0 ELSE 1 END,
+            CASE WHEN cur[3][1] > 1 AND c[1] > 1
+                      AND {col}[cur[3][1]] = {pl}[c[1] - 1]
+                      AND {col}[cur[3][1] - 1] = {pl}[c[1]]
+                 THEN st[1][c[1] - 1] + 1 ELSE {big} END)]),
+   cur[3]]))[2][{m + 1}]"""
+
+
 def _lang_pred_sql() -> str:
     """DuckDB mirror of ops.textstats.lang_id: per-language
     function-word counts over the SAME six stop-set profiles, argmax
@@ -943,7 +978,9 @@ def _lang_pred_sql() -> str:
     mx = "greatest(" + ", ".join(counts[l] for l, _ in profs) + ")"
     branches = "".join(f" WHEN {counts[l]} = {mx} THEN '{l}'"
                        for l, _ in profs)
-    return f"(CASE WHEN {mx} = 0 THEN 'unk'{branches} END)"
+    # ELSE 'unk': NULL toks (NULL text) makes every count NULL, so no
+    # WHEN matches — mirrors the engine's coalesce-to-empty 'unk' path
+    return f"(CASE WHEN {mx} = 0 THEN 'unk'{branches} ELSE 'unk' END)"
 
 
 # ---------------------------------------------------------------------------
@@ -1140,7 +1177,7 @@ UNION ALL
 SELECT 'fuzzy', term, ttf::BIGINT FROM (
   SELECT term, ttf FROM tdict
   WHERE length(term) BETWEEN 2 AND 6
-    AND damerau_levenshtein(term, 'jion') <= 2
+    AND """ + _osa_sql("term", "jion") + """ <= 2
   ORDER BY ttf DESC, term LIMIT 5)
 UNION ALL
 SELECT 'ctx', term, w::BIGINT FROM (
@@ -1865,21 +1902,23 @@ SELECT doc_id AS id, octet_length(text::BLOB)::INT AS n_bytes,
 FROM documents
 """
 
-    # OSA == duckdb damerau_levenshtein here (see ft_fuzzy note); the
-    # not-in-index gate mirrors DirectSpellChecker's suggestMode default
+    # dist is the engine's OSA via _osa_sql — duckdb's unrestricted
+    # damerau_levenshtein would over-admit split-transposition terms at
+    # maxEdits=2 (see _osa_sql docstring); the not-in-index gate mirrors
+    # DirectSpellChecker's suggestMode default
     def _spell_sql(pat: str) -> str:
         L = len(pat)
         return f"""
 SELECT '{pat}' AS op, term, df, dist, round(score, 3) AS score_r FROM (
-  SELECT term, df::BIGINT AS df,
-         damerau_levenshtein(term, '{pat}')::INT AS dist,
-         1.0 - damerau_levenshtein(term, '{pat}')::DOUBLE
-               / least({L}, length(term)) AS score
-  FROM tdict
-  WHERE term <> '{pat}' AND term LIKE '{pat[0]}%'
-    AND length(term) BETWEEN {L - 2} AND {L + 2}
-    AND damerau_levenshtein(term, '{pat}') <= 2
-    AND NOT EXISTS (SELECT 1 FROM tdict WHERE term = '{pat}')
+  SELECT term, df, dist,
+         1.0 - dist::DOUBLE / least({L}, length(term)) AS score
+  FROM (
+    SELECT term, df::BIGINT AS df, ({_osa_sql('term', pat)})::INT AS dist
+    FROM tdict
+    WHERE term <> '{pat}' AND term LIKE '{pat[0]}%'
+      AND length(term) BETWEEN {L - 2} AND {L + 2}
+      AND NOT EXISTS (SELECT 1 FROM tdict WHERE term = '{pat}'))
+  WHERE dist <= 2
   ORDER BY score DESC, df DESC, term ASC LIMIT 5)"""
 
     o["ft_spell"] = (P + _spell_sql("vectr")

@@ -149,6 +149,16 @@ def cjk_tokenize_series(texts: pd.Series, max_len: int = 255) -> pd.Series:
     bigram expansion -> stop filter)."""
     texts = width_fold_series(texts.fillna(""))
     toks = texts.str.lower().str.findall(_CJK_WORD_RE)
+    # maxTokenLength split, same contract as tokenize_series: only
+    # rows that actually hold a >max_len run pay the fixup (bigrams
+    # are 2 chars, so only non-CJK word runs can exceed it)
+    idx = toks.index[texts.str.len() > max_len]
+    if len(idx):
+        toks.loc[idx] = [
+            [p for x in t for p in
+             ([x] if len(x) <= max_len else
+              [x[i:i + max_len] for i in range(0, len(x), max_len)])]
+            for t in toks.loc[idx]]
     lens = toks.str.len().to_numpy(dtype=np.int64)
     total = int(lens.sum())
     if total == 0:

@@ -91,7 +91,10 @@ class _P:
         while self.more() and self.peek() in ("?", "*", "+", "{"):
             c = self.next()
             if c == "{":
-                j = self.s.index("}", self.i)
+                try:
+                    j = self.s.index("}", self.i)
+                except ValueError:
+                    raise LuceneRegexpError("unterminated {repeat")
                 spec = self.s[self.i:j]
                 self.i = j + 1
                 if not _re.fullmatch(r"\d+(,\d*)?", spec):
@@ -135,7 +138,10 @@ class _P:
         if c == "@":
             return ("anystring",)
         if c == '"':
-            j = self.s.index('"', self.i)
+            try:
+                j = self.s.index('"', self.i)
+            except ValueError:
+                raise LuceneRegexpError('unterminated "literal')
             lit = self.s[self.i:j]
             self.i = j + 1
             return ("string", lit)
@@ -149,7 +155,10 @@ class _P:
             self.next()
             return e
         if c == "<":
-            j = self.s.index(">", self.i - 1)
+            try:
+                j = self.s.index(">", self.i - 1)
+            except ValueError:
+                raise LuceneRegexpError("unterminated <interval")
             body = self.s[self.i:j]
             self.i = j + 1
             m = _re.fullmatch(r"(\d+)-(\d+)", body)

@@ -140,8 +140,11 @@ def synonym_query(text: str, syn_map: SynonymMap, field: str = "text",
                            else BooleanQuery(should=tuple(subs),
                                              field=field))
     if not clauses:
-        from ..search.query import MatchAllQuery
-        return PreAnalyzed(MatchAllQuery(boost=0.0))
+        # QueryBuilder.createBooleanQuery returns null when analysis
+        # yields no tokens (core:util/QueryBuilder.java) — the caller
+        # gets no query, hence NO hits (a MatchAll here would invert
+        # the semantics and return the whole corpus)
+        return None
     if len(clauses) == 1:
         return PreAnalyzed(clauses[0])
     if operator == "and":
@@ -173,14 +176,15 @@ def synonym_phrase_query(text: str, syn_map: SynonymMap,
       phrases; per-path stats instead of blended span stats).
 
     Returns PreAnalyzed (tokens already went through the chain)."""
-    from ..search.query import (BooleanQuery, MatchAllQuery,
-                                MultiPhraseQuery, PhraseQuery,
-                                PreAnalyzed, TermQuery)
+    from ..search.query import (BooleanQuery, MultiPhraseQuery,
+                                PhraseQuery, PreAnalyzed, TermQuery)
     an = analyzer if analyzer is not None else syn_map.analyzer
     toks = analyze_one(text, an)
     spans = syn_map.match(toks)
     if not spans:
-        return PreAnalyzed(MatchAllQuery(boost=0.0))
+        # null-query contract, same as synonym_query: no tokens -> no
+        # query -> no hits (QueryBuilder.createPhraseQuery returns null)
+        return None
     if all(all(len(p) == 1 for p in paths) for _i, _ln, paths in spans):
         slots = tuple(tuple(sorted({p[0] for p in paths}))
                       for _i, _ln, paths in spans)

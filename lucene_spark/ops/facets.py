@@ -110,7 +110,11 @@ def range_counts(matches: DataFrame, docs: DataFrame, value_col: str,
         aggs.append(F.sum(F.when(cond, 1).otherwise(0))
                     .alias(f"_r{i}"))
     row = j.agg(*aggs)
-    stack = ", ".join(f"'{label}', _r{i}"
+    # escape quotes/backslashes: the label lands inside a selectExpr
+    # string literal
+    def _lit(s: str) -> str:
+        return "'" + str(s).replace("\\", "\\\\").replace("'", "\\'") + "'"
+    stack = ", ".join(f"{_lit(label)}, _r{i}"
                       for i, (label, *_x) in enumerate(ranges))
     return row.selectExpr(
         f"stack({len(ranges)}, {stack}) AS (range_label, n_docs)")
@@ -135,6 +139,10 @@ def association_sums(matches: DataFrame, docs: DataFrame, path_col: str,
     reference's per-doc ords iteration)."""
     j = matches.select(id_col).join(
         docs.select(id_col, path_col, assoc_col), id_col)
+    # a doc without the association value is never visited by the
+    # reference's MatchingDocs iteration — drop it from n_docs too,
+    # not just from the sum
+    j = j.filter(F.col(assoc_col).isNotNull())
     prefixes = F.expr(
         f"transform(sequence(1, size(split({path_col}, '/'))), "
         f"i -> array_join(slice(split({path_col}, '/'), 1, i), '/'))")

@@ -67,8 +67,14 @@ def quantize_params(vectors: DataFrame, vec_col: str = "embedding",
 
 def _quantize_np(mat: np.ndarray, lo: float, hi: float):
     """(n, d) float64 normalized matrix -> (uint8 codes, int64 sums).
-    floor(x + 0.5) rounding (Java Math.round), clipped to [0, 127]."""
+    floor(x + 0.5) rounding (Java Math.round), clipped to [0, 127].
+    Degenerate bounds (every component equal -> hi == lo) quantize to
+    all-zero codes instead of dividing by zero; the exact re-rank stage
+    still orders the survivors correctly."""
     alpha = (hi - lo) / 127.0
+    if alpha <= 0.0:
+        q = np.zeros(mat.shape, dtype=np.uint8)
+        return q, q.sum(axis=1, dtype=np.int64)
     q = np.floor((mat - lo) / alpha + 0.5)
     q = np.clip(q, 0.0, 127.0).astype(np.uint8)
     return q, q.sum(axis=1, dtype=np.int64)

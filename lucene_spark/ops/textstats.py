@@ -80,8 +80,12 @@ def _lang_pred_over(d: DataFrame, keep: list) -> DataFrame:
     counts = []
     for lang, words in lang_profiles():
         arr = "array(" + ", ".join(f"'{w}'" for w in words) + ")"
+        # coalesce: size(filter(NULL, ...)) is -1 under Spark's legacy
+        # sizeOfNull, which would tie every count at -1 and classify a
+        # NULL-text doc as the first profile instead of 'unk'
         counts.append(F.expr(
-            f"size(filter(toks, t -> array_contains({arr}, t)))")
+            f"size(filter(coalesce(toks, array()), "
+            f"t -> array_contains({arr}, t)))")
             .alias(f"_n_{lang}"))
     d = d.select(*keep, *counts)
     m = F.greatest(*[F.col(f"_n_{lang}") for lang, _ in lang_profiles()])

@@ -578,9 +578,13 @@ class IndexSearcher:
             an = chain(q.field)
             if an == "standard":
                 return q
+            # dedupe after analysis: two alternatives can stem to the
+            # SAME index term ("run", "running" -> "run"), and a
+            # duplicated member would double the slot's tf and break
+            # the unique-positions contract of the phrase kernel
             return dataclasses.replace(
-                q, slots_=tuple(tuple(analyze_term(t, an) for t in s)
-                                for s in q.slots))
+                q, slots_=tuple(tuple(dict.fromkeys(
+                    analyze_term(t, an) for t in s)) for s in q.slots))
         if isinstance(q, DisMaxQuery):
             return dataclasses.replace(
                 q, terms_=tuple(self._an_node(c, q.field)
@@ -685,13 +689,16 @@ class IndexSearcher:
             ts = stats.get(q.field, {})
             slots = []
             for s in q.slots:
-                present = tuple(t for t in s if t in ts)
+                # dict.fromkeys: literal duplicates in a user-built
+                # slot would double tf / duplicate kernel positions
+                present = tuple(dict.fromkeys(t for t in s if t in ts))
                 if not present:
                     return None
                 slots.append(present[0] if len(present) == 1 else present)
             dc, sttf = self._field_stats(q.field)
             idfs = [BM25Scorer(ts[t][0], dc, sttf).idf
-                    for s in q.slots for t in s if t in ts]
+                    for s in slots
+                    for t in ((s,) if isinstance(s, str) else s)]
             sc = _PhraseScorer(idfs, dc, sttf, boost_mult * q.boost)
             return ("phrase", q.field, slots, sc, q.slop)
         if isinstance(q, SynonymQuery):
@@ -1526,7 +1533,11 @@ class IndexSearcher:
         ``after`` = (v1, ..., vn, doc_id) — one value per sort spec,
         the last hit of the previous page; the cursor is the strict
         lexicographic after-predicate, applied BEFORE the top-k so no
-        page can lose hits to another bucket's heap.
+        page can lose hits to another bucket's heap. NULL key values
+        page consistently with the nulls-last order: they count as
+        after every non-null cursor value, and a NULL cursor value
+        (the previous page ended inside the NULL tail) continues
+        through the remaining NULL rows.
 
         Plan shape: exhaustive match stream -> equi-join with the
         (doc_id, cols...) projection of the docstore (or a caller-
@@ -1558,16 +1569,23 @@ class IndexSearcher:
             pred = F.col("doc_id") > F.lit(int(after[-1]))
             for (e, is_desc, miss), v in reversed(list(zip(keys, vals))):
                 if v is None:
-                    # a NULL cursor value is only orderable through its
-                    # missing-value substitute (setMissingValue)
-                    if miss is None:
-                        raise ValueError(
-                            "cursor value is NULL for a sort field "
-                            "without a missing value — set one in the "
-                            "sort spec (col, dir, missing)")
-                    v = miss
+                    if miss is not None:
+                        v = miss
+                    else:
+                        # cursor sits inside this key's NULL tail
+                        # (NULLs sort last): nothing is strictly after
+                        # by this key; the page continues through the
+                        # other NULL rows ordered by the lower keys
+                        pred = e.isNull() & pred
+                        continue
                 strict = (e < F.lit(v)) if is_desc else (e > F.lit(v))
-                pred = strict | ((e == F.lit(v)) & pred)
+                if miss is None:
+                    # no missing-value substitute -> NULLs sort last in
+                    # BOTH directions, i.e. strictly after every
+                    # non-null cursor value; without this the NULL-key
+                    # tail would vanish from every page after the first
+                    strict = strict | e.isNull()
+                pred = strict | (e.eqNullSafe(F.lit(v)) & pred)
             j = j.filter(pred)
         return j.orderBy(*order).limit(k)
 

@@ -119,9 +119,12 @@ def test_association_sums(spark, docs, matches):
     got = {(r["level"], r["path"]): (r["n_docs"], r["sum_assoc"])
            for r in FC.association_sums(matches, d, "path",
                                         "weight").collect()}
-    # doc 7 (weight 100) does not match; doc 5 has NULL weight
+    # doc 7 (weight 100) does not match; doc 5 has NULL weight and is
+    # never visited (the reference's MatchingDocs iteration skips docs
+    # without the association field — neither counted nor summed)
     assert got[(1, "web")] == (4, 37)        # 10+20+5+2
-    assert got[(1, "code")] == (3, 10)       # 7+3+None
+    assert got[(1, "code")] == (2, 10)       # 7+3; NULL doc skipped
+    assert (2, "code/js") not in got         # only doc 5 carried it
     assert got[(2, "code/py")] == (2, 10)
     assert got[(3, "code/py/nb")] == (1, 3)
     assert got[(2, "web/en")] == (2, 30)
