@@ -149,14 +149,17 @@ def cjk_tokenize_series(texts: pd.Series, max_len: int = 255) -> pd.Series:
     bigram expansion -> stop filter)."""
     texts = width_fold_series(texts.fillna(""))
     toks = texts.str.lower().str.findall(_CJK_WORD_RE)
-    # maxTokenLength split, same contract as tokenize_series: only
-    # rows that actually hold a >max_len run pay the fixup (bigrams
-    # are 2 chars, so only non-CJK word runs can exceed it)
+    # maxTokenLength split for NON-CJK word runs only, same contract as
+    # tokenize_series. CJK runs are never split: the reference tokenizer
+    # emits one IDEOGRAPHIC token per Han char, so maxTokenLength can't
+    # hit a CJK run there, and splitting the raw run here would drop the
+    # bigram spanning the cut. Only rows that actually hold a >max_len
+    # run pay the fixup.
     idx = toks.index[texts.str.len() > max_len]
     if len(idx):
         toks.loc[idx] = [
             [p for x in t for p in
-             ([x] if len(x) <= max_len else
+             ([x] if len(x) <= max_len or _CJK_FIRST.match(x) else
               [x[i:i + max_len] for i in range(0, len(x), max_len)])]
             for t in toks.loc[idx]]
     lens = toks.str.len().to_numpy(dtype=np.int64)
@@ -179,13 +182,19 @@ def cjk_tokenize_series(texts: pd.Series, max_len: int = 255) -> pd.Series:
                      index=toks.index)
 
 
-def cjk_analyze_one(text: str) -> list:
-    """Driver-side single-string CJKAnalyzer chain."""
+def cjk_analyze_one(text: str, max_len: int = 255) -> list:
+    """Driver-side single-string CJKAnalyzer chain (same maxTokenLength
+    split for non-CJK runs as cjk_tokenize_series — index and query
+    paths must tokenize identically)."""
     text = width_fold_one(text or "").lower()
     out = []
     for t in _CJK_WORD_RE.findall(text):
         if _CJK_FIRST.match(t) and len(t) >= 2:
             out.extend(t[i:i + 2] for i in range(len(t) - 1))
         elif t not in CJK_STOP_WORDS:
-            out.append(t)
+            if len(t) <= max_len:
+                out.append(t)
+            else:
+                out.extend(t[i:i + max_len]
+                           for i in range(0, len(t), max_len))
     return out

@@ -6,12 +6,14 @@ mapping Latin-1 Supplement / Latin Extended A-B / typographic variants
 to their ASCII equivalents ("café" -> "cafe", "straße" -> "strasse").
 
 This implementation reaches the same mappings through Unicode data
-instead of a switch table: NFKD decomposition + dropping combining
-marks (category Mn) folds every precomposed accent the Java table
-lists, and a small supplemental map covers the letters NFKD does NOT
-decompose (ø, æ, œ, ß, đ, ð, þ, ł, ħ, ŋ, ı — the Java switch's
-non-decomposable cases). Characters with no ASCII equivalent (CJK,
-Cyrillic, Greek letters) pass through unchanged, matching the filter.
+instead of a switch table: per input character, NFKD decomposition +
+dropping combining marks (category Mn) folds a precomposed accent the
+Java table lists ONLY when the remaining base is ASCII, and a small
+supplemental map covers the letters NFKD does NOT decompose (ø, æ, œ,
+ß, đ, ð, þ, ł, ħ, ŋ, ı — the Java switch's non-decomposable cases).
+Characters with no ASCII equivalent — CJK, Cyrillic, Greek, Hebrew,
+Indic letters AND their combining marks — pass through unchanged,
+matching the filter (its table has no entries for those scripts).
 
 Tokens arrive already lowercased (LowerCaseFilter runs before folding
 in the 'fold' chain), so only lowercase supplements are needed; NFKD
@@ -39,14 +41,30 @@ _SUPPLEMENT = str.maketrans({
 
 
 def fold_one(token: str) -> str:
-    """Fold one (already lowercased) token to its ASCII form."""
+    """Fold one (already lowercased) token to its ASCII form.
+
+    Folding is PER INPUT CHARACTER, like the reference's switch: a
+    character is replaced only when its decomposition (or the
+    supplement map) lands on ASCII. Characters whose base letter is
+    not ASCII — Greek, Cyrillic, Hebrew, Indic, including their
+    combining marks — pass through unchanged, exactly like the Java
+    filter (its table has no entries for them); stripping marks
+    script-wide would corrupt e.g. Devanagari conjuncts."""
     if token.isascii():
         return token
     out = []
-    for ch in unicodedata.normalize("NFKD", token):
-        if unicodedata.category(ch) == "Mn":
+    for ch in token:
+        if ch.isascii():
+            out.append(ch)
             continue
-        out.append(ch.translate(_SUPPLEMENT) if not ch.isascii() else ch)
+        sup = ch.translate(_SUPPLEMENT)
+        if sup != ch:
+            out.append(sup)
+            continue
+        dec = unicodedata.normalize("NFKD", ch)
+        base = "".join(c for c in dec
+                       if unicodedata.category(c) != "Mn")
+        out.append(base if base and base.isascii() else ch)
     return "".join(out)
 
 

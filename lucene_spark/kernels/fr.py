@@ -55,15 +55,22 @@ ELISION_ARTICLES = frozenset(
      "jusqu", "quoiqu", "lorsqu", "puisqu"))
 
 
-def french_elide(token: str) -> str:
-    """ElisionFilter: strip an article prefix before the first ' / ’."""
+def elide(token: str, articles) -> str:
+    """ElisionFilter core: strip an article prefix before the first
+    ' / ’ (analysis/common/.../util/ElisionFilter.java) — shared by the
+    French and Italian chains, which differ only in the article set."""
     hits = [i for i in (token.find("'"), token.find("’")) if i >= 0]
     if not hits:
         return token
     i = min(hits)
-    if token[:i] in ELISION_ARTICLES:
+    if token[:i] in articles:
         return token[i + 1:]
     return token
+
+
+def french_elide(token: str) -> str:
+    """ElisionFilter with the French 13-article set."""
+    return elide(token, ELISION_ARTICLES)
 
 
 _ACCENT_FOLD = str.maketrans({

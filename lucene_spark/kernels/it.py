@@ -58,13 +58,8 @@ ITALIAN_ARTICLES = frozenset(
 
 def italian_elide(token: str) -> str:
     """ElisionFilter with the Italian article set (l'arte -> arte)."""
-    hits = [i for i in (token.find("'"), token.find("\u2019")) if i >= 0]
-    if not hits:
-        return token
-    i = min(hits)
-    if token[:i] in ITALIAN_ARTICLES:
-        return token[i + 1:]
-    return token
+    from .fr import elide
+    return elide(token, ITALIAN_ARTICLES)
 
 
 _ACCENT_FOLD = str.maketrans({

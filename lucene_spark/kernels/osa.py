@@ -33,6 +33,7 @@ Two surfaces:
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 
 __all__ = ["osa_distance", "osa_distances", "osa_leq"]
 
@@ -128,3 +129,28 @@ def osa_distances(terms, pattern: str,
         final[:, j] = cur[:, m]
         prev2, prev, t_prev = prev, cur, tc
     return final[np.arange(n), np.minimum(lens, max_len)]
+
+
+def osa_leq_udf(pattern: str, k: int):
+    """Arrow-batched boolean pandas_udf: OSA(term, pattern) <= k —
+    the shared executor-side filter for FuzzyQuery expansion, the
+    fuzzy suggester, and context-suggester lookup (one definition,
+    one place to evolve the band/transposition handling)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _ok(s: pd.Series) -> pd.Series:
+        return pd.Series(osa_leq(s.tolist(), pattern, k), index=s.index)
+    return _ok
+
+
+def osa_dist_udf(pattern: str):
+    """Arrow-batched int pandas_udf: OSA(term, pattern) — the spell
+    checker's ranked-distance twin of osa_leq_udf."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _d(s: pd.Series) -> pd.Series:
+        return pd.Series(osa_distances(s.tolist(), pattern),
+                         index=s.index).astype("int32")
+    return _d

@@ -107,8 +107,10 @@ def range_counts(matches: DataFrame, docs: DataFrame, value_col: str,
             cond = cond & (v >= lo if lo_inc else v > lo)
         if hi is not None:
             cond = cond & (v <= hi if hi_inc else v < hi)
-        aggs.append(F.sum(F.when(cond, 1).otherwise(0))
-                    .alias(f"_r{i}"))
+        # count(when(...)): sum() over ZERO rows is NULL, and the
+        # reference's LongRangeFacetCounts reports 0 per range for an
+        # empty match set
+        aggs.append(F.count(F.when(cond, F.lit(1))).alias(f"_r{i}"))
     row = j.agg(*aggs)
     # escape quotes/backslashes: the label lands inside a selectExpr
     # string literal

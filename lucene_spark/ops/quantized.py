@@ -152,14 +152,22 @@ def quantized_topk(vectors: DataFrame, queries: DataFrame, k: int = 10,
             # n_cand per query in (approx desc, id asc) order — the
             # shuffle that feeds the global candidate cut carries
             # O(batches * n_cand * |Q|) rows, never O(corpus * |Q|)
-            take = min(n_cand, n)
             out_q, out_i, out_a = [], [], []
             for j in range(q_ids.size):
-                col = approx[:, j]
-                sel = np.lexsort((ids, -col))[:take]
+                # drop the self vector BEFORE the per-batch cut — it
+                # would otherwise consume a candidate slot and push the
+                # batch's true n_cand-th candidate out
+                keep = ids != q_ids[j]
+                bids, bcol = ids[keep], approx[keep, j]
+                take = min(n_cand, bids.size)
+                if take == 0:
+                    continue
+                sel = np.lexsort((bids, -bcol))[:take]
                 out_q.append(np.full(take, q_ids[j], dtype=np.int64))
-                out_i.append(ids[sel])
-                out_a.append(col[sel])
+                out_i.append(bids[sel])
+                out_a.append(bcol[sel])
+            if not out_q:
+                continue
             yield pd.DataFrame({
                 q_id_col: np.concatenate(out_q),
                 id_col: np.concatenate(out_i),

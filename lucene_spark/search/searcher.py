@@ -380,15 +380,8 @@ class IndexSearcher:
                 # edit, FuzzyQuery.java:79-84) — Arrow-batched kernel
                 # over the banded survivors (osa.osa_leq vectorizes the
                 # DP across the whole batch; no per-term Python)
-                from pyspark.sql.functions import pandas_udf
-                from ..kernels.osa import osa_leq
-
-                @pandas_udf("boolean")
-                def _osa_ok(s: pd.Series) -> pd.Series:
-                    return pd.Series(osa_leq(s.tolist(), pat, k),
-                                     index=s.index)
-
-                ts = ts.filter(_osa_ok(F.col("term")))
+                from ..kernels.osa import osa_leq_udf
+                ts = ts.filter(osa_leq_udf(pat, k)(F.col("term")))
             else:
                 ts = ts.filter(
                     F.levenshtein(F.col("term"), F.lit(pat), k) >= 0)
@@ -1420,16 +1413,9 @@ class IndexSearcher:
                 # FuzzySuggester parity: the suggester's automaton is
                 # built with transpositions=true by default
                 # (FuzzySuggester.java DEFAULT_TRANSPOSITIONS)
-                from pyspark.sql.functions import pandas_udf
-                from ..kernels.osa import osa_leq
-                pat_, k_ = pattern, max_edits
-
-                @pandas_udf("boolean")
-                def _osa_ok(s: pd.Series) -> pd.Series:
-                    return pd.Series(osa_leq(s.tolist(), pat_, k_),
-                                     index=s.index)
-
-                cond = cond & _osa_ok(F.col("term"))
+                from ..kernels.osa import osa_leq_udf
+                cond = cond & osa_leq_udf(pattern,
+                                          max_edits)(F.col("term"))
             else:
                 cond = cond & (F.levenshtein(F.col("term"),
                                              F.lit(pattern)) <= max_edits)
@@ -1481,14 +1467,9 @@ class IndexSearcher:
         if mode == "not_in_index" and qdf > 0:
             return self.spark.createDataFrame(
                 [], "term string, df bigint, dist int, score double")
-        from pyspark.sql.functions import pandas_udf
-        from ..kernels.osa import osa_distances
-        pat, k_ = term, int(max_edits)
-
-        @pandas_udf("int")
-        def _osa_d(s: pd.Series) -> pd.Series:
-            return pd.Series(osa_distances(s.tolist(), pat),
-                             index=s.index).astype("int32")
+        from ..kernels.osa import osa_dist_udf
+        k_ = int(max_edits)
+        _osa_d = osa_dist_udf(term)
 
         ts = self._termstats_df(F.col("field") == f)
         cond = (F.length("term").between(len(term) - k_,

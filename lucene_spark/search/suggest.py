@@ -74,19 +74,11 @@ class ContextSuggester:
         elif kind == "infix":
             df = df.filter(F.col("term").contains(pattern))
         elif kind == "fuzzy":
-            from pyspark.sql.functions import pandas_udf
-            from ..kernels.osa import osa_leq
-            pat_, k_ = pattern, max_edits
-
-            @pandas_udf("boolean")
-            def _osa_ok(s: pd.Series) -> pd.Series:
-                return pd.Series(osa_leq(s.tolist(), pat_, k_),
-                                 index=s.index)
-
+            from ..kernels.osa import osa_leq_udf
             df = df.filter(
                 F.length("term").between(len(pattern) - max_edits,
                                          len(pattern) + max_edits)
-                & _osa_ok(F.col("term")))
+                & osa_leq_udf(pattern, max_edits)(F.col("term")))
         else:
             raise ValueError(f"unknown suggest kind {kind!r}")
         out = (df.groupBy("term")
