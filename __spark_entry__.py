@@ -927,6 +927,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             QS.quality_average(per).select(*cast))
     q["ft_quality"] = ft_quality
 
+    def cls_naive_bayes(sp, sf):
+        # classification module: SimpleNaiveBayesClassifier
+        # (classification/.../SimpleNaiveBayesClassifier.java) with the
+        # index as the training set — class field 'role' (= lang), one
+        # pushed-down postings scan for the batch vocabulary. Ops:
+        # 'all' = every class's log score; 'best' = argmax class.
+        from pyspark.sql.window import Window
+        from lucene_spark.ops.classify import naive_bayes_classify
+        s = _searcher(sp, sf)
+        ids = [3, 7, 11, 19, 23, 31]
+        texts = (_docs(sp, sf).filter(F.col("doc_id").isin(ids))
+                 .select(F.col("doc_id").alias("id"), "text"))
+        allsc = naive_bayes_classify(s, texts, class_field="role",
+                                     all_scores=True).persist()
+        a = allsc.select(F.lit("all").alias("op"),
+                         F.col("id").alias("doc_id"), "cls",
+                         F.round("score", 3).alias("score_r"))
+        w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                             F.col("cls").asc())
+        b = (allsc.withColumn("_rn", F.row_number().over(w))
+             .filter(F.col("_rn") == 1)
+             .select(F.lit("best").alias("op"),
+                     F.col("id").alias("doc_id"), "cls",
+                     F.round("score", 3).alias("score_r")))
+        return a.unionByName(b)
+    q["cls_naive_bayes"] = cls_naive_bayes
+
+    def cls_knn(sp, sf):
+        # classification module: KNearestNeighborClassifier
+        # (classification/.../KNearestNeighborClassifier.java) — MLT
+        # top-10 neighbors of doc 7, rank-weighted class vote.
+        from lucene_spark.ops.classify import knn_classify
+        s = _searcher(sp, sf)
+        out = knn_classify(s, 7, k=10, class_field="role",
+                           max_terms=5, min_df=2)
+        return out.select("cls", F.round("score", 3).alias("score_r"))
+    q["cls_knn"] = cls_knn
+
     return q
 
 
@@ -2012,6 +2050,70 @@ SELECT '__avg__', round(avg(num_points), 6), round(avg(num_good), 6),
        round(avg(p_at_10), 6), round(avg(p_at_20), 6),
        round(avg(mrr), 6), round(avg(avp), 6), round(avg(recall), 6)
 FROM stats WHERE max_good > 0
+"""
+
+    # SimpleNaiveBayesClassifier: full NB recompute over the corpus —
+    # P(c) and the add-one-smoothed P(w|c) with den = avgUniqueTerms *
+    # docCount(c) + docsWithClass (SimpleNaiveBayesClassifier.java:
+    # 209-283); unseen (w, c) pairs contribute ln(1/den), so the score
+    # is prior - n*ln(den) + sum over SEEN pairs of cnt*ln(hits+1).
+    o["cls_naive_bayes"] = P + """
+, cls AS (SELECT lang AS c, count(*)::DOUBLE AS cd FROM documents
+          GROUP BY lang)
+, nwc AS (SELECT sum(cd) AS n FROM cls)
+, avgu AS (SELECT (SELECT count(*) FROM tf)::DOUBLE
+                  / (SELECT count(DISTINCT doc_id) FROM tf) AS a)
+, qtok AS (SELECT doc_id AS qid, term, tf AS cnt FROM tf
+           WHERE doc_id IN (3, 7, 11, 19, 23, 31))
+, qtot AS (SELECT qid, sum(cnt) AS tot FROM qtok GROUP BY qid)
+, hits AS (SELECT f.term, d.lang AS c, count(*)::DOUBLE AS h
+           FROM tf f JOIN documents d USING (doc_id)
+           WHERE f.term IN (SELECT DISTINCT term FROM qtok)
+           GROUP BY f.term, d.lang)
+, sl AS (SELECT q.qid, h.c, sum(q.cnt * ln(h.h + 1)) AS s
+         FROM qtok q JOIN hits h ON h.term = q.term GROUP BY q.qid, h.c)
+, den AS (SELECT c, cd,
+          (SELECT a FROM avgu) * cd + (SELECT n FROM nwc) AS dn FROM cls)
+, sc AS (SELECT t.qid, d.c,
+         ln(d.cd) - ln((SELECT n FROM nwc)) - t.tot * ln(d.dn)
+           + coalesce(sl.s, 0) AS score
+         FROM qtot t CROSS JOIN den d
+         LEFT JOIN sl ON sl.qid = t.qid AND sl.c = d.c)
+SELECT 'all' AS op, qid AS doc_id, c AS cls, round(score, 3) AS score_r
+FROM sc
+UNION ALL
+SELECT 'best', qid, c, round(score, 3) FROM (
+  SELECT *, row_number() OVER (PARTITION BY qid
+                               ORDER BY score DESC, c ASC) AS rn FROM sc)
+WHERE rn = 1
+"""
+
+    # KNearestNeighborClassifier: the ft_mlt term selection (doc 7,
+    # max_terms=5, min_df=2), BM25 top-10, then the count*normBoost/k
+    # vote with the sumdoc < k correction
+    # (KNearestNeighborClassifier.java:191-240).
+    o["cls_knn"] = P + f"""
+, dterm AS (SELECT term, tf FROM tf WHERE doc_id = 7)
+, cand AS (SELECT d.term, d.tf, t.df FROM dterm d
+           JOIN tdict t USING (term) WHERE t.df >= 2)
+, ranked AS (SELECT term FROM cand
+             ORDER BY tf * ln(1 + ((SELECT n FROM st) - df + 0.5)
+                              / (df + 0.5)) DESC, term ASC LIMIT 5)
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN (SELECT term FROM ranked)
+        GROUP BY f.doc_id)
+, topk AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+, mx AS (SELECT max(s) AS mx FROM topk)
+, votes AS (SELECT d.lang AS cls,
+            sum(t.s / (SELECT mx FROM mx)) AS sboost, count(*) AS cnt
+            FROM topk t JOIN documents d USING (doc_id) GROUP BY d.lang)
+, tot AS (SELECT sum(cnt) AS sumdoc FROM votes)
+SELECT cls, round(sboost / (CASE WHEN (SELECT sumdoc FROM tot) >= 10
+                            THEN 10.0
+                            ELSE (SELECT sumdoc FROM tot) END), 3)
+       AS score_r
+FROM votes
 """
 
     return o

@@ -1,0 +1,245 @@
+"""Index-backed text classification (the reference's classification
+module, classification/src/java/org/apache/lucene/classification/).
+
+Two classifiers, both re-expressed as Catalyst plans over the engine's
+index tables instead of per-term IndexSearcher.count() loops:
+
+- ``naive_bayes_classify`` — SimpleNaiveBayesClassifier.java: add-one-
+  smoothed multinomial NB whose "training set" IS the index. Where the
+  reference issues one boolean count() per (word, class) pair, this
+  implementation makes ONE pushed-down postings scan for the input
+  batch's whole vocabulary, joins doc -> class once, and finishes with
+  map-side-combined aggregates — the per-(word, class) count matrix is
+  bounded by |vocab| x |classes|, never by the corpus.
+
+- ``knn_classify`` — KNearestNeighborClassifier.java: MoreLikeThis
+  top-k retrieval + rank-weighted class voting over the k neighbors.
+
+Scale shape (100 TB lens): NB's heavy stage is the postings scan, which
+is directory-pruned on (field, term_h) exactly like a TermQuery seek;
+everything after it is aggregation over (term, class) cells. KNN rides
+the existing WAND/TakeOrdered search path; the vote runs on k rows.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+__all__ = ["naive_bayes_classify", "knn_classify"]
+
+
+# ---------------------------------------------------------------------------
+# shared: per-(term, class) document-frequency matrix
+# ---------------------------------------------------------------------------
+
+def _class_docs(searcher, class_field: str) -> DataFrame:
+    """(class, class_docs): docFreq of each class term — the reference's
+    docCount(term=class) (SimpleNaiveBayesClassifier.java:283)."""
+    ds = searcher._read_cached(searcher.docstore_paths)
+    return (ds.filter(F.col(class_field).isNotNull())
+            .groupBy(F.col(class_field).alias("cls"))
+            .agg(F.count("*").cast("double").alias("class_docs")))
+
+
+def _word_class_hits(searcher, words: list, text_field: str,
+                     class_field: str) -> DataFrame:
+    """(term, class, hits): number of docs of each class containing each
+    word — the reference's getWordFreqForClass boolean count
+    (SimpleNaiveBayesClassifier.java:263-276), batched: ONE postings
+    scan pruned to the vocabulary, one block decode, one join to the
+    doc -> class map, one aggregate. Deleted docs are masked exactly
+    like term_postings."""
+    from ..search.searcher import POSTING_SCHEMA  # noqa: F401
+    from ..search.kernels import DocSetChunk, MaskedChunk, TermChunk
+
+    chunks = (searcher._postings_for(words, text_field)
+              .select("term", "bucket_id", "blocks"))
+    has_live = searcher.livedocs_path is not None
+    if has_live:
+        live = searcher._live_proj("bucket_id", "base_doc",
+                                   "num_docs", "live")
+        chunks = chunks.join(live, "bucket_id", "left")
+
+    def run(batches):
+        for pdf in batches:
+            ts, ds = [], []
+            for row in pdf.itertuples(index=False):
+                ch = TermChunk(row.blocks, [0.0] * len(row.blocks))
+                if has_live and getattr(row, "live", None) is not None:
+                    ch = MaskedChunk(ch, DocSetChunk(
+                        bytes(row.live), int(row.base_doc),
+                        int(row.num_docs)))
+                docs, _ = ch.decode_all()
+                ts.append(np.full(docs.size, row.term, dtype=object))
+                ds.append(docs)
+            if ds:
+                yield pd.DataFrame(
+                    {"term": np.concatenate(ts),
+                     "doc_id": np.concatenate(ds).astype(np.int64)})
+
+    pairs = chunks.mapInPandas(run, schema="term string, doc_id bigint")
+    cls = (searcher._read_cached(searcher.docstore_paths)
+           .filter(F.col(class_field).isNotNull())
+           .select("doc_id", F.col(class_field).alias("cls")))
+    # postings hold each (term, doc) once, so count(*) == distinct docs
+    return (pairs.join(cls, "doc_id")
+            .groupBy("term", "cls")
+            .agg(F.count("*").cast("double").alias("hits")))
+
+
+# ---------------------------------------------------------------------------
+# SimpleNaiveBayesClassifier
+# ---------------------------------------------------------------------------
+
+def naive_bayes_classify(searcher, texts: DataFrame,
+                         id_col: str = "id", text_col: str = "text",
+                         class_field: str = "role",
+                         text_field: str = "text",
+                         all_scores: bool = False) -> DataFrame:
+    """Classify a batch of texts with the index as the training set
+    (SimpleNaiveBayesClassifier.java:106-236). Per class c and
+    tokenized input d = w1..wn:
+
+        score(d, c) = log P(c) + sum_i log P(wi | c)
+        P(c)        = docCount(c) / docsWithClass          (:279-281)
+        P(w | c)    = (hits(w, c) + 1) / den(c)            (:209-231)
+        den(c)      = avgUniqueTerms * docCount(c) + docsWithClass
+        avgUniqueTerms = sumDocFreq(text_field) / docCount(text_field)
+                                                           (:241-252)
+
+    hits(w, c) = docs of class c containing w (doc freq, not ttf).
+    Unseen (w, c) pairs contribute log(1/den(c)), so the score
+    decomposes as  prior(c) - n * log(den(c)) + sum_{hits>0}
+    cnt(w) * log(hits+1)  — the last term is the ONLY one needing the
+    (term, class) matrix, and missing cells contribute exactly 0,
+    which a plain inner-join-then-sum computes without densifying.
+
+    Input texts are analyzed with ``text_field``'s analyzer chain (the
+    reference tokenizes with the index analyzer, :195-207). Returns
+    (id, cls, score): the argmax class per input (ties -> class asc),
+    or every class's log score with ``all_scores=True``. Raw log
+    scores, not the reference's normalized posteriors — normalization
+    is a per-id softmax the caller can apply; ranking is identical.
+    """
+    an = searcher.analyzers.get(text_field, "standard")
+
+    def tok(batches):
+        from ..kernels.tokenizer import analyze_series
+        for pdf in batches:
+            toks = analyze_series(pdf[text_col], an)
+            lens = toks.str.len().to_numpy(np.int64)
+            if lens.sum() == 0:
+                continue
+            flat = np.concatenate([np.asarray(t, object) for t in toks])
+            yield pd.DataFrame(
+                {"id": np.repeat(pdf[id_col].to_numpy(np.int64), lens),
+                 "term": flat})
+
+    tokens = (texts.select(F.col(id_col).cast("long").alias(id_col),
+                           text_col)
+              .mapInPandas(tok, schema="id bigint, term string")
+              .groupBy("id", "term")
+              .agg(F.count("*").cast("double").alias("cnt")))
+    tokens = tokens.persist()
+    try:
+        words = [r["term"] for r in tokens.select("term")
+                 .distinct().collect()]
+        if not words:
+            raise ValueError("no analyzable tokens in the input batch")
+
+        # corpus-level scalars: one termstats aggregate + two docstore
+        # aggregates (metadata-sized)
+        ts = searcher._termstats_df(F.col("field") == text_field)
+        sum_df = ts.agg(F.sum("df")).collect()[0][0] or 0
+        ds = searcher._read_cached(searcher.docstore_paths)
+        field_docs = ds.filter(F.col("token_count") > 0).count()
+        cls_df = _class_docs(searcher, class_field)
+        classes = cls_df.collect()
+        if not classes or not field_docs:
+            raise ValueError("index has no class values / no text docs")
+        docs_with_class = float(sum(r["class_docs"] for r in classes))
+        avg_unique = float(sum_df) / float(field_docs)
+
+        # per-class constants, broadcast-sized
+        const = searcher.spark.createDataFrame(
+            [(r["cls"],
+              math.log(r["class_docs"]) - math.log(docs_with_class),
+              math.log(avg_unique * r["class_docs"] + docs_with_class))
+             for r in classes],
+            "cls string, prior double, log_den double")
+
+        hits = _word_class_hits(searcher, words, text_field, class_field)
+        sumlog = (tokens.join(hits, "term")
+                  .groupBy("id", "cls")
+                  .agg(F.sum(F.col("cnt") * F.log(F.col("hits") + 1.0))
+                       .alias("sl")))
+        totals = tokens.groupBy("id").agg(F.sum("cnt").alias("n"))
+        scored = (totals.crossJoin(F.broadcast(const))
+                  .join(sumlog, ["id", "cls"], "left")
+                  .select("id", "cls",
+                          (F.col("prior")
+                           - F.col("n") * F.col("log_den")
+                           + F.coalesce(F.col("sl"), F.lit(0.0)))
+                          .alias("score")))
+        if all_scores:
+            return scored
+        w = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                             F.col("cls").asc())
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1).drop("_rn"))
+    finally:
+        tokens.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# KNearestNeighborClassifier
+# ---------------------------------------------------------------------------
+
+def knn_classify(searcher, doc_id: int, k: int = 10,
+                 class_field: str = "role", max_terms: int = 10,
+                 min_df: int = 2) -> DataFrame:
+    """k-nearest-neighbor classification of an indexed document
+    (KNearestNeighborClassifier.java:150-240): build the MoreLikeThis
+    query from the doc's top tf·idf terms (:156-180; the reference's
+    mlt.like), retrieve the top-k docs that HAVE a class value (:174
+    adds class-exists as a MUST clause — expressed here as the
+    doc_filter semi-join), then vote (:191-240):
+
+        boost(doc)  = score(doc) / maxScore
+        score(c)    = (count(c) * avg boost(c)) / k
+                    = sum boost(c) / k
+        if fewer than k voters carry a class, scale by k / sumdoc
+        (:231-238) -> sum boost(c) / sumdoc.
+
+    Returns (cls, score) for every class among the neighbors, ordered
+    score desc, cls asc. The source doc votes for itself at boost 1,
+    exactly like the reference (its javadoc suggests callers exclude
+    it; keep parity with the raw behavior)."""
+    q = searcher.more_like_this(doc_id, max_terms=max_terms,
+                                min_df=min_df)
+    top = searcher.search_df(q, k=k,
+                             doc_filter=f"{class_field} is not null")
+    ds = (searcher._read_cached(searcher.docstore_paths)
+          .select("doc_id", F.col(class_field).alias("cls")))
+    j = top.join(ds, "doc_id").select(
+        "cls", F.col("score").cast("double").alias("s"))
+    mx = j.agg(F.max("s").alias("mx"))
+    votes = (j.crossJoin(F.broadcast(mx))
+             .groupBy("cls")
+             .agg(F.sum(F.col("s") / F.col("mx")).alias("sboost"),
+                  F.count("*").alias("cnt")))
+    # sum of per-class counts == number of classed voters (sumdoc)
+    tot = votes.agg(F.sum("cnt").alias("sumdoc"))
+    out = (votes.crossJoin(F.broadcast(tot))
+           .select("cls",
+                   (F.col("sboost")
+                    / F.when(F.col("sumdoc") >= k, F.lit(float(k)))
+                    .otherwise(F.col("sumdoc").cast("double")))
+                   .alias("score")))
+    return out.orderBy(F.col("score").desc(), F.col("cls").asc())

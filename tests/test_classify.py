@@ -1,0 +1,136 @@
+"""Classification module tests (classification/src/java/org/apache/
+lucene/classification/): SimpleNaiveBayesClassifier parity against an
+independent brute-force NB over the same corpus, null-class handling,
+and the KNearestNeighborClassifier vote formula."""
+
+import math
+from collections import Counter, defaultdict
+
+import pytest
+from pyspark.sql import functions as F
+
+from lucene_spark.ops.classify import knn_classify, naive_bayes_classify
+from lucene_spark.search.searcher import IndexSearcher
+
+
+def _brute_nb(docs, queries, class_field):
+    """Independent pure-Python SimpleNaiveBayesClassifier: docs =
+    [(doc_id, tokens, cls)], queries = {qid: tokens}. Returns
+    {(qid, cls): score} over all classes."""
+    classed = [(d, t, c) for d, t, c in docs if c is not None]
+    docs_with_class = len(classed)
+    class_docs = Counter(c for _, _, c in classed)
+    # avgUniqueTerms over the TEXT field uses every doc with tokens,
+    # classed or not (sumDocFreq / docCount of the field)
+    with_tokens = [(d, t) for d, t, _ in docs if t]
+    sum_doc_freq = sum(len(set(t)) for _, t in with_tokens)
+    avg_unique = sum_doc_freq / len(with_tokens)
+    hits = defaultdict(int)
+    for _, toks, c in classed:
+        for w in set(toks):
+            hits[(w, c)] += 1
+    out = {}
+    for qid, qtoks in queries.items():
+        for c, cd in class_docs.items():
+            den = avg_unique * cd + docs_with_class
+            s = math.log(cd) - math.log(docs_with_class)
+            for w in qtoks:
+                s += math.log((hits[(w, c)] + 1) / den)
+            out[(qid, c)] = s
+    return out
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, small_index):
+    s = IndexSearcher(spark, small_index)
+    rows = (s._read_cached(s.docstore_paths)
+            .select("doc_id", "text", "role", "tool").collect())
+    from lucene_spark.kernels.tokenizer import tokenize_one
+    docs = [(r["doc_id"], tokenize_one(r["text"] or ""), r["role"],
+             r["tool"]) for r in rows]
+    return s, docs
+
+
+def _run_nb(s, spark, ids, docs, class_field):
+    texts = {d: None for d in ids}
+    texts_df = (s._read_cached(s.docstore_paths)
+                .filter(F.col("doc_id").isin(ids))
+                .select(F.col("doc_id").alias("id"), "text"))
+    got = naive_bayes_classify(s, texts_df, class_field=class_field,
+                               all_scores=True).collect()
+    return {(r["id"], r["cls"]): r["score"] for r in got}
+
+
+def test_nb_matches_brute_force(spark, corpus):
+    s, docs = corpus
+    ids = [d for d, toks, _, _ in docs if toks][:8]
+    queries = {d: toks for d, toks, _, _ in docs if d in ids}
+    expect = _brute_nb([(d, t, c) for d, t, c, _ in docs],
+                       queries, "role")
+    got = _run_nb(s, spark, ids, docs, "role")
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], rel=1e-9), k
+
+
+def test_nb_null_classes_excluded(spark, corpus):
+    """class_field='tool' is NULL on ~90% of docs: null-class docs must
+    drop out of priors/hits but still count in avgUniqueTerms."""
+    s, docs = corpus
+    tool_classes = {c for _, _, _, c in docs if c is not None}
+    assert len(tool_classes) >= 2
+    ids = [d for d, toks, _, _ in docs if toks][:4]
+    queries = {d: toks for d, toks, _, _ in docs if d in ids}
+    expect = _brute_nb([(d, t, c) for d, t, _, c in docs],
+                       queries, "tool")
+    got = _run_nb(s, spark, ids, docs, "tool")
+    assert set(got) == set(expect)
+    for k in expect:
+        assert got[k] == pytest.approx(expect[k], rel=1e-9), k
+
+
+def test_nb_argmax_consistent(spark, corpus):
+    s, docs = corpus
+    ids = [d for d, toks, _, _ in docs if toks][:5]
+    texts_df = (s._read_cached(s.docstore_paths)
+                .filter(F.col("doc_id").isin(ids))
+                .select(F.col("doc_id").alias("id"), "text"))
+    allsc = naive_bayes_classify(s, texts_df, all_scores=True).collect()
+    best = naive_bayes_classify(s, texts_df).collect()
+    by_id = defaultdict(list)
+    for r in allsc:
+        by_id[r["id"]].append((-r["score"], r["cls"]))
+    for r in best:
+        want = min(by_id[r["id"]])
+        assert (pytest.approx(-want[0]) == r["score"]
+                and want[1] == r["cls"])
+
+
+def test_knn_vote_formula(spark, corpus):
+    """Replicate KNearestNeighborClassifier.buildListFromTopDocs by hand
+    from the engine's own MLT top-k and compare."""
+    s, docs = corpus
+    doc_id = next(d for d, toks, _, _ in docs if len(toks) >= 5)
+    k = 10
+    q = s.more_like_this(doc_id, max_terms=5, min_df=2)
+    top = s.search_df(q, k=k, doc_filter="role is not null").collect()
+    cls_of = {d: r for d, _, r, _ in docs}
+    mx = max(r["score"] for r in top)
+    sboost, cnt = defaultdict(float), Counter()
+    for r in top:
+        c = cls_of[r["doc_id"]]
+        sboost[c] += float(r["score"]) / mx
+        cnt[c] += 1
+    sumdoc = sum(cnt.values())
+    expect = {c: sboost[c] / (k if sumdoc >= k else sumdoc)
+              for c in sboost}
+    got = {r["cls"]: r["score"]
+           for r in knn_classify(s, doc_id, k=k, max_terms=5,
+                                 min_df=2).collect()}
+    assert set(got) == set(expect)
+    for c in expect:
+        assert got[c] == pytest.approx(expect[c], rel=1e-5), c
+    # ordering: score desc, cls asc
+    rows = knn_classify(s, doc_id, k=k, max_terms=5, min_df=2).collect()
+    keys = [(-r["score"], r["cls"]) for r in rows]
+    assert keys == sorted(keys)
