@@ -965,6 +965,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("cls", F.round("score", 3).alias("score_r"))
     q["cls_knn"] = cls_knn
 
+    def ft_free_text(sp, sf):
+        # FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
+        # bigram stupid-backoff LM over the corpus. Ops: 'pfx' =
+        # context + word prefix ("slow f"); 'ctx' = trailing separator
+        # upgrades to bigram-only ("slow "); 'uni' = single-token key
+        # backs off nowhere ("vec").
+        from lucene_spark.ops.freetext import FreeTextSuggester
+        sug = FreeTextSuggester.build(_docs(sp, sf), grams=2)
+        out = None
+        for op, key, num in (("pfx", "slow f", 10),
+                             ("ctx", "slow ", 10),
+                             ("uni", "vec", 5)):
+            part = (sug.lookup(key, num)
+                    .select(F.lit(op).alias("op"), "suggestion",
+                            F.round(F.col("score"), 6).alias("score_r")))
+            out = part if out is None else out.unionByName(part)
+        return out
+    q["ft_free_text"] = ft_free_text
+
     return q
 
 
@@ -2114,6 +2133,40 @@ SELECT cls, round(sboost / (CASE WHEN (SELECT sumdoc FROM tot) >= 10
                             ELSE (SELECT sumdoc FROM tot) END), 3)
        AS score_r
 FROM votes
+"""
+
+    # FreeTextSuggester: bigram stupid backoff (ALPHA=0.4). Per model
+    # order, top-num by (count desc, word asc) — the FST TopNSearcher's
+    # weight-then-byte order — with higher-order words excluded from
+    # lower orders (the `seen` set); final sort score desc, suggestion
+    # asc (FreeTextSuggester.java:440-720).
+    o["ft_free_text"] = P + """
+, ucnt AS (SELECT term AS w, sum(tf)::DOUBLE AS c FROM tf GROUP BY term)
+, tot AS (SELECT sum(c) AS t FROM ucnt)
+, bcnt AS (SELECT p1.term AS w1, p2.term AS w2, count(*)::DOUBLE AS c
+           FROM pos p1 JOIN pos p2
+             ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+           GROUP BY p1.term, p2.term)
+, b1 AS (SELECT 'slow ' || w2 AS s, w2,
+                c / (SELECT c FROM ucnt WHERE w = 'slow') AS sc
+         FROM bcnt WHERE w1 = 'slow' AND w2 LIKE 'f%'
+         ORDER BY c DESC, w2 LIMIT 10)
+, u1 AS (SELECT w AS s, w AS w2, 0.4 * c / (SELECT t FROM tot) AS sc
+         FROM ucnt WHERE w LIKE 'f%' AND w NOT IN (SELECT w2 FROM b1)
+         ORDER BY c DESC, w LIMIT 10)
+, r1 AS (SELECT s, sc FROM (SELECT s, sc FROM b1
+                            UNION ALL SELECT s, sc FROM u1)
+         ORDER BY sc DESC, s LIMIT 10)
+, b2 AS (SELECT 'slow ' || w2 AS s,
+                c / (SELECT c FROM ucnt WHERE w = 'slow') AS sc
+         FROM bcnt WHERE w1 = 'slow' ORDER BY c DESC, w2 LIMIT 10)
+, r2 AS (SELECT s, sc FROM b2 ORDER BY sc DESC, s LIMIT 10)
+, u3 AS (SELECT w AS s, c / (SELECT t FROM tot) AS sc FROM ucnt
+         WHERE w LIKE 'vec%' ORDER BY c DESC, w LIMIT 5)
+, r3 AS (SELECT s, sc FROM u3 ORDER BY sc DESC, s LIMIT 5)
+SELECT 'pfx' AS op, s AS suggestion, round(sc, 6) AS score_r FROM r1
+UNION ALL SELECT 'ctx', s, round(sc, 6) FROM r2
+UNION ALL SELECT 'uni', s, round(sc, 6) FROM r3
 """
 
     return o
