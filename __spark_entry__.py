@@ -984,6 +984,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out
     q["ft_free_text"] = ft_free_text
 
+    def ft_wdgf_topk(sp, sf):
+        # WordDelimiterGraphFilter chain end-to-end (analysis/common/
+        # miscellaneous/WordDelimiterGraphFilter.java, parts config):
+        # each doc's text gains a case/compound prefix
+        # "PowerShot{doc_id%97} O'Neil's", the wdgf index stores the
+        # split parts (power, shot, <n>, o, neil — possessive
+        # dropped), BM25 stats move with the +5 dl. Ops: 'or' queries
+        # "Power" (query-side analysis lowers it) + "shot"; 'num'
+        # queries the split-off number part "42".
+        key = (_FORMAT_VERSION + "_wdgf_"
+               + re.sub(r"\W+", "_", os.path.abspath(sf)))
+        out = os.path.join(_CACHE_ROOT, key)
+        if not IndexCatalog(out).has_table("postings"):
+            d = _docs(sp, sf).withColumn(
+                "text",
+                F.concat(F.lit("PowerShot"),
+                         (F.col("doc_id") % 97).cast("string"),
+                         F.lit(" O'Neil's "), F.col("text")))
+            build_index(sp, _as_transcripts(d), out, num_buckets=4,
+                        analyzers={"text": "wdgf"})
+        s = _cached_searcher(sp, out)
+        a = (s.search_df(OrQuery(("Power", "shot")), k=10)
+             .select(F.lit("or").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        b = (s.search_df(TermQuery("42"), k=10)
+             .select(F.lit("num").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        return a.unionByName(b)
+    q["ft_wdgf_topk"] = ft_wdgf_topk
+
     return q
 
 
@@ -1054,10 +1086,11 @@ def _norm_lut_sql(max_len: int = 255) -> str:
 _AVGDL = "(SELECT sttf / n FROM st)"
 
 
-def _prelude() -> str:
+def _prelude(tok_expr: str | None = None) -> str:
+    tok_expr = tok_expr or "regexp_extract_all(lower(text), '[0-9a-z]+')"
     return f"""
 WITH tok AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
+  SELECT doc_id, {tok_expr} AS toks
   FROM documents
 ),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
@@ -2167,6 +2200,29 @@ FROM votes
 SELECT 'pfx' AS op, s AS suggestion, round(sc, 6) AS score_r FROM r1
 UNION ALL SELECT 'ctx', s, round(sc, 6) FROM r2
 UNION ALL SELECT 'uni', s, round(sc, 6) FROM r3
+"""
+
+    # wdgf chain: the corpus text is pure lowercase alnum + spaces, so
+    # the chain's effect reduces EXACTLY to the derived prefix's parts
+    # — "PowerShot{n}" -> power, shot, n (case + letter/digit splits)
+    # and "O'Neil's" -> o, neil (delimiter split + possessive drop);
+    # the oracle recomputes the full BM25 prelude over that stream.
+    PW = _prelude(
+        "list_concat(['power', 'shot', (doc_id % 97)::VARCHAR, "
+        "'o', 'neil'], regexp_extract_all(lower(text), '[0-9a-z]+'))")
+    o["ft_wdgf_topk"] = PW + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN ('power', 'shot')
+        GROUP BY f.doc_id)
+, m2 AS (SELECT f.doc_id, {_score('f.tf')} AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term = '42')
+SELECT 'or' AS op, doc_id, round(s, 3) AS score_r FROM (
+  SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'num', doc_id, round(s, 3) FROM (
+  SELECT doc_id, s FROM m2 ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     return o

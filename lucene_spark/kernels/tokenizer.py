@@ -342,7 +342,7 @@ def tokenize_one(text: str) -> list:
 # ---------------------------------------------------------------------------
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
-             "french", "portuguese", "spanish", "italian")
+             "french", "portuguese", "spanish", "italian", "wdgf")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -368,6 +368,12 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # vocabulary map (kernels/cjk.py)
         from .cjk import cjk_tokenize_series
         return cjk_tokenize_series(texts.fillna(""))
+    if analyzer == "wdgf":
+        # WhitespaceTokenizer + WordDelimiterGraphFilter parts +
+        # lowercase: its own case-preserving tokenize pass
+        # (kernels/wdgf.py)
+        from .wdgf import wdgf_tokenize_series
+        return wdgf_tokenize_series(texts)
     toks = tokenize_series(texts)
     if analyzer == "standard":
         return toks
@@ -426,6 +432,9 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "cjk":
         from .cjk import cjk_analyze_one
         return cjk_analyze_one(text)
+    if analyzer == "wdgf":
+        from .wdgf import wdgf_analyze_one
+        return wdgf_analyze_one(text)
     toks = tokenize_one(text)
     if analyzer == "standard":
         return toks
@@ -501,6 +510,15 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         # single-slot caveat the stop-word note above documents.
         from .cjk import width_fold_one
         return width_fold_one(term.lower())
+    if analyzer == "wdgf":
+        # single term slot: a one-part term lowercases ("Power" ->
+        # "power"); a MULTI-part term ("PowerShot500") needs
+        # query-level analysis (analyze_one) — same single-slot
+        # caveat as cjk; lowercase-only keeps it a dictionary miss
+        # rather than a silent wrong match.
+        from .wdgf import wdgf_parts
+        parts = wdgf_parts(term)
+        return parts[0].lower() if len(parts) == 1 else term.lower()
     if analyzer == "german":
         from .de import GERMAN_STOP_WORDS, german_light_stem, \
             german_normalize
