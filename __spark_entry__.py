@@ -1016,6 +1016,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b)
     q["ft_wdgf_topk"] = ft_wdgf_topk
 
+    def ft_diversified(sp, sf):
+        # DiversifiedTopDocsCollector (misc/search/
+        # DiversifiedTopDocsCollector.java): top-10 for
+        # OR(scan, sort, merge) with at most 2 hits per role (= lang)
+        s = _searcher(sp, sf)
+        out = s.diversified_search(OrQuery(("scan", "sort", "merge")),
+                                   "role", max_per_key=2, k=10)
+        return out.select(
+            "doc_id", F.col("key").alias("cls"),
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_diversified"] = ft_diversified
+
     return q
 
 
@@ -2223,6 +2235,21 @@ SELECT 'or' AS op, doc_id, round(s, 3) AS score_r FROM (
 UNION ALL
 SELECT 'num', doc_id, round(s, 3) FROM (
   SELECT doc_id, s FROM m2 ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    # DiversifiedTopDocsCollector: per-key quota (row_number within
+    # lang by score desc, doc_id asc) then the global top-10.
+    o["ft_diversified"] = P + f"""
+, m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN ('scan', 'sort', 'merge')
+        GROUP BY f.doc_id)
+, keyed AS (SELECT m.doc_id, d.lang AS cls, m.s,
+            row_number() OVER (PARTITION BY d.lang
+                               ORDER BY m.s DESC, m.doc_id ASC) AS rk
+            FROM m JOIN documents d USING (doc_id))
+SELECT doc_id, cls, round(s, 3) AS score_r FROM keyed
+WHERE rk <= 2 ORDER BY s DESC, doc_id LIMIT 10
 """
 
     return o

@@ -1974,6 +1974,34 @@ class IndexSearcher:
         return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
+    def diversified_search(self, query, key_field: str,
+                           max_per_key: int, k: int = 10) -> DataFrame:
+        """Diversity-controlled top-k (misc/src/java/org/apache/lucene/
+        misc/search/DiversifiedTopDocsCollector.java): at most
+        ``max_per_key`` hits per ``key_field`` value in the final
+        top-k — "no more than 3 results per retailer". The reference's
+        one-pass per-key eviction heap selects exactly the greedy
+        score-order result, which distributes as: rank hits WITHIN
+        each key (score desc, doc_id asc), drop ranks beyond the
+        quota, then one global TakeOrdered — the per-key window
+        shuffles on the key, the quota cut happens before anything
+        global, and only quota survivors reach the final top-k.
+        NULL keys are unconstrained (no doc-values entry to dedup on).
+        Returns (doc_id, score, key)."""
+        from pyspark.sql.window import Window
+        m = self.matches_df(query)
+        ds = (self._read_cached(self.docstore_paths)
+              .select("doc_id", F.col(key_field).alias("key")))
+        j = m.join(ds, "doc_id")
+        w = (Window.partitionBy("key")
+             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        capped = (j.withColumn("_rk", F.row_number().over(w))
+                  .filter(F.col("key").isNull()
+                          | (F.col("_rk") <= max_per_key))
+                  .drop("_rk"))
+        return (capped.orderBy(F.col("score").desc(),
+                               F.col("doc_id").asc()).limit(k))
+
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        min_tf: int = 1, min_df: int = 2):
         """MoreLikeThis (queries/mlt/.../MoreLikeThis.java:123): build an
