@@ -1028,6 +1028,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score").cast("double"), 3).alias("score_r"))
     q["ft_diversified"] = ft_diversified
 
+    def ft_phrase_wildcard(sp, sf):
+        # PhraseWildcardQuery (sandbox/search/PhraseWildcardQuery.java):
+        # phrase "slow f*" — the prefix slot expands against the term
+        # dictionary, then MultiPhraseQuery semantics (union positions,
+        # idf summed over every expanded term)
+        s = _searcher(sp, sf)
+        qq = s.phrase_wildcard(["slow", MultiTermQuery("prefix", "f")])
+        res = s.search_df(qq, k=10)
+        return res.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_phrase_wildcard"] = ft_phrase_wildcard
+
+    def ft_function_score(sp, sf):
+        # FunctionScoreQuery (queries/function/FunctionScoreQuery.java):
+        # score REPLACED by an expression over the original score and
+        # doc values, ranked over the FULL match stream (unlike the
+        # top-N rescorer)
+        s = _searcher(sp, sf)
+        out = s.function_score_df(
+            TermQuery("vector"),
+            "score * (1.0 + 1.0 / (1 + token_count))", k=10)
+        return out.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_function_score"] = ft_function_score
+
     return q
 
 
@@ -2250,6 +2277,35 @@ SELECT 'num', doc_id, round(s, 3) FROM (
             FROM m JOIN documents d USING (doc_id))
 SELECT doc_id, cls, round(s, 3) AS score_r FROM keyed
 WHERE rk <= 2 ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # PhraseWildcardQuery: "slow f*" — adjacency against ANY dictionary
+    # term starting with f; weight idf sums over 'slow' plus every
+    # expanded term (MultiPhraseWeight's termStatistics loop).
+    o["ft_phrase_wildcard"] = P + f"""
+, mph AS (SELECT p1.doc_id, count(*) AS freq FROM pos p1
+          JOIN pos p2 ON p1.doc_id = p2.doc_id AND p2.pos = p1.pos + 1
+          WHERE p1.term = 'slow' AND p2.term LIKE 'f%'
+          GROUP BY p1.doc_id)
+, w AS (SELECT sum(idf) AS widf FROM idf
+        WHERE term = 'slow' OR term LIKE 'f%')
+, m AS (SELECT p.doc_id,
+        {_score('p.freq', idf='(SELECT widf FROM w)')} AS s
+        FROM mph p JOIN qdl q USING (doc_id))
+SELECT doc_id, round(s, 3) AS score_r FROM m
+ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # FunctionScoreQuery: BM25 for 'vector', score replaced by
+    # s * (1 + 1/(1+dl)) over the full match stream.
+    o["ft_function_score"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+SELECT m.doc_id,
+       round(m.s * (1.0 + 1.0 / (1 + d.dl)), 3) AS score_r
+FROM m JOIN dl d USING (doc_id)
+ORDER BY m.s * (1.0 + 1.0 / (1 + d.dl)) DESC, m.doc_id LIMIT 10
 """
 
     return o

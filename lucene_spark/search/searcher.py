@@ -1974,6 +1974,61 @@ class IndexSearcher:
         return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
+    def phrase_wildcard(self, slots: list, field: str = "text",
+                        slop: int = 0, max_expansions: int = 128):
+        """PhraseWildcardQuery (sandbox/src/java/org/apache/lucene/
+        sandbox/search/PhraseWildcardQuery.java): a phrase where any
+        slot may be a MultiTermQuery ("slow f*"). Each MTQ slot expands
+        against the term dictionary (the reference expands segment-by-
+        segment with cost-based pruning; here the dictionary seek /
+        pushed-down scan of expand_terms is the cost control), then the
+        whole phrase runs as MultiPhraseQuery — union positions per
+        slot, idf summed over every expanded term, PhraseQuery
+        freq/slop semantics. Returns the rewritten query (PreAnalyzed:
+        expanded terms already match the dictionary)."""
+        import dataclasses
+        out = []
+        for s in slots:
+            if isinstance(s, MultiTermQuery):
+                if s.field != field or s.max_expansions != max_expansions:
+                    s = dataclasses.replace(
+                        s, field=field, max_expansions=max_expansions)
+                terms = self.expand_terms(s)
+                if not terms:
+                    # a slot with no dictionary match kills the phrase
+                    # (the reference's segment match comes up empty);
+                    # "\x00" can never be a token, so the phrase is a
+                    # guaranteed dictionary miss
+                    return PreAnalyzed(MultiPhraseQuery(
+                        (("\x00",),), field, slop))
+                out.append(tuple(terms))
+            elif isinstance(s, (tuple, list)):
+                out.append(tuple(self._analyze_terms(list(s), field)))
+            else:
+                out.append(tuple(self._analyze_terms([s], field)))
+        q = MultiPhraseQuery(tuple(out), field, slop)
+        return PreAnalyzed(q) if self._needs_analysis else q
+
+    def function_score_df(self, query, expr: str, k: int = 10) -> DataFrame:
+        """FunctionScoreQuery (queries/src/java/org/apache/lucene/
+        queries/function/FunctionScoreQuery.java): match ``query``,
+        REPLACE each hit's score with a DoubleValuesSource — here a
+        Catalyst expression over ``score`` (the original BM25 value)
+        and any docstore column (boostByValue/boostByQuery compose as
+        arithmetic inside the expression). Unlike rescore(), which
+        re-orders a first-pass top-N, the function ranks the FULL
+        match stream: the reference collects by the function value, so
+        BM25 block-max pruning cannot apply; the exhaustive match
+        stream joins doc values and ONE TakeOrdered returns the top-k
+        by the new score. Returns (doc_id, score)."""
+        m = self.matches_df(query)
+        ds = self._read_cached(self.docstore_paths)
+        j = ds.join(m, "doc_id", "inner")
+        return (j.withColumn("_fs", F.expr(expr).cast("double"))
+                .select("doc_id", F.col("_fs").alias("score"))
+                .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
     def diversified_search(self, query, key_field: str,
                            max_per_key: int, k: int = 10) -> DataFrame:
         """Diversity-controlled top-k (misc/src/java/org/apache/lucene/
