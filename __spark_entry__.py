@@ -503,6 +503,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("new_score"), 3).alias("ns_r"))
     q["ft_rescore"] = ft_rescore
 
+    def ft_feature_boost(sp, sf):
+        # FeatureField (document/FeatureField.java): static per-doc
+        # feature scored by SaturationFunction (:634) in a SHOULD
+        # clause beside the BM25 text clause — here over the FULL
+        # match stream with the feature read from a doc-values column
+        from lucene_spark.ops.features import boost_by_feature
+        s = _searcher(sp, sf)
+        top = boost_by_feature(s, TermQuery("vector"), "token_count",
+                               fn="saturation", k=10,
+                               weight=2.0, pivot=40.0)
+        return top.select("doc_id",
+                          F.round(F.col("score"), 3).alias("score_r"))
+    q["ft_feature_boost"] = ft_feature_boost
+
     def ft_match_all(sp, sf):
         # MatchAllDocsQuery: every live doc, constant score, built from
         # the norms table alone (no postings scan)
@@ -1585,6 +1599,16 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 , top50 AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 50)
 SELECT t.doc_id, round(t.s + 1.0 / (1 + d.dl), 3) AS ns_r
 FROM top50 t JOIN dl d USING (doc_id)
+"""
+
+    o["ft_feature_boost"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+SELECT m.doc_id,
+       round(m.s + 2.0 * d.dl / (d.dl + 40.0), 3) AS score_r
+FROM m JOIN dl d USING (doc_id)
+ORDER BY m.s + 2.0 * d.dl / (d.dl + 40.0) DESC, m.doc_id LIMIT 10
 """
 
     o["ft_match_all"] = """

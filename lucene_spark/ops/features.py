@@ -1,0 +1,71 @@
+"""FeatureField: static document features folded into the ranking
+(core/src/java/org/apache/lucene/document/FeatureField.java).
+
+The reference smuggles per-document feature values (pagerank, recency,
+quality score) into a postings freq and scores them with one of four
+pluggable functions, so a feature can sit in a BooleanQuery SHOULD
+clause next to BM25 text clauses. On Spark the natural home for a
+static per-doc value is a docstore/doc-values COLUMN; the functions
+become Catalyst expressions (whole-stage codegen), and the SHOULD-
+clause composition is score addition over the match stream.
+
+Score functions (FeatureField.java:325-560, javadoc :585-690):
+
+- linear:     weight * S                         (:585)
+- log:        weight * ln(scalingFactor + S)     (:356, :606)
+- saturation: weight * S / (S + pivot)           (:450, :634)
+- sigmoid:    weight * S^a / (S^a + pivot^a)     (:531, :681)
+
+NULL feature values score 0 (a doc without the feature term simply
+does not match the feature query in the reference).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["feature_score", "boost_by_feature"]
+
+
+def feature_score(value_col, fn: str = "saturation", weight: float = 1.0,
+                  pivot: float = 1.0, scaling: float = 1.0,
+                  exponent: float = 1.0) -> Column:
+    """Catalyst expression for one feature function over a value
+    column (name or Column). Matches the reference formulas exactly;
+    NULLs -> 0."""
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    v = v.cast("double")
+    if fn == "linear":
+        s = F.lit(weight) * v
+    elif fn == "log":
+        s = F.lit(weight) * F.log(F.lit(scaling) + v)
+    elif fn == "saturation":
+        s = F.lit(weight) * v / (v + F.lit(pivot))
+    elif fn == "sigmoid":
+        p = F.pow(v, F.lit(exponent))
+        s = (F.lit(weight) * p
+             / (p + F.lit(float(pivot) ** float(exponent))))
+    else:
+        raise ValueError(f"unknown feature function {fn!r}")
+    return F.coalesce(s, F.lit(0.0))
+
+
+def boost_by_feature(searcher, query, value_col: str,
+                     fn: str = "saturation", k: int = 10,
+                     weight: float = 1.0, **params) -> DataFrame:
+    """BooleanQuery(should=[query, FeatureField.new*Query(...)]) —
+    the reference's recommended composition (FeatureField javadoc
+    example): total = BM25(query) + feature(fn). Ranks the FULL match
+    stream (the feature term matches every doc carrying the feature,
+    so the reference's WAND bound comes from the feature maximum; here
+    the exhaustive match stream joins the doc-values column and ONE
+    TakeOrdered cuts the top-k). Returns (doc_id, score)."""
+    m = searcher.matches_df(query)
+    ds = searcher._read_cached(searcher.docstore_paths)
+    j = ds.join(m, "doc_id", "inner")
+    total = (F.col("score").cast("double")
+             + feature_score(value_col, fn, weight, **params))
+    return (j.select("doc_id", total.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
