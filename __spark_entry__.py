@@ -517,6 +517,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 3).alias("score_r"))
     q["ft_feature_boost"] = ft_feature_boost
 
+    def ft_term_vector(sp, sf):
+        # TermVectors (core:index/TermVectors.java,
+        # IndexReader.getTermVector): per-doc (term, freq, positions)
+        # reconstructed from the stored field + the persisted analyzer
+        # chain — no second copy of the corpus
+        s = _searcher(sp, sf)
+        tv = s.term_vectors([7, 11])
+        return tv.select("doc_id", "term", "freq",
+                         F.array_min("positions").alias("fp"))
+    q["ft_term_vector"] = ft_term_vector
+
     def ft_match_all(sp, sf):
         # MatchAllDocsQuery: every live doc, constant score, built from
         # the norms table alone (no postings scan)
@@ -1609,6 +1620,11 @@ SELECT m.doc_id,
        round(m.s + 2.0 * d.dl / (d.dl + 40.0), 3) AS score_r
 FROM m JOIN dl d USING (doc_id)
 ORDER BY m.s + 2.0 * d.dl / (d.dl + 40.0) DESC, m.doc_id LIMIT 10
+"""
+
+    o["ft_term_vector"] = P + """
+SELECT doc_id, term, count(*)::INT AS freq, (min(pos) - 1)::INT AS fp
+FROM pos WHERE doc_id IN (7, 11) GROUP BY doc_id, term
 """
 
     o["ft_match_all"] = """

@@ -43,6 +43,8 @@ from .query import (AndQuery, BooleanQuery, CombinedFieldQuery,
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
 PHRASE_SCHEMA = "doc_id bigint, freq int"
+TERM_VECTOR_SCHEMA = ("doc_id bigint, term string, freq int, "
+                      "positions array<int>")
 
 
 def _needs_tree(query) -> bool:
@@ -1754,6 +1756,62 @@ class IndexSearcher:
                          "tf": np.concatenate(fs).astype(np.int32)})
 
         return chunks_df.mapInPandas(run, schema=POSTING_SCHEMA)
+
+    def term_vectors(self, doc_ids, field: str = "text") -> DataFrame:
+        """Per-document term vectors -> (doc_id, term, freq, positions):
+        the per-doc mini inverted index of IndexReader.getTermVector
+        (core:index/TermVectors.java, codecs/lucene90/
+        Lucene90CompressingTermVectorsReader.java).
+
+        The reference persists a second copy of every document's terms
+        at index time; at 100 TB that doubles the hot store. Here the
+        docstore already keeps the stored field and the analyzer chain
+        is persisted in the commit manifest, so the vector is
+        reconstructed by a PUSHED-DOWN point scan + the SAME analyzer —
+        identical output (the chain is deterministic), no second copy.
+        Positions are post-chain token indices, consistent with the
+        indexed positions the phrase kernels consume. Keyword fields
+        are untokenized single terms (FieldType stored-only semantics).
+        Batched: one analyze_series pass per Arrow batch."""
+        ids = [int(d) for d in doc_ids]
+        # any stored non-text column is an untokenized single term
+        # (keyword semantics) whether or not it was indexed as one
+        is_kw = field in self.keyword_fields or field != self.field
+        col = field if is_kw else "text"
+        an = "standard" if is_kw else self.analyzers.get(field, "standard")
+        ds = (self._read_cached(self.docstore_paths)
+              .filter(F.col("doc_id").isin(ids))
+              .select("doc_id", F.col(col).alias("text")))
+
+        def run(batches):
+            from ..kernels.tokenizer import analyze_series
+            for pdf in batches:
+                if is_kw:
+                    keep = pdf["text"].notna()
+                    yield pd.DataFrame({
+                        "doc_id": pdf["doc_id"][keep].astype("int64"),
+                        "term": pdf["text"][keep].astype(str),
+                        "freq": np.int32(1),
+                        "positions": [[0]] * int(keep.sum())})
+                    continue
+                toks = analyze_series(pdf["text"], an)
+                d_out, t_out, f_out, p_out = [], [], [], []
+                for d, ts in zip(pdf["doc_id"], toks):
+                    inv: dict = {}
+                    for i, t in enumerate(ts):
+                        inv.setdefault(t, []).append(i)
+                    for t in sorted(inv):
+                        d_out.append(d)
+                        t_out.append(t)
+                        f_out.append(len(inv[t]))
+                        p_out.append(inv[t])
+                yield pd.DataFrame({
+                    "doc_id": pd.Series(d_out, dtype="int64"),
+                    "term": pd.Series(t_out, dtype=object),
+                    "freq": pd.Series(f_out, dtype="int32"),
+                    "positions": pd.Series(p_out, dtype=object)})
+
+        return ds.mapInPandas(run, schema=TERM_VECTOR_SCHEMA)
 
     def phrase_matches(self, terms: list, field: str = "text",
                        slop: int = 0) -> DataFrame:
