@@ -910,7 +910,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         dist = (GEO.distance_query(d, "lat", "lon", 40.0, -74.0,
                                    3_000_000.0)
                 .select(F.lit("dist").alias("op"), "doc_id", "lat", "lon"))
-        return box.unionByName(dist)
+        # newPolygonQuery: engine even-odd ray-casts a convex quad;
+        # the oracle proves membership with half-plane sign tests (a
+        # DIFFERENT algorithm, so agreement is evidence)
+        quad = [(-30.007, -120.008), (20.003, -60.004),
+                (70.001, -90.006), (30.005, -150.002)]
+        poly = (GEO.polygon_query(d, "lat", "lon", quad)
+                .select(F.lit("poly").alias("op"), "doc_id", "lat", "lon"))
+        return box.unionByName(dist).unionByName(poly)
     q["ft_geo_point"] = ft_geo_point
 
     def ft_quality(sp, sf):
@@ -2119,6 +2126,16 @@ WHERE 2.0 * 6371008.7714 * asin(least(1.0, sqrt(
         pow(sin(radians(lat - 40.0) / 2), 2) +
         cos(radians(lat)) * cos(radians(40.0)) *
         pow(sin(radians(lon - (-74.0)) / 2), 2)))) <= 3000000.0
+UNION ALL
+SELECT 'poly', doc_id, lat, lon FROM g
+WHERE ((-60.004 - (-120.008)) * (lat - (-30.007))
+       - (20.003 - (-30.007)) * (lon - (-120.008))) > 0
+  AND ((-90.006 - (-60.004)) * (lat - (20.003))
+       - (70.001 - (20.003)) * (lon - (-60.004))) > 0
+  AND ((-150.002 - (-90.006)) * (lat - (70.001))
+       - (30.005 - (70.001)) * (lon - (-90.006))) > 0
+  AND ((-120.008 - (-150.002)) * (lat - (30.005))
+       - (-30.007 - (30.005)) * (lon - (-150.002))) > 0
 """
 
     o["ft_quality"] = P + f"""

@@ -87,3 +87,67 @@ def test_distance_prefilter_is_pushed_down(spark, points, tmp_path):
                          48.8566, 2.3522, 5000.0)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "GreaterThanOrEqual(lat" in plan
+
+
+# ---------------------------------------------------------------------------
+# polygon queries (LatLonPoint.newPolygonQuery / Polygon2D.contains)
+# ---------------------------------------------------------------------------
+
+def _winding_inside(lat, lon, vs):
+    """Independent check: angle-sum winding number (a different
+    algorithm from the engine's crossing count)."""
+    total = 0.0
+    n = len(vs)
+    for i in range(n):
+        y1, x1 = vs[i]
+        y2, x2 = vs[(i + 1) % n]
+        a1 = math.atan2(y1 - lat, x1 - lon)
+        a2 = math.atan2(y2 - lat, x2 - lon)
+        d = a2 - a1
+        while d > math.pi:
+            d -= 2 * math.pi
+        while d < -math.pi:
+            d += 2 * math.pi
+        total += d
+    return abs(total) > math.pi  # ~2*pi inside, ~0 outside
+
+
+# an L-shaped (non-convex) polygon over Europe-ish coordinates
+L_POLY = [(10.0, -10.0), (10.0, 30.0), (40.0, 30.0), (40.0, 10.0),
+          (60.0, 10.0), (60.0, -10.0)]
+
+
+def test_polygon_query_nonconvex_brute(spark, points):
+    from lucene_spark.ops.geo import polygon_query
+    df, rows = points
+    got = {r["id"] for r in
+           polygon_query(df, "lat", "lon", L_POLY).collect()}
+    want = {i for i, la, lo in rows if _winding_inside(la, lo, L_POLY)}
+    assert got == want
+    assert want  # the fixture must actually exercise the inside branch
+    # the notch (lat>40, lon>10) is excluded even though it is inside
+    # the bounding box
+    notch = {i for i, la, lo in rows
+             if 40.0 < la < 60.0 and 10.0 < lo < 30.0}
+    assert notch and not (notch & got)
+
+
+def test_polygon_query_closing_vertex_and_degenerate(spark, points):
+    from lucene_spark.ops.geo import polygon_query
+    df, _ = points
+    a = {r["id"] for r in
+         polygon_query(df, "lat", "lon", L_POLY).collect()}
+    b = {r["id"] for r in
+         polygon_query(df, "lat", "lon", L_POLY + [L_POLY[0]]).collect()}
+    assert a == b
+    with pytest.raises(ValueError):
+        polygon_query(df, "lat", "lon", [(0.0, 0.0), (1.0, 1.0)])
+
+
+def test_polygon_is_pure_catalyst(spark, points):
+    """No Python UDF in the plan: the crossing test must be codegen."""
+    from lucene_spark.ops.geo import polygon_query
+    df, _ = points
+    plan = (polygon_query(df, "lat", "lon", L_POLY)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
