@@ -19,5 +19,6 @@ Lucene's ``segments_N`` commit points, core:index/SegmentInfos.java):
 - ``metrics``    per-stage wall/row metrics.
 """
 
+from .add_indexes import add_indexes  # noqa: F401
 from .builder import IndexBuilder, build_index  # noqa: F401
 from .catalog import IndexCatalog  # noqa: F401

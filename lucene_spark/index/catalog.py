@@ -74,6 +74,87 @@ class IndexCatalog:
         with open(files[-1][1]) as fh:
             return json.load(fh)
 
+    def list_commits(self) -> list:
+        """Generation numbers of every retained commit point, oldest
+        first (DirectoryReader.listCommits analog)."""
+        return [g for g, _ in self._commit_files()]
+
+    def commit_at(self, gen: int) -> dict | None:
+        """Load a specific retained commit point (IndexCommit): data
+        dirs referenced by any retained segments_N stay on disk until
+        vacuumed, so the returned manifest is fully readable."""
+        for g, fp in self._commit_files():
+            if g == int(gen):
+                with open(fp) as fh:
+                    return json.load(fh)
+        return None
+
+    # ---- snapshots (SnapshotDeletionPolicy analog) -----------------------
+    # core:index/SnapshotDeletionPolicy.java:49 — a snapshotted commit
+    # point is protected from deletion policy / vacuum until released.
+    def _snapshots_path(self) -> str:
+        return os.path.join(self.root, "commits", "snapshots.json")
+
+    def snapshots(self) -> list:
+        try:
+            with open(self._snapshots_path()) as fh:
+                return sorted(set(json.load(fh)))
+        except (OSError, ValueError):
+            return []
+
+    def _write_snapshots(self, gens) -> None:
+        p = self._snapshots_path()
+        tmp = p + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(sorted(set(int(g) for g in gens)), fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, p)
+
+    def snapshot(self, gen: int | None = None) -> int:
+        """Pin a commit point (default: the latest) so vacuum retains
+        it and everything it references. Returns the pinned gen."""
+        if gen is None:
+            c = self.latest_commit()
+            if not c:
+                raise ValueError("nothing committed yet")
+            gen = c["gen"]
+        if self.commit_at(gen) is None:
+            raise ValueError(f"no such commit point {gen}")
+        self._write_snapshots(self.snapshots() + [int(gen)])
+        return int(gen)
+
+    def release_snapshot(self, gen: int) -> None:
+        self._write_snapshots(g for g in self.snapshots() if g != int(gen))
+
+    def rollback(self, gen: int) -> int:
+        """Publish a NEW commit whose tables/extra are those of an
+        older retained commit point — restoring a snapshot without
+        rewriting data (IndexWriter rollback-to-commit via
+        IndexWriterConfig.setIndexCommit, core:index/IndexWriter.java
+        'expert: open from a previous commit'). History stays linear:
+        the restore is itself a new generation."""
+        old = self.commit_at(gen)
+        if old is None:
+            raise ValueError(f"no such commit point {gen}")
+        prev = self.latest_commit()
+        new_gen = prev["gen"] + 1
+        manifest = {
+            "gen": new_gen,
+            "tables": dict(old["tables"]),
+            "extra": {**(old.get("extra") or {}),
+                      "restored_from_gen": int(gen)},
+            "committed_at_ms": int(time.time() * 1000),
+        }
+        path = os.path.join(self.root, "commits", f"segments_{new_gen}.json")
+        tmp = path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh, indent=1)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.rename(tmp, path)
+        return new_gen
+
     def commit(self, tables: dict, extra: dict | None = None) -> int:
         """Publish a new commit point mapping table name -> relative path.
 
@@ -191,6 +272,11 @@ class IndexCatalog:
             return {"removed_dirs": [], "removed_commits": 0}
         keep = files[-max(keep_commits, 1):]
         drop = files[:-max(keep_commits, 1)]
+        # snapshotted commit points are protected (SnapshotDeletionPolicy)
+        pinned = set(self.snapshots())
+        if pinned:
+            keep = keep + [(g, fp) for g, fp in drop if g in pinned]
+            drop = [(g, fp) for g, fp in drop if g not in pinned]
         referenced = set()
         for _, fp in keep:
             with open(fp) as fh:

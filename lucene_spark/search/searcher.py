@@ -90,7 +90,7 @@ class _PhraseScorer(BM25Scorer):
 
 class IndexSearcher:
     def __init__(self, spark: SparkSession, index_dir: str,
-                 similarity=BM25Scorer):
+                 similarity=BM25Scorer, generation: int | None = None):
         """similarity: a scorer factory (df, doc_count, sum_ttf, boost=…)
         with .score(freqs, norm_codes) / .max_score_for_impacts — the
         Similarity extension point (core:search/similarities/
@@ -99,19 +99,27 @@ class IndexSearcher:
         self.spark = spark
         self.similarity = similarity
         self.catalog = IndexCatalog(index_dir)
-        c = self.catalog.latest_commit()
+        # generation=N opens a PAST commit point — DirectoryReader.open
+        # (IndexCommit) (core:index/DirectoryReader.java:89): old data
+        # dirs stay on disk until vacuumed, so any retained segments_N
+        # is a fully readable snapshot
+        c = (self.catalog.latest_commit() if generation is None
+             else self.catalog.commit_at(generation))
         if not c or "postings" not in c["tables"]:
-            raise ValueError(f"no committed index at {index_dir}")
+            raise ValueError(f"no committed index at {index_dir}"
+                             + (f" gen {generation}"
+                                if generation is not None else ""))
         check_format(c, f"IndexSearcher({index_dir})")
+        self.generation = c["gen"]
         # multi-dir tables (base + NRT-appended generations — the
         # segments_N list model); single-dir aliases point at the base
-        self.postings_paths = self.catalog.table_locations("postings")
-        self.norms_paths = self.catalog.table_locations("norms")
-        self.docstore_paths = self.catalog.table_locations("docstore")
+        self.postings_paths = self.catalog.table_locations("postings", c)
+        self.norms_paths = self.catalog.table_locations("norms", c)
+        self.docstore_paths = self.catalog.table_locations("docstore", c)
         self.postings_path = self.postings_paths[0]
         # termstats may be multi-generation after NRT appends (per-batch
         # delta rows); _termstats_df() aggregates at read
-        self.termstats_paths = self.catalog.table_locations("termstats")
+        self.termstats_paths = self.catalog.table_locations("termstats", c)
         self.termstats_path = self.termstats_paths[0]
         self.norms_path = self.norms_paths[0]
         self.docstore_path = self.docstore_paths[0]
@@ -119,7 +127,7 @@ class IndexSearcher:
         # per indexed field; keyword fields have avgdl 1 / omitted norms
         self.field_stats = {r["field"]: (int(r["doc_count"]), int(r["sum_ttf"]))
                             for r in spark.read.parquet(
-                                self.catalog.table_path("stats")).collect()}
+                                self.catalog.table_path("stats", c)).collect()}
         extra0 = c.get("extra") or {}
         self.field = extra0.get("field") or next(iter(self.field_stats))
         self.keyword_fields = set(extra0.get("keyword_fields") or ())
@@ -134,11 +142,11 @@ class IndexSearcher:
         # avgdl moved); when dirty, bounds are re-derived from the stored
         # (freq, norm) impacts per query — Lucene's MaxScoreCache design
         # (core:search/MaxScoreCache.java:19-159). compact() clears it.
-        self.nrt_dirty = bool((self.catalog.latest_commit().get("extra") or {})
+        self.nrt_dirty = bool((c.get("extra") or {})
                               .get("nrt_dirty", False))
         # live-docs bitmaps (deletes); scorers skip dead docs, stats keep
         # counting them until compaction — Lucene's delete semantics
-        self.livedocs_path = self.catalog.table_path("livedocs")
+        self.livedocs_path = self.catalog.table_path("livedocs", c)
         # filter cache (LRUQueryCache analog, core:search/
         # LRUQueryCache.java:86): Lucene caches per-segment DocIdSets of
         # filter-context queries; here the cached unit is the per-bucket
