@@ -746,6 +746,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.simhash(_docs(sp, sf), bits=32)
     q["dedup_simhash"] = dedup_simhash
 
+    def dedup_clusters(sp, sf):
+        # duplicate-cluster canonicalization: connected components
+        # over the exact-Jaccard pair list (chained dups a~b~c
+        # collapse into ONE cluster labeled by the min doc_id).
+        # Pointer-jumping min-label propagation, O(log diameter)
+        # rounds of hash joins, no driver-side graph
+        pairs = D.jaccard_pairs(_docs(sp, sf), threshold=0.8)
+        return D.duplicate_clusters(pairs)
+    q["dedup_clusters"] = dedup_clusters
+
     def dedup_cosine_pairs(sp, sf):
         # embedding-cosine near-duplicate detection (exact verify path)
         return (SIM.cosine_pairs(_embeddings(sp, sf), threshold=0.4)
@@ -1887,6 +1897,25 @@ SELECT 'exact' AS path, a, b, round(j, 4) AS jaccard_r FROM jac WHERE j >= 0.8
 UNION ALL
 SELECT 'lsh', a, b, round(j, 4) FROM ljac WHERE j >= 0.5
 """
+
+    o["dedup_clusters"] = (
+        P.replace("WITH tok", "WITH RECURSIVE tok", 1)
+        + _SHINGLE_CTES + """
+, ex AS (SELECT doc_id, unnest(shs) AS g FROM sh)
+, cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+           FROM ex x JOIN ex y ON x.g = y.g AND x.doc_id < y.doc_id)
+, jp AS (SELECT c.a, c.b
+         FROM cand c JOIN sh sa ON sa.doc_id = c.a
+                     JOIN sh sb ON sb.doc_id = c.b
+         WHERE len(list_intersect(sa.shs, sb.shs))::DOUBLE
+               / len(list_distinct(sa.shs || sb.shs)) >= 0.8)
+, edges AS (SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp)
+, reach(n, r) AS (
+    SELECT u, u FROM edges
+    UNION
+    SELECT re.n, ed.v FROM reach re JOIN edges ed ON ed.u = re.r)
+SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n
+""")
 
     o["dedup_simhash"] = P + """
 , tfh AS (SELECT doc_id, count(*)::BIGINT AS tf,

@@ -228,3 +228,71 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         f"aggregate(transform(sequence(0, {bits - 1}), "
         f"j -> if(s[j] > 0, shiftleft(1L, j), 0L)), 0L, (a, x) -> a + x)")
     return per_doc.select(F.col(id_col), fp.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# duplicate clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+def duplicate_clusters(pairs: DataFrame, a_col: str = "a",
+                       b_col: str = "b", max_iter: int = 25) -> DataFrame:
+    """Connected components over a near-duplicate pair list ->
+    (doc_id, cluster) with cluster = the component's minimum doc id —
+    the step a training pipeline runs AFTER pair generation so each
+    duplicate GROUP keeps exactly one canonical document (keeping
+    min(a,b) per PAIR under-deletes when dups chain: a~b, b~c keeps
+    both a and c unless clustering closes the chain).
+
+    Distributed min-label propagation with POINTER JUMPING: each round
+    (1) every node takes the min label over its neighbors, then
+    (2) every node jumps to its label's label (path doubling). Rounds
+    needed are O(log diameter) — a 300-link chain closes in ~8 rounds —
+    and each round is two hash-partitioned joins on the label key, no
+    driver-side graph (the Kiveris et al. 'Connected Components in
+    MapReduce and Beyond' regime; pointer jumping is the classic
+    Shiloach-Vishkin step). Lineage is cut per round with
+    localCheckpoint so plans stay O(1) deep; at cluster scale point
+    spark.sparkContext.setCheckpointDir at a durable path and swap in
+    .checkpoint() for executor-loss resilience.
+
+    Only documents that appear in >= 1 pair are returned (singletons
+    are their own implicit cluster).
+    """
+    e = pairs.select(F.col(a_col).alias("u"), F.col(b_col).alias("v"))
+    edges = (e.unionByName(e.select(F.col("v").alias("u"),
+                                    F.col("u").alias("v")))
+             .distinct().localCheckpoint())
+    lab = (edges.select(F.col("u").alias("n"))
+           .distinct()
+           .withColumn("lbl", F.col("n")))
+    for _ in range(max_iter):
+        # (1) min over neighbors' labels
+        nbr = (edges.join(lab.withColumnRenamed("n", "v"), "v")
+               .groupBy("u").agg(F.min("lbl").alias("nlbl"))
+               .withColumnRenamed("u", "n"))
+        stepped = (lab.join(nbr, "n", "left")
+                   .select("n", F.least("lbl", F.coalesce("nlbl", "lbl"))
+                           .alias("lbl")))
+        # (2) pointer jump: lbl <- lbl(lbl)
+        parent = (stepped.select(F.col("n").alias("lbl"),
+                                 F.col("lbl").alias("plbl")))
+        jumped = (stepped.join(parent, "lbl", "left")
+                  .select("n", F.coalesce("plbl", "lbl").alias("lbl"))
+                  .localCheckpoint())
+        changed = (jumped.join(lab.withColumnRenamed("lbl", "old"), "n")
+                   .filter(F.col("lbl") != F.col("old")).count())
+        lab = jumped
+        if changed == 0:
+            break
+    return lab.select(F.col("n").alias("doc_id"),
+                      F.col("lbl").alias("cluster"))
+
+
+def keep_canonical(df: DataFrame, clusters: DataFrame,
+                   id_col: str = "doc_id") -> DataFrame:
+    """Drop every non-canonical member of each duplicate cluster: keep
+    the cluster's min doc id (the cluster label itself) plus all
+    unpaired documents. One broadcast-friendly anti-join."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster")) \
+        .select(F.col("doc_id").alias(id_col))
+    return df.join(losers, id_col, "left_anti")
