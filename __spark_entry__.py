@@ -314,6 +314,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.sum("tf").alias("sum_tf")))
     q["ft_group_top_source"] = ft_group_top_source
 
+    def ft_grouped_topk(sp, sf):
+        # TopGroups (grouping/FirstPassGroupingCollector +
+        # TopGroupsCollector): top groups by best-hit score, each with
+        # its within-group top docs — one match stream, per-group
+        # window quota, broadcast head cut (no second postings scan)
+        s = _searcher(sp, sf)
+        g = s.grouped_search(TermQuery("vector"), "role",
+                             k_groups=3, docs_per_group=2)
+        return g.select(
+            "grp",
+            F.round(F.col("group_score").cast("double"), 3).alias("gs_r"),
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"),
+            "grp_rank")
+    q["ft_grouped_topk"] = ft_grouped_topk
+
     def ft_highlight(sp, sf):
         # unified-highlighter analog: first match offset in stored text
         s = _searcher(sp, sf)
@@ -1627,6 +1643,24 @@ SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 , top50 AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 50)
 SELECT t.doc_id, round(t.s + 1.0 / (1 + d.dl), 3) AS ns_r
 FROM top50 t JOIN dl d USING (doc_id)
+"""
+
+    o["ft_grouped_topk"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+, j AS (SELECT m.doc_id, m.s, d.lang AS grp
+        FROM m JOIN documents d USING (doc_id))
+, r AS (SELECT grp, doc_id, s,
+        row_number() OVER (PARTITION BY grp ORDER BY s DESC, doc_id)
+          AS grp_rank,
+        max(s) OVER (PARTITION BY grp) AS gs
+        FROM j)
+, heads AS (SELECT grp FROM (SELECT grp, max(s) AS gs FROM j GROUP BY grp)
+            ORDER BY gs DESC, grp LIMIT 3)
+SELECT r.grp, round(r.gs, 3) AS gs_r, r.doc_id,
+       round(r.s, 3) AS score_r, r.grp_rank
+FROM r JOIN heads USING (grp) WHERE grp_rank <= 2
 """
 
     o["ft_feature_boost"] = P + f"""

@@ -2123,6 +2123,52 @@ class IndexSearcher:
         return (capped.orderBy(F.col("score").desc(),
                                F.col("doc_id").asc()).limit(k))
 
+    def grouped_search(self, query, group_field: str, k_groups: int = 10,
+                       docs_per_group: int = 3,
+                       doc_filter: str | None = None) -> DataFrame:
+        """TopGroups search (grouping/src/java/org/apache/lucene/search/
+        grouping/FirstPassGroupingCollector.java + TopGroupsCollector):
+        the top ``k_groups`` groups ranked by their best hit's score
+        (Sort.RELEVANCE group sort; ties group value asc), each carrying
+        its top ``docs_per_group`` hits — the reference's two collector
+        passes over one index scan.
+
+        Spark-first single plan: ONE exhaustive match stream joined to
+        the group doc-values column, a per-group window rank keeps the
+        within-group top docs (the shuffle partitions on the group key,
+        so the quota cut is local), the group heads reduce map-side to
+        (group, max score), and the k_groups cut is a broadcast
+        semi-join — no second scan of the postings. NULL group values
+        form their own group (the reference's null group head).
+        Returns (grp, group_score, doc_id, score, grp_rank) ordered by
+        (group_score desc, grp asc, grp_rank asc)."""
+        from pyspark.sql.window import Window
+        m = self.matches_df(query, doc_filter)
+        ds = (self._read_cached(self.docstore_paths)
+              .select("doc_id", F.col(group_field).alias("grp")))
+        j = m.join(ds, "doc_id")
+        w = (Window.partitionBy("grp")
+             .orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        ranked = (j.withColumn("grp_rank", F.row_number().over(w))
+                  .withColumn("group_score",
+                              F.max("score").over(Window.partitionBy("grp")))
+                  .filter(F.col("grp_rank") <= docs_per_group))
+        heads = (j.groupBy("grp")
+                 .agg(F.max("score").alias("gs"))
+                 .orderBy(F.col("gs").desc(), F.col("grp").asc_nulls_last())
+                 .limit(k_groups)
+                 .select("grp"))
+        # null-safe semi-join: the null group head must survive the cut
+        # (a plain equi-join on grp drops NULL keys)
+        heads = F.broadcast(heads.withColumnRenamed("grp", "_hgrp"))
+        return (ranked.join(heads,
+                            ranked["grp"].eqNullSafe(heads["_hgrp"]),
+                            "inner")
+                .select("grp", "group_score", "doc_id", "score", "grp_rank")
+                .orderBy(F.col("group_score").desc(),
+                         F.col("grp").asc_nulls_last(),
+                         F.col("grp_rank").asc()))
+
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        min_tf: int = 1, min_df: int = 2):
         """MoreLikeThis (queries/mlt/.../MoreLikeThis.java:123): build an
