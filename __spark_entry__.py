@@ -795,7 +795,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         quant = (quantized_topk(emb, qs, k=5, n_candidates=20)
                  .select(F.lit("quant").alias("op"), "q_id", "vec_id",
                          F.round("cos", 4).alias("cos_r")))
-        return exact.unionByName(quant)
+        # 'binary' = 1-bit centroid-centered codes (Lucene102 binary
+        # quantization analog: sign bits + per-vector corrective
+        # scale, 32x smaller scan, asymmetric scoring) — same recall
+        # gate: must recover the exact top-5 through a 100-candidate
+        # cut (20% of this corpus), exact re-ranked values
+        from lucene_spark.ops.binaryq import binary_topk
+        binq = (binary_topk(emb, qs, k=5, n_candidates=100)
+                .select(F.lit("binary").alias("op"), "q_id", "vec_id",
+                        F.round("cos", 4).alias("cos_r")))
+        return exact.unionByName(quant).unionByName(binq)
     q["ann_cosine_topk"] = ann_cosine_topk
 
     def ann_lsh_recall(sp, sf):
@@ -1986,6 +1995,8 @@ top5 AS (SELECT q_id, vec_id, round(cos, 4) AS cos_r
 SELECT 'exact' AS op, q_id, vec_id, cos_r FROM top5
 UNION ALL
 SELECT 'quant', q_id, vec_id, cos_r FROM top5
+UNION ALL
+SELECT 'binary', q_id, vec_id, cos_r FROM top5
 """
 
     o["ann_lsh_recall"] = """
