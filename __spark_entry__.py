@@ -208,6 +208,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_dismax_topk"] = lambda sp, sf: _topk_df(
         sp, sf, DisMaxQuery(("scan", "merge")), 10)
 
+    def ft_common_blended(sp, sf):
+        # five op-tagged surfaces over the two stats-driven rewrites:
+        # CommonTermsQuery (queries/.../CommonTermsQuery.java:145-205)
+        # classifies terms by ACTUAL df at search time against
+        # ceil(0.4 * maxDoc): 'dup' (df ~5%) lands low-frequency and is
+        # required, 'scan'/'merge' (~78%) land high-frequency and only
+        # add score to docs the low group already matched ('common');
+        # all-high degrades to a conjunction ('common_hi').
+        # BlendedTermQuery (core:search/BlendedTermQuery.java:271-301)
+        # binds ARTIFICIAL stats df = max / ttf = sum into every leaf:
+        # 'blend' = DisjunctionMax(tie=0.01) rewrite, 'blend_bool' =
+        # all-SHOULD boolean rewrite with a per-leaf boost, 'xfield' =
+        # cross-field blend over analyzed text + keyword role.
+        from lucene_spark.search.query import (BlendedTermQuery,
+                                               CommonTermsQuery)
+        cm = (_topk_df(sp, sf, CommonTermsQuery(
+                  ("dup", "scan", "merge"), max_term_frequency=0.4),
+                  100000)
+              .select(F.lit("common").alias("op"), "doc_id", "score_r"))
+        ch = (_topk_df(sp, sf, CommonTermsQuery(
+                  ("scan", "merge"), max_term_frequency=0.4), 10)
+              .select(F.lit("common_hi").alias("op"), "doc_id",
+                      "score_r"))
+        bl = (_topk_df(sp, sf, BlendedTermQuery(
+                  (("text", "dup", 1.0), ("text", "merge", 1.0))), 10)
+              .select(F.lit("blend").alias("op"), "doc_id", "score_r"))
+        bb = (_topk_df(sp, sf, BlendedTermQuery(
+                  (("text", "dup", 2.0), ("text", "merge", 1.0)),
+                  rewrite="boolean"), 10)
+              .select(F.lit("blend_bool").alias("op"), "doc_id",
+                      "score_r"))
+        xf = (_topk_df(sp, sf, BlendedTermQuery(
+                  (("text", "vector", 1.0), ("role", "en", 1.0))), 10)
+              .select(F.lit("xfield").alias("op"), "doc_id", "score_r"))
+        return cm.unionByName(ch).unionByName(bl).unionByName(bb) \
+                 .unionByName(xf)
+    q["ft_common_blended"] = ft_common_blended
+
     def ft_matches(sp, sf):
         # the two exhaustive match streams, one entry with an op tag:
         # TermQuery postings (v=tf) + exact PhraseQuery matches (v=freq)
@@ -1326,6 +1364,78 @@ FROM (SELECT * FROM synm ORDER BY s DESC, doc_id LIMIT 10)
 UNION ALL
 SELECT 'graph', doc_id, round(s, 3)
 FROM (SELECT * FROM gm ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    # CommonTermsQuery: the df classification itself runs IN SQL (hi
+    # iff df > ceil(0.4 * maxDoc)), so the oracle verifies the
+    # search-time split, not just the final boolean; BlendedTermQuery:
+    # every leaf scores with the artificial df = max over the group
+    o["ft_common_blended"] = P + f"""
+, cls AS (SELECT v.term,
+                 CASE WHEN d.df > ceil(0.4 * (SELECT n FROM st))
+                      THEN 1 ELSE 0 END AS hi
+          FROM (VALUES ('dup'), ('scan'), ('merge')) v(term)
+          LEFT JOIN tdict d ON d.term = v.term)
+, closc AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+            FROM tf f JOIN qdl q USING (doc_id)
+            JOIN idf i ON i.term = f.term
+            WHERE f.term IN (SELECT term FROM cls WHERE hi = 0)
+            GROUP BY f.doc_id)
+, chisc AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+            FROM tf f JOIN qdl q USING (doc_id)
+            JOIN idf i ON i.term = f.term
+            WHERE f.term IN (SELECT term FROM cls WHERE hi = 1)
+            GROUP BY f.doc_id)
+, cm AS (SELECT l.doc_id, l.s + coalesce(h.s, 0) AS s
+         FROM closc l LEFT JOIN chisc h USING (doc_id))
+, chq AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          WHERE f.term IN ('scan', 'merge')
+          GROUP BY f.doc_id HAVING count(*) = 2)
+, bdf AS (SELECT max(df) AS df FROM tdict WHERE term IN ('dup', 'merge'))
+, bidf AS (SELECT ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+           AS idf FROM bdf)
+, blt AS (SELECT f.doc_id,
+                 max({_score('f.tf', idf='(SELECT idf FROM bidf)')}) AS mx,
+                 sum({_score('f.tf', idf='(SELECT idf FROM bidf)')}) AS tot,
+                 sum((CASE WHEN f.term = 'dup' THEN 2.0 ELSE 1.0 END)
+                     * {_score('f.tf', idf='(SELECT idf FROM bidf)')}) AS bsum
+          FROM tf f JOIN qdl q USING (doc_id)
+          WHERE f.term IN ('dup', 'merge') GROUP BY f.doc_id)
+, bm AS (SELECT doc_id, mx + 0.01 * (tot - mx) AS s FROM blt)
+, bbm AS (SELECT doc_id, bsum AS s FROM blt)
+, xdf AS (SELECT greatest(
+            coalesce((SELECT df FROM tdict WHERE term = 'vector'), 0),
+            (SELECT count(*) FROM documents WHERE lang = 'en')) AS df)
+, xidf AS (SELECT ln(1 + ((SELECT n FROM st) - df + 0.5) / (df + 0.5))
+           AS idf FROM xdf)
+, xl AS (SELECT d.doc_id,
+           coalesce({_score('tv.tf', idf='(SELECT idf FROM xidf)')}, 0)
+             AS s_text,
+           CASE WHEN d.lang = 'en'
+                THEN (SELECT idf FROM xidf) / 2.2 ELSE 0 END AS s_role
+         FROM documents d
+         LEFT JOIN tf tv ON tv.doc_id = d.doc_id AND tv.term = 'vector'
+         LEFT JOIN qdl q ON q.doc_id = d.doc_id)
+, xm AS (SELECT doc_id,
+           greatest(s_text, s_role)
+           + 0.01 * (s_text + s_role - greatest(s_text, s_role)) AS s
+         FROM xl WHERE s_text > 0 OR s_role > 0)
+SELECT 'common' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM cm ORDER BY s DESC, doc_id LIMIT 100000)
+UNION ALL
+SELECT 'common_hi', doc_id, round(s, 3)
+FROM (SELECT * FROM chq ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'blend', doc_id, round(s, 3)
+FROM (SELECT * FROM bm ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'blend_bool', doc_id, round(s, 3)
+FROM (SELECT * FROM bbm ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'xfield', doc_id, round(s, 3)
+FROM (SELECT * FROM xm ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_dismax_topk"] = P + f"""

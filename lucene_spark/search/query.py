@@ -229,6 +229,78 @@ class ConstantScoreQuery:
         return self.query.terms
 
 
+@dataclass(frozen=True)
+class CommonTermsQuery:
+    """Stats-driven stopword-free common-terms query
+    (queries/src/java/org/apache/lucene/queries/CommonTermsQuery.java:56):
+    at search time each term is classified by its ACTUAL document
+    frequency — df > ceil(max_term_frequency * maxDoc) (fractional
+    threshold) or df > max_term_frequency (absolute form >= 1) makes it
+    high-frequency (buildQuery, :145-155). Low-frequency terms form a
+    required sub-boolean, high-frequency terms an optional one; if ALL
+    terms are high-frequency the query degrades to a conjunction so the
+    common terms still can't produce a slow scan (:174-182). A single
+    term rewrites to a plain TermQuery (:109-112); terms absent from
+    the index classify as low-frequency (termStates == null, :152).
+    Occur values mirror the ctor contract (:80-90): MUST_NOT is
+    rejected for either group. Fractional *_msm follow
+    minNrShouldMatch (:138-143): >= 1 or == 0 truncate to int, else
+    Math.round(f * numOptional)."""
+    terms_: tuple
+    field: str = "text"
+    max_term_frequency: float = 0.01
+    low_freq_occur: str = "should"
+    high_freq_occur: str = "should"
+    low_freq_msm: float = 0.0
+    high_freq_msm: float = 0.0
+    low_freq_boost: float = 1.0
+    high_freq_boost: float = 1.0
+    boost: float = 1.0
+
+    def __post_init__(self):
+        for occ in (self.low_freq_occur, self.high_freq_occur):
+            if occ not in ("must", "should"):
+                raise ValueError(
+                    f"occur should be MUST or SHOULD but was {occ!r}")
+
+    @property
+    def terms(self):
+        return list(self.terms_)
+
+
+@dataclass(frozen=True)
+class BlendedTermQuery:
+    """Blends index statistics across terms — typically the same text
+    in several fields (core:search/BlendedTermQuery.java:33-47). At
+    rewrite every (field, term) gets ARTIFICIAL stats df = max over all
+    terms' doc freqs, ttf = sum of total term freqs
+    (:271-301 rewrite + adjustFrequencies), then each becomes a
+    boosted TermQuery combined by the rewrite method:
+    'dismax' = DisjunctionMaxQuery with tie_breaker (the
+    DISJUNCTION_MAX_REWRITE default, tie 0.01, :190) or 'boolean' =
+    all-SHOULD BooleanQuery (BOOLEAN_REWRITE, :138-148).
+
+    ``pairs_`` is ((field, term, boost), ...) — the Builder.add(Term,
+    float) surface (:74-86)."""
+    pairs_: tuple
+    rewrite: str = "dismax"
+    tie_breaker: float = 0.01
+    field: str = "text"
+    boost: float = 1.0
+
+    def __post_init__(self):
+        if self.rewrite not in ("dismax", "boolean"):
+            raise ValueError(f"unknown rewrite method {self.rewrite!r}")
+
+    @property
+    def pairs(self):
+        return [(f, t, float(b)) for f, t, b in self.pairs_]
+
+    @property
+    def terms(self):
+        return [t for _f, t, _b in self.pairs_]
+
+
 def rewrite(q):
     """Driver-side query rewrite (core:search/BooleanQuery.java:215-330
     + Query.rewrite contract): single-clause elision (a boolean with one
@@ -356,6 +428,20 @@ def from_dict(q: dict):
         return MatchAllQuery(field, boost=q.get("boost", 1.0))
     if t == "field_exists":
         return FieldExistsQuery(q["field"], boost=q.get("boost", 1.0))
+    if t == "common_terms":
+        return CommonTermsQuery(
+            terms, field,
+            max_term_frequency=q.get("max_term_frequency", 0.01),
+            low_freq_occur=q.get("low_freq_occur", "should"),
+            high_freq_occur=q.get("high_freq_occur", "should"),
+            low_freq_msm=q.get("low_freq_msm", 0.0),
+            high_freq_msm=q.get("high_freq_msm", 0.0))
+    if t == "blended_term":
+        return BlendedTermQuery(
+            tuple((p[0], p[1], p[2] if len(p) > 2 else 1.0)
+                  for p in q["pairs"]),
+            rewrite=q.get("rewrite", "dismax"),
+            tie_breaker=q.get("tie_breaker", 0.01))
     if t == "multi_term":
         pat = q["pattern"]
         if q["kind"] in ("range", "set") and isinstance(pat, list):

@@ -21,6 +21,7 @@ terms); postings never leave executors.
 
 from __future__ import annotations
 
+import math
 import re
 
 import numpy as np
@@ -34,7 +35,8 @@ from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree,
                       eval_tree_topk, pack_docset, phrase_freqs,
                       score_bucket, topk_select)
-from .query import (AndQuery, BooleanQuery, CombinedFieldQuery,
+from .query import (AndQuery, BlendedTermQuery, BooleanQuery,
+                    CombinedFieldQuery, CommonTermsQuery,
                     ConstantScoreQuery, DisMaxQuery, FieldExistsQuery,
                     MatchAllQuery, MultiPhraseQuery, MultiTermQuery,
                     OrQuery, PhraseQuery, PreAnalyzed, SynonymQuery,
@@ -51,7 +53,8 @@ def _needs_tree(query) -> bool:
     """Shapes that require the recursive tree evaluator: boolean with
     sub-query clauses, constant-score wrappers, dismax over queries."""
     if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery,
-                          MultiPhraseQuery)):
+                          MultiPhraseQuery, CommonTermsQuery,
+                          BlendedTermQuery)):
         return True
     if isinstance(query, BooleanQuery):
         return query.nested
@@ -138,6 +141,11 @@ class IndexSearcher:
         self._needs_analysis = any(v != "standard"
                                    for v in self.analyzers.values())
         self.doc_count, self.sum_ttf = self.field_stats[self.field]
+        # reader.maxDoc() analog (every stored doc counts once; a doc
+        # missing some field still exists) — the max per-field docCount
+        # is exact whenever at least one field is total, and is the
+        # tightest stats-only lower bound otherwise
+        self.max_doc = max(dc for dc, _ in self.field_stats.values())
         # NRT appends leave baked block-max floats stale (global df and
         # avgdl moved); when dirty, bounds are re-derived from the stored
         # (freq, norm) impacts per query — Lucene's MaxScoreCache design
@@ -571,12 +579,17 @@ class IndexSearcher:
             if an == "standard":
                 return q
             return dataclasses.replace(q, term=analyze_term(q.term, an))
-        if isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery)):
+        if isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery,
+                          CommonTermsQuery)):
             an = chain(q.field)
             if an == "standard":
                 return q
             return dataclasses.replace(
                 q, terms_=tuple(analyze_term(t, an) for t in q.terms_))
+        if isinstance(q, BlendedTermQuery):
+            return dataclasses.replace(
+                q, pairs_=tuple((f, analyze_term(t, chain(f)), b)
+                                for f, t, b in q.pairs))
         if isinstance(q, MultiPhraseQuery):
             an = chain(q.field)
             if an == "standard":
@@ -639,8 +652,10 @@ class IndexSearcher:
         elif isinstance(q, TermQuery):
             out.add((q.field, q.term))
         elif isinstance(q, (AndQuery, OrQuery, PhraseQuery, SynonymQuery,
-                            MultiPhraseQuery)):
+                            MultiPhraseQuery, CommonTermsQuery)):
             out.update((q.field, t) for t in q.terms)
+        elif isinstance(q, BlendedTermQuery):
+            out.update((f, t) for f, t, _b in q.pairs)
         elif isinstance(q, DisMaxQuery):
             for c in q.terms_:
                 IndexSearcher._collect_pairs(c, out, q.field)
@@ -768,6 +783,89 @@ class IndexSearcher:
             norm_fields = tuple((f, float(w)) for f, w in q.fields
                                 if f not in self.keyword_fields)
             return ("combined", pairs, sc, norm_fields)
+        if isinstance(q, CommonTermsQuery):
+            # stats-time rewrite (queries/.../CommonTermsQuery.java
+            # buildQuery:145-205): classify each term by its actual df
+            # against ceil(max_term_frequency * maxDoc) (fractional) or
+            # the absolute threshold (>= 1 form); absent terms are
+            # low-frequency (termStates == null, :152). Low-freq terms
+            # become a required sub-boolean, high-freq an optional one;
+            # all-high degrades to a conjunction (:174-182); a single
+            # term short-circuits to TermQuery (rewrite, :109-112).
+            if not q.terms_:
+                return None
+            if len(q.terms_) == 1:
+                return C(TermQuery(q.terms_[0], q.field, q.boost),
+                         stats, boost_mult)
+            ts = stats.get(q.field, {})
+            max_doc = self.max_doc
+            hi, lo = [], []
+            for t in q.terms_:
+                st = ts.get(t)
+                if st is not None and (
+                        (q.max_term_frequency >= 1.0
+                         and st[0] > q.max_term_frequency)
+                        or st[0] > int(math.ceil(
+                            q.max_term_frequency * float(max_doc)))):
+                    hi.append(t)
+                else:
+                    lo.append(t)
+
+            def min_nr(f: float, n_opt: int) -> int:
+                if f >= 1.0 or f == 0.0:
+                    return int(f)
+                return int(math.floor(f * n_opt + 0.5))  # Math.round
+
+            low_msm = (min_nr(q.low_freq_msm, len(lo))
+                       if q.low_freq_occur == "should" and lo else 0)
+            high_msm = (min_nr(q.high_freq_msm, len(hi))
+                        if q.high_freq_occur == "should" and hi else 0)
+            hi_occur = q.high_freq_occur
+            if not lo and high_msm == 0 and hi_occur != "must":
+                hi_occur = "must"
+
+            def sub(terms, occur, msm, b):
+                tq = tuple(terms)
+                return BooleanQuery(
+                    must=tq if occur == "must" else (),
+                    should=tq if occur == "should" else (),
+                    field=q.field, min_should_match=msm, boost=b)
+
+            outer = BooleanQuery(
+                must=(sub(lo, q.low_freq_occur, low_msm,
+                          q.low_freq_boost),) if lo else (),
+                should=(sub(hi, hi_occur, high_msm,
+                            q.high_freq_boost),) if hi else (),
+                field=q.field, boost=q.boost)
+            return C(rewrite(outer), stats, boost_mult)
+        if isinstance(q, BlendedTermQuery):
+            # artificial blended stats — df = max over all terms' doc
+            # freqs, ttf = sum of total term freqs
+            # (core:search/BlendedTermQuery.java:271-301 rewrite +
+            # adjustFrequencies) — bound into each leaf's similarity,
+            # then combined per the rewrite method (:138-190)
+            df = 0
+            ttf = 0
+            present = []
+            for f, t, b in q.pairs:
+                st = stats.get(f, {}).get(t)
+                if st is None:
+                    continue  # absent term: matches nothing, blends 0
+                df = max(df, st[0])
+                ttf += st[1]
+                present.append((f, t, b))
+            if not present:
+                return None
+            kids = []
+            for f, t, b in present:
+                dc, sttf = self._field_stats(f)
+                sc = self.similarity(df, dc, sttf,
+                                     boost=boost_mult * q.boost * b,
+                                     ttf=max(1, ttf))
+                kids.append(("term", f, t, sc))
+            if q.rewrite == "boolean":
+                return ("bool", [], kids, [], [], 0)
+            return ("dismax", kids, q.tie_breaker)
         if isinstance(q, BooleanQuery):
             bm = boost_mult * q.boost
             musts = [C(c, stats, bm, q.field) for c in q.must]
