@@ -246,6 +246,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .unionByName(xf)
     q["ft_common_blended"] = ft_common_blended
 
+    def ft_simple_query(sp, sf):
+        # SimpleQueryParser (queryparser/.../simple/SimpleQueryParser.
+        # java): fault-tolerant human syntax -> query tree, default
+        # operator MUST, four op-tagged surfaces:
+        # 'complex'  "scan|sort merge" — an operator CHANGE wraps the
+        #            accumulated (scan|sort) run as one MUST clause
+        # 'not'      "vector -batch" — negation wraps as
+        #            bool(MUST_NOT=batch, SHOULD=MatchAll), so the NOT
+        #            arm contributes the MatchAll's constant 1.0
+        # 'pure_not' "-dup" — a standalone negation matches every doc
+        #            WITHOUT the term at constant score
+        # 'ph_pre'   '"slow fast"|mer*' — phrase + trailing-* prefix
+        #            (scoring_boolean expansion), OR'd
+        from lucene_spark.search.simple_parser import parse_simple
+        Ps = lambda s: parse_simple(s, default_operator="must")
+        cpx = (_topk_df(sp, sf, Ps("scan|sort merge"), 10)
+               .select(F.lit("complex").alias("op"), "doc_id", "score_r"))
+        nt = (_topk_df(sp, sf, Ps("vector -batch"), 10)
+              .select(F.lit("not").alias("op"), "doc_id", "score_r"))
+        pn = (_topk_df(sp, sf, Ps("-dup"), 100000)
+              .select(F.lit("pure_not").alias("op"), "doc_id", "score_r"))
+        pp = (_topk_df(sp, sf, Ps('"slow fast"|mer*'), 10)
+              .select(F.lit("ph_pre").alias("op"), "doc_id", "score_r"))
+        return cpx.unionByName(nt).unionByName(pn).unionByName(pp)
+    q["ft_simple_query"] = ft_simple_query
+
     def ft_matches(sp, sf):
         # the two exhaustive match streams, one entry with an op tag:
         # TermQuery postings (v=tf) + exact PhraseQuery matches (v=freq)
@@ -1364,6 +1390,54 @@ FROM (SELECT * FROM synm ORDER BY s DESC, doc_id LIMIT 10)
 UNION ALL
 SELECT 'graph', doc_id, round(s, 3)
 FROM (SELECT * FROM gm ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    # SimpleQueryParser surfaces: 'complex' = merge AND (scan|sort);
+    # 'not' = vector minus batch + the MatchAll arm's constant 1.0;
+    # 'pure_not' = every doc without 'dup' at score 1.0; 'ph_pre' =
+    # exact phrase OR the 'mer' prefix expansion (own idf per term)
+    o["ft_simple_query"] = P + _phrase_cte("slow", "fast") + f"""
+, orc AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          WHERE f.term IN ('scan', 'sort') GROUP BY f.doc_id)
+, cpx AS (SELECT f.doc_id, {_score('f.tf')} + o2.s AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          JOIN orc o2 ON o2.doc_id = f.doc_id
+          WHERE f.term = 'merge')
+, ntm AS (SELECT f.doc_id, {_score('f.tf')} + 1.0 AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          WHERE f.term = 'vector'
+            AND NOT EXISTS (SELECT 1 FROM tf x
+                            WHERE x.doc_id = f.doc_id
+                              AND x.term = 'batch'))
+, pnm AS (SELECT d.doc_id, 1.0 AS s FROM documents d
+          WHERE NOT EXISTS (SELECT 1 FROM tf x
+                            WHERE x.doc_id = d.doc_id
+                              AND x.term = 'dup'))
+, wph AS (SELECT sum(idf) AS widf FROM idf WHERE term IN ('slow', 'fast'))
+, phs AS (SELECT p.doc_id,
+                 {_score('p.freq', idf='(SELECT widf FROM wph)')} AS s
+          FROM ph p JOIN qdl q USING (doc_id))
+, prs AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          WHERE f.term LIKE 'mer%' GROUP BY f.doc_id)
+, ppm AS (SELECT doc_id, coalesce(p.s, 0) + coalesce(r.s, 0) AS s
+          FROM phs p FULL JOIN prs r USING (doc_id))
+SELECT 'complex' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM cpx ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'not', doc_id, round(s, 3)
+FROM (SELECT * FROM ntm ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'pure_not', doc_id, round(s, 3)
+FROM (SELECT * FROM pnm ORDER BY s DESC, doc_id LIMIT 100000)
+UNION ALL
+SELECT 'ph_pre', doc_id, round(s, 3)
+FROM (SELECT * FROM ppm ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     # CommonTermsQuery: the df classification itself runs IN SQL (hi

@@ -1161,14 +1161,28 @@ def _scores_at(docs, sd, ss):
     return out, hit
 
 
-def eval_tree(node, get_chunk, norms_for, base_doc):
+def eval_tree(node, get_chunk, norms_for, base_doc, universe=None):
     """Evaluate one compiled plan node against one bucket.
 
     get_chunk(field, term) -> TermChunk/MaskedChunk or None;
     norms_for(field) -> uint8 norm-code array for the bucket (ones for
-    keyword fields — omitted norms).
+    keyword fields — omitted norms); universe -> absolute doc ids a
+    "matchall" leaf may emit (the bucket's filter/live-docs mask) or
+    None for the bucket's full contiguous range.
     """
     kind = node[0]
+    if kind == "matchall":
+        # MatchAllDocsQuery as a CLAUSE (core:search/
+        # MatchAllDocsQuery.java; SimpleQueryParser wraps negations as
+        # bool(MUST_NOT=branch, SHOULD=MatchAll)): every doc in the
+        # bucket (minus filter/live masks) at constant score
+        _, boost, f = node
+        if universe is not None:
+            docs = universe
+        else:
+            docs = np.arange(norms_for(f).size, dtype=np.int64) + base_doc
+        return docs, np.full(docs.size, np.float32(boost),
+                             dtype=np.float32)
     if kind == "term":
         _, f, t, sc = node
         ch = get_chunk(f, t)
@@ -1226,17 +1240,17 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
         codes = _combined_norm_codes(norms_for, norm_fields, pairs[0][0])
         return udocs, sc.score(freqs, codes[udocs - base_doc])
     if kind == "and":
-        parts = [eval_tree(c, get_chunk, norms_for, base_doc)
+        parts = [eval_tree(c, get_chunk, norms_for, base_doc, universe)
                  for c in node[1]]
         if any(p[0].size == 0 for p in parts):
             return _empty_hits()
         return _intersect_sum(parts)
     if kind == "or":
-        return _union_sum([eval_tree(c, get_chunk, norms_for, base_doc)
+        return _union_sum([eval_tree(c, get_chunk, norms_for, base_doc, universe)
                            for c in node[1]])
     if kind == "dismax":
         _, children, tie = node
-        parts = [eval_tree(c, get_chunk, norms_for, base_doc)
+        parts = [eval_tree(c, get_chunk, norms_for, base_doc, universe)
                  for c in children]
         live = [p for p in parts if p[0].size]
         if not live:
@@ -1256,12 +1270,12 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
         return udocs, scores
     if kind == "const":
         _, child, boost = node
-        docs, _ = eval_tree(child, get_chunk, norms_for, base_doc)
+        docs, _ = eval_tree(child, get_chunk, norms_for, base_doc, universe)
         return docs, np.full(docs.size, np.float32(boost), dtype=np.float32)
     if kind == "bool":
         _, musts, shoulds, must_nots, filters, msm = node
         if musts:
-            mparts = [eval_tree(c, get_chunk, norms_for, base_doc)
+            mparts = [eval_tree(c, get_chunk, norms_for, base_doc, universe)
                       for c in musts]
             if any(p[0].size == 0 for p in mparts):
                 return _empty_hits()
@@ -1270,7 +1284,7 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
         else:
             docs = None
             total = None
-        sparts = [eval_tree(c, get_chunk, norms_for, base_doc)
+        sparts = [eval_tree(c, get_chunk, norms_for, base_doc, universe)
                   for c in shoulds]
         if docs is None:
             docs, _ = _union_sum(sparts)
@@ -1278,13 +1292,13 @@ def eval_tree(node, get_chunk, norms_for, base_doc):
         if docs.size == 0:
             return _empty_hits()
         for c in filters:
-            fd, _ = eval_tree(c, get_chunk, norms_for, base_doc)
+            fd, _ = eval_tree(c, get_chunk, norms_for, base_doc, universe)
             keep = np.isin(docs, fd, assume_unique=True)
             docs, total = docs[keep], total[keep]
             if docs.size == 0:
                 return _empty_hits()
         for c in must_nots:
-            nd, _ = eval_tree(c, get_chunk, norms_for, base_doc)
+            nd, _ = eval_tree(c, get_chunk, norms_for, base_doc, universe)
             if nd.size == 0:
                 continue
             keep = ~np.isin(docs, nd, assume_unique=True)
@@ -1517,6 +1531,27 @@ def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
         out = np.where(cov, out, 0.0)
         return out, cov
     raise ValueError(f"unknown plan node {kind}")
+
+
+def node_has_matchall(node) -> bool:
+    """True if a compiled plan node contains a "matchall" leaf — those
+    trees must run exhaustively (no block-max windows exist for a
+    postings-free leaf) over EVERY bucket (chunkless buckets still
+    match)."""
+    if not isinstance(node, tuple) or not node:
+        return False
+    if node[0] == "matchall":
+        return True
+    for el in node[1:]:
+        if isinstance(el, tuple) and el and isinstance(el[0], str):
+            if node_has_matchall(el):
+                return True
+        elif isinstance(el, list):
+            for c in el:
+                if (isinstance(c, tuple) and c and isinstance(c[0], str)
+                        and node_has_matchall(c)):
+                    return True
+    return False
 
 
 def eval_tree_topk(node, get_chunk, norms_for, base_doc, k,

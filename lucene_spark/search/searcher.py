@@ -33,8 +33,8 @@ from ..index.catalog import IndexCatalog, check_format, read_table
 from ..kernels.bm25 import BM25Scorer, sum_idf
 from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree,
-                      eval_tree_topk, pack_docset, phrase_freqs,
-                      score_bucket, topk_select)
+                      eval_tree_topk, node_has_matchall, pack_docset,
+                      phrase_freqs, score_bucket, topk_select)
 from .query import (AndQuery, BlendedTermQuery, BooleanQuery,
                     CombinedFieldQuery, CommonTermsQuery,
                     ConstantScoreQuery, DisMaxQuery, FieldExistsQuery,
@@ -666,6 +666,8 @@ class IndexSearcher:
             IndexSearcher._collect_pairs(q.query, out, q.field)
         elif isinstance(q, CombinedFieldQuery):
             out.update((f, t) for f, _w in q.fields for t in q.terms)
+        elif isinstance(q, MatchAllQuery):
+            pass  # no postings leaves
         else:
             raise TypeError(f"cannot collect terms of {type(q)}")
 
@@ -783,6 +785,12 @@ class IndexSearcher:
             norm_fields = tuple((f, float(w)) for f, w in q.fields
                                 if f not in self.keyword_fields)
             return ("combined", pairs, sc, norm_fields)
+        if isinstance(q, MatchAllQuery):
+            # nested MatchAllDocsQuery clause (core:search/
+            # MatchAllDocsQuery.java): constant boost for every live doc
+            # — evaluated per bucket from the norms row alone
+            return ("matchall", boost_mult * q.boost,
+                    q.field or parent_field)
         if isinstance(q, CommonTermsQuery):
             # stats-time rewrite (queries/.../CommonTermsQuery.java
             # buildQuery:145-205): classify each term by its actual df
@@ -928,12 +936,27 @@ class IndexSearcher:
             return empty
         present = [(f, t) for f, ts in by_field.items()
                    for t in ts if t in stats[f]]
+        # a "matchall" leaf matches docs in buckets holding NO postings
+        # for any query term, so the bucket fan-out must be driven by
+        # the norms table (every bucket), not the postings join; the
+        # block-max pruned path has no windows for a postings-free
+        # leaf, so those trees run exhaustively
+        has_matchall = node_has_matchall(node)
+        if has_matchall:
+            pruned = False
         if not present:
-            return empty
+            if not has_matchall:
+                return empty
+            # probe pair no term can hash to: empty frame, right schema,
+            # pushed-down partition pruning keeps the scan O(footer)
+            present = [("\x00none", "\x00none")]
         chunks_df = (self._postings_for_pairs(present)
                      .select("field", "term", "bucket_id", "blocks"))
         norms_df = self._norms_proj("bucket_id", "base_doc", "norms")
-        joined = chunks_df.join(norms_df, "bucket_id")
+        if has_matchall:
+            joined = norms_df.join(chunks_df, "bucket_id", "left")
+        else:
+            joined = chunks_df.join(norms_df, "bucket_id")
         has_filter = doc_filter is not None
         if has_filter:
             joined = joined.join(self._doc_filter_bitmaps(doc_filter),
@@ -961,7 +984,17 @@ class IndexSearcher:
                 return res_empty
             raw = {(f, t): TermChunk(b, [0.0] * len(b))
                    for f, t, b in zip(chunk_pdf["field"], chunk_pdf["term"],
-                                      chunk_pdf["blocks"])}
+                                      chunk_pdf["blocks"])
+                   if f is not None}  # left-join null: chunkless bucket
+            universe = None
+            if has_matchall and (docset is not None or live_ds is not None):
+                # absolute doc ids a matchall leaf may emit in this
+                # bucket: the filter bitmap ∩ live docs
+                if docset is not None and live_ds is not None:
+                    universe = np.intersect1d(docset._docs, live_ds._docs)
+                else:
+                    universe = (docset if docset is not None
+                                else live_ds)._docs
             cache: dict = {}
 
             def get_chunk(f, t):
@@ -984,18 +1017,21 @@ class IndexSearcher:
 
             if mode == "count":
                 # counting must see every match — exhaustive by design
-                docs, _ = eval_tree(node, get_chunk, norms_for, base)
+                docs, _ = eval_tree(node, get_chunk, norms_for, base,
+                                    universe)
                 return pd.DataFrame({"doc_id": np.array([docs.size], np.int64),
                                      "score": np.zeros(1, np.float32)})
             if mode == "matches":
-                docs, scores = eval_tree(node, get_chunk, norms_for, base)
+                docs, scores = eval_tree(node, get_chunk, norms_for, base,
+                                         universe)
                 return pd.DataFrame({"doc_id": docs.astype(np.int64),
                                      "score": scores.astype(np.float32)})
             if pruned:
                 docs, scores = eval_tree_topk(node, get_chunk, norms_for,
                                               base, k, after=after)
             else:
-                docs, scores = eval_tree(node, get_chunk, norms_for, base)
+                docs, scores = eval_tree(node, get_chunk, norms_for, base,
+                                         universe)
                 if after is not None:
                     s_a, d_a = np.float32(after[0]), np.int64(after[1])
                     keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
@@ -1302,6 +1338,13 @@ class IndexSearcher:
             node = self._compile_node(q, tstats_by_field, 1.0,
                                       getattr(q, "field", self.field))
             if node is not None:
+                if node_has_matchall(node):
+                    # the batch fan-out is postings-driven; a matchall
+                    # leaf needs every bucket (norms-driven) — only
+                    # search_df runs that shape
+                    raise ValueError(
+                        f"query {qid!r}: matchall clauses are not "
+                        "supported in search_batch; use search_df")
                 plans[qid] = ("tree", node)
         for qid, q in flat.items():
             qt = _qtype(q)
