@@ -556,6 +556,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b)
     q["ft_stemmed_topk"] = ft_stemmed_topk
 
+    def ft_shingle_edge(sp, sf):
+        # Gram-producing analyzer chains end-to-end (kernels/shingle.py):
+        # 'shingle' — ShingleAnalyzerWrapper(outputUnigrams=false): the
+        #   index stores word BIGRAMS ("table hash" is ONE term), so
+        #   phrase-ish matching runs at TermQuery speed; BM25 stats
+        #   (dl = n_tokens-1, df/tf over bigrams) are computed over the
+        #   shingle stream (analysis/common/.../shingle/ShingleFilter.java)
+        # 'edge'    — EdgeNGramTokenFilter(1, 8, preserveOriginal): the
+        #   index stores every token prefix, so the typed prefix "vect"
+        #   IS an index term — search-as-you-type without MultiTermQuery
+        #   expansion (analysis/common/.../ngram/EdgeNGramTokenFilter.java).
+        #   Edge dl is the gram count (up to ~8x tokens), exercising the
+        #   norm LUT beyond the standard 255 range.
+        ssh = _searcher_stem(sp, sf, "shingle")
+        a = (ssh.search_df(TermQuery("table hash"), k=10)
+             .select(F.lit("shingle").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        sed = _searcher_stem(sp, sf, "edge")
+        b = (sed.search_df(TermQuery("vect"), k=10)
+             .select(F.lit("edge").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        return a.unionByName(b)
+    q["ft_shingle_edge"] = ft_shingle_edge
+
     def ft_search_after(sp, sf):
         # deep paging: page 2 of the 'vector' ranking via searchAfter
         s = _searcher(sp, sf)
@@ -1256,15 +1282,16 @@ def _norm_lut_sql(max_len: int = 255) -> str:
 _AVGDL = "(SELECT sttf / n FROM st)"
 
 
-def _prelude(tok_expr: str | None = None) -> str:
+def _prelude(tok_expr: str | None = None, src: str = "documents",
+             lut_max: int = 255) -> str:
     tok_expr = tok_expr or "regexp_extract_all(lower(text), '[0-9a-z]+')"
     return f"""
 WITH tok AS (
   SELECT doc_id, {tok_expr} AS toks
-  FROM documents
+  FROM {src}
 ),
 dl AS (SELECT doc_id, len(toks) AS dl FROM tok),
-lut(l, ql) AS (VALUES {_norm_lut_sql()}),
+lut(l, ql) AS (VALUES {_norm_lut_sql(lut_max)}),
 qdl AS (SELECT d.doc_id, lut.ql::DOUBLE AS ql FROM dl d JOIN lut ON d.dl = lut.l),
 st AS (SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE AS sttf FROM dl),
 pos AS (SELECT doc_id, unnest(toks) AS term, generate_subscripts(toks, 1) AS pos FROM tok),
@@ -1804,6 +1831,37 @@ SELECT 'porter' AS op, doc_id, round(s, 3) AS score_r FROM (
 UNION ALL
 SELECT 'english', doc_id, round(s, 3) FROM (
   SELECT doc_id, s FROM me ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    # gram chains: the oracle recomputes the ENTIRE BM25 prelude over
+    # each chain's token stream (bigram shingles / edge prefixes built
+    # in SQL from the standard stream — parity with kernels/shingle.py
+    # is golden-tested in tests/test_shingle_edge.py). Edge dl can
+    # exceed 255, so its norm LUT is extended to 1024.
+    _GRAM_SRC = ("(SELECT doc_id, regexp_extract_all(lower(text), "
+                 "'[0-9a-z]+') AS t FROM documents)")
+    _P_SH = _prelude(
+        "list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])",
+        src=_GRAM_SRC)
+    _P_ED = _prelude(
+        "flatten(list_transform(t, w -> list_concat("
+        "list_transform(range(1, least(length(w), 8) + 1), i -> w[1:i]), "
+        "CASE WHEN length(w) > 8 THEN [w] ELSE [] END)))",
+        src=_GRAM_SRC, lut_max=1024)
+    o["ft_shingle_edge"] = f"""
+SELECT 'shingle' AS op, doc_id, score_r FROM (
+{_P_SH}
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'table hash')
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'edge', doc_id, score_r FROM (
+{_P_ED}
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vect')
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_search_after"] = P + f"""

@@ -342,7 +342,8 @@ def tokenize_one(text: str) -> list:
 # ---------------------------------------------------------------------------
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
-             "french", "portuguese", "spanish", "italian", "wdgf")
+             "french", "portuguese", "spanish", "italian", "wdgf",
+             "shingle", "edge")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -374,6 +375,16 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # (kernels/wdgf.py)
         from .wdgf import wdgf_tokenize_series
         return wdgf_tokenize_series(texts)
+    if analyzer == "shingle":
+        # ShingleAnalyzerWrapper(outputUnigrams=false): word bigrams
+        # (kernels/shingle.py) — token count = max(n-1, 0)
+        from .shingle import shingle_series
+        return shingle_series(texts.fillna(""))
+    if analyzer == "edge":
+        # EdgeNGramTokenFilter(1, 8, preserveOriginal): every prefix of
+        # each token — the search-as-you-type field (kernels/shingle.py)
+        from .shingle import edge_series
+        return edge_series(texts.fillna(""))
     toks = tokenize_series(texts)
     if analyzer == "standard":
         return toks
@@ -435,6 +446,12 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "wdgf":
         from .wdgf import wdgf_analyze_one
         return wdgf_analyze_one(text)
+    if analyzer == "shingle":
+        from .shingle import shingle_one
+        return shingle_one(text)
+    if analyzer == "edge":
+        from .shingle import edge_one
+        return edge_one(text)
     toks = tokenize_one(text)
     if analyzer == "standard":
         return toks
@@ -519,6 +536,12 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         from .wdgf import wdgf_parts
         parts = wdgf_parts(term)
         return parts[0].lower() if len(parts) == 1 else term.lower()
+    if analyzer in ("shingle", "edge"):
+        # dictionary-level terms (a shingle query term is the two
+        # words joined by one space; an edge query term is the typed
+        # prefix): lowercase only — both chains store their tokens
+        # lowercased by the standard tokenizer underneath
+        return term.lower()
     if analyzer == "german":
         from .de import GERMAN_STOP_WORDS, german_light_stem, \
             german_normalize
