@@ -970,6 +970,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .join(TS.fingerprint(d), "doc_id"))
     q["text_analysis"] = text_analysis
 
+    def text_repetition(sp, sf):
+        # Gopher/MassiveText within-doc repetition filters (Rae et al.
+        # 2021 A1.1): word-dup fraction (pure projection) + heaviest-
+        # 2gram and duplicated-5gram character-mass fractions (tf-shaped
+        # map-side-combined groupBys) — ops/textstats.repetition_signals
+        return TS.repetition_signals(_docs(sp, sf))
+    q["text_repetition"] = text_repetition
+
+    def dedup_decontaminate(sp, sf):
+        # benchmark decontamination (GPT-3 appx C shape): eval set =
+        # every 25th doc; the rest of the corpus is scored by distinct
+        # shared 3-grams (n=13 in production; 3 here so the synthetic
+        # corpus actually collides). Benchmark n-grams broadcast; no
+        # corpus-side shuffle before the sparse hit rollup
+        # (ops/decontaminate.py)
+        from lucene_spark.ops.decontaminate import decontaminate
+        d = _docs(sp, sf)
+        rep = decontaminate(d.filter("doc_id % 25 <> 0"),
+                            d.filter("doc_id % 25 = 0"), n=3)
+        return rep.filter("n_contaminated > 0")
+    q["dedup_decontaminate"] = dedup_decontaminate
+
+    def text_sample_stratified(sp, sf):
+        # deterministic stratified training-mix sampling: md5(seed:id)
+        # under a per-stratum hex threshold — membership independent of
+        # partitioning/executors, zero shuffle (ops/sampling.py). The
+        # entry returns the SAMPLED IDS (identity, not just counts) for
+        # per-lang rates {en:.5, de:1, fr:.25, zh:0, default(es):.1}
+        from lucene_spark.ops.sampling import stratified_sample
+        s = stratified_sample(
+            _docs(sp, sf), "lang",
+            {"en": 0.5, "de": 1.0, "fr": 0.25, "zh": 0.0},
+            seed=7, default_rate=0.1)
+        return s.select("doc_id", "lang")
+    q["text_sample_stratified"] = text_sample_stratified
+
     def mm_features(sp, sf):
         packed = MM.pack_binary(_docs(sp, sf), "text", "doc_id")
         return MM.extract_features(packed).select("id", "n_bytes", "sha")
@@ -2386,6 +2422,55 @@ SELECT d.doc_id, len(t.toks)::INT AS n_tokens,
        {_lang_pred_sql()} AS lang_pred,
        md5(array_to_string(t.toks, ' ')) AS fp
 FROM documents d JOIN tok t USING (doc_id)
+"""
+
+    # repetition signals: grams rebuilt in SQL from the same token
+    # stream; mass-of-heaviest-2gram and duplicated-5gram-mass over
+    # total gram mass, word-dup frac from distinct counts
+    o["text_repetition"] = P + """
+, base AS (SELECT doc_id, len(toks) AS n_tokens,
+           round(1.0 - len(list_distinct(toks))::DOUBLE
+                 / greatest(len(toks), 1), 4) AS dtf FROM tok)
+, g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' '))) AS g FROM tok)
+, c2 AS (SELECT doc_id, g, count(*)::DOUBLE AS c FROM g2 GROUP BY 1, 2)
+, f2 AS (SELECT doc_id, round(max(c * length(g)) / sum(c * length(g)), 4)
+         AS v FROM c2 GROUP BY doc_id)
+, g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+         i -> array_to_string(toks[i:i+4], ' '))) AS g FROM tok
+         WHERE len(toks) >= 5)
+, c5 AS (SELECT doc_id, g, count(*)::DOUBLE AS c FROM g5 GROUP BY 1, 2)
+, f5 AS (SELECT doc_id, round(sum(CASE WHEN c > 1 THEN c * length(g)
+         ELSE 0 END) / sum(c * length(g)), 4) AS v FROM c5
+         GROUP BY doc_id)
+SELECT b.doc_id, b.n_tokens::INT AS n_tokens, b.dtf AS dup_token_frac,
+       coalesce(f2.v, 0.0) AS top_2gram_frac,
+       coalesce(f5.v, 0.0) AS dup_5gram_frac
+FROM base b LEFT JOIN f2 USING (doc_id) LEFT JOIN f5 USING (doc_id)
+"""
+
+    o["dedup_decontaminate"] = P + """
+, g AS (SELECT doc_id, unnest(list_distinct(list_transform(
+        range(1, len(toks) - 1),
+        i -> array_to_string(toks[i:i+2], ' ')))) AS g FROM tok)
+, bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 25 = 0)
+, tot AS (SELECT doc_id, count(*)::INT AS n_grams FROM g
+          WHERE doc_id % 25 <> 0 GROUP BY doc_id)
+, hit AS (SELECT g.doc_id, count(*)::INT AS c FROM g
+          JOIN bench USING (g) WHERE g.doc_id % 25 <> 0
+          GROUP BY g.doc_id)
+SELECT t.doc_id, t.n_grams, h.c AS n_contaminated,
+       round(h.c::DOUBLE / greatest(t.n_grams, 1), 4)
+       AS contamination_frac
+FROM tot t JOIN hit h USING (doc_id)
+"""
+
+    o["text_sample_stratified"] = """
+SELECT doc_id, lang FROM documents
+WHERE substr(md5('7:' || doc_id::VARCHAR), 1, 8) <
+  CASE lang WHEN 'en' THEN '80000000' WHEN 'de' THEN 'g'
+            WHEN 'fr' THEN '40000000' WHEN 'zh' THEN '00000000'
+            ELSE '19999999' END
 """
 
     o["mm_features"] = """

@@ -15,13 +15,18 @@ Design rules:
   with broadcast for small sides.
 """
 
+from .decontaminate import decontaminate
 from .dedup import (exact_duplicates, jaccard_pairs, minhash_pairs,
                     minhash_signatures, simhash, tokens_expr)
+from .sampling import sample_rates_table, stratified_sample
 from .similarity import cosine_topk, lsh_cosine_topk
-from .textstats import fingerprint, lang_id, text_quality, token_stats
+from .textstats import (fingerprint, lang_id, repetition_signals,
+                        text_quality, token_stats)
 
 __all__ = [
     "tokens_expr", "exact_duplicates", "minhash_signatures", "minhash_pairs",
     "jaccard_pairs", "simhash", "cosine_topk", "lsh_cosine_topk",
     "token_stats", "text_quality", "lang_id", "fingerprint",
+    "decontaminate", "repetition_signals", "stratified_sample",
+    "sample_rates_table",
 ]

@@ -1,0 +1,81 @@
+"""Deterministic stratified sampling for training-mix construction.
+
+Building a training mixture means sampling each stratum (language,
+source, quality band, ...) at its own rate — reproducibly, so the same
+(seed, corpus) always yields the same mix, resumable shard by shard
+with no coordination. The standard trick: hash each row's stable id
+with the seed and keep the row iff the hash falls under the rate
+threshold. No RNG state, no shuffle, no driver coordination — a pure
+pushed-down filter that runs at parquet-scan speed on any number of
+executors, and membership of a row is independent of partitioning,
+executor count, and execution order.
+
+Hashing is md5 (engine-independent, like ops/dedup): the first 8 hex
+chars of md5(seed || ':' || id) compared LEXICOGRAPHICALLY against the
+rate's 8-hex-char threshold — string comparison gives identical
+results in Spark, DuckDB, or any ANSI engine with md5, with no
+integer-parsing edge cases. rate >= 1.0 keeps everything ('g' sorts
+above every hex digit).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["rate_threshold", "stratified_sample", "sample_rates_table"]
+
+_HEX_SPAN = 16 ** 8
+
+
+def rate_threshold(rate: float) -> str:
+    """8-hex-char lexicographic threshold for a sampling rate in [0, 1];
+    'g' (> 'f') for rate >= 1.0 so the filter keeps every row."""
+    if rate >= 1.0:
+        return "g"
+    if rate <= 0.0:
+        return "0" * 8
+    return format(int(rate * _HEX_SPAN), "08x")
+
+
+def _key(seed: int, id_col: str) -> F.Column:
+    return F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col)
+                          .cast("string"))), 1, 8)
+
+
+def stratified_sample(df: DataFrame, stratum_col: str,
+                      rates: dict[str, float], seed: int = 0,
+                      id_col: str = "doc_id",
+                      default_rate: float = 0.0) -> DataFrame:
+    """Keep each row of ``df`` independently with its stratum's rate.
+
+    ``rates`` maps stratum value -> rate in [0, 1]; strata not listed
+    use ``default_rate``. Deterministic in (seed, id): re-running, or
+    running distributed over any partitioning, selects the same rows.
+    Returns the input rows (all columns) that survive.
+    """
+    thr = F.lit(rate_threshold(default_rate))
+    for val, rate in sorted(rates.items()):
+        thr = F.when(F.col(stratum_col) == F.lit(val),
+                     F.lit(rate_threshold(rate))).otherwise(thr)
+    return df.filter(_key(seed, id_col) < thr)
+
+
+def sample_rates_table(df: DataFrame, stratum_col: str,
+                       rates: dict[str, float], seed: int = 0,
+                       id_col: str = "doc_id",
+                       default_rate: float = 0.0) -> DataFrame:
+    """Audit view of a stratified sample: per-stratum population,
+    sampled count, and realized rate (one map-side-combined groupBy)."""
+    sampled = stratified_sample(df, stratum_col, rates, seed=seed,
+                                id_col=id_col, default_rate=default_rate)
+    pop = (df.groupBy(stratum_col)
+           .agg(F.count("*").alias("n_total")))
+    got = (sampled.groupBy(stratum_col)
+           .agg(F.count("*").alias("n_sampled")))
+    return (pop.join(got, stratum_col, "left")
+            .select(stratum_col, "n_total",
+                    F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+                    F.round(F.coalesce("n_sampled", F.lit(0))
+                            / F.col("n_total"), 4).alias("realized_rate")))

@@ -107,6 +107,60 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return _lang_pred_over(d, [id_col])
 
 
+def repetition_signals(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Gopher/MassiveText-style within-document repetition filters
+    (Rae et al. 2021, appendix A1.1 — the published recipe every
+    large-scale text pipeline applies before training):
+
+    - ``dup_token_frac``: 1 - distinct_tokens / n_tokens — word-level
+      repetitiveness. Pure projection, zero shuffle.
+    - ``top_2gram_frac``: character mass (occurrences x gram chars) of
+      the heaviest word 2-gram over the total 2-gram character mass.
+      (Mass-of-heaviest rather than count-of-argmax sidesteps argmax
+      tie ambiguity; the filter thresholds behave the same.)
+    - ``dup_5gram_frac``: character mass of 5-grams occurring more
+      than once over the total 5-gram character mass.
+
+    The n-gram fractions group the exploded gram stream by
+    (doc, gram) — the same map-side-combinable shuffle shape as a tf
+    computation, uniform keys, scale-safe. Docs shorter than n tokens
+    report 0.0 for that signal.
+    """
+    from .dedup import shingles_expr
+    base = (df.select(F.col(id_col), tokens_expr(text_col).alias("toks"))
+            .persist())
+
+    def _gram_frac(n: int, expr_sel, out_name: str) -> DataFrame:
+        g = (base.select(id_col,
+                         F.explode(shingles_expr("toks", n)).alias("g"))
+             .groupBy(id_col, "g").agg(F.count("*").alias("c"))
+             .groupBy(id_col)
+             .agg(F.round(expr_sel, 4).alias(out_name)))
+        return g
+
+    top2 = _gram_frac(
+        2, F.max(F.col("c") * F.length("g"))
+        / F.sum(F.col("c") * F.length("g")), "top_2gram_frac")
+    dup5 = _gram_frac(
+        5, F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g"))
+                 .otherwise(F.lit(0)))
+        / F.sum(F.col("c") * F.length("g")), "dup_5gram_frac")
+    out = (base.select(
+        id_col,
+        F.size("toks").alias("n_tokens"),
+        F.round(F.lit(1.0) - F.size(F.array_distinct("toks"))
+                / F.greatest(F.size("toks"), F.lit(1)), 4)
+        .alias("dup_token_frac"))
+        .join(top2, id_col, "left").join(dup5, id_col, "left")
+        .select(id_col, "n_tokens", "dup_token_frac",
+                F.coalesce("top_2gram_frac", F.lit(0.0))
+                .alias("top_2gram_frac"),
+                F.coalesce("dup_5gram_frac", F.lit(0.0))
+                .alias("dup_5gram_frac")))
+    return out
+
+
 def fingerprint(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Normalized document fingerprint: md5 over the analyzed token
