@@ -160,6 +160,7 @@ def main():
         # byte-identical to r01 — the plan was never the residual.
         from lucene_spark.ops import dedup as D
         from lucene_spark.ops import similarity as SIM
+        from lucene_spark.ops.decontaminate import decontaminate as _dec
         raw = E._docs(spark, sf_dir)
         emb = E._embeddings(spark, sf_dir)
         qs = (emb.filter(F.col("vec_id") < 16)
@@ -170,7 +171,11 @@ def main():
                  lambda: D.minhash_pairs(raw, num_hashes=8,
                                          bands=4).count()),
                 ("op_ann",
-                 lambda: SIM.cosine_topk(emb, qs, k=10).count())):
+                 lambda: SIM.cosine_topk(emb, qs, k=10).count()),
+                ("op_decontam",
+                 lambda: _dec(raw.filter("doc_id % 25 <> 0"),
+                              raw.filter("doc_id % 25 = 0"), n=3)
+                 .filter("n_contaminated > 0").count())):
             reps = []
             for i in range(4):
                 t0 = time.time()
