@@ -888,10 +888,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 'binary' = 1-bit centroid-centered codes (Lucene102 binary
         # quantization analog: sign bits + per-vector corrective
         # scale, 32x smaller scan, asymmetric scoring) — same recall
-        # gate: must recover the exact top-5 through a 100-candidate
-        # cut (20% of this corpus), exact re-ranked values
+        # gate: must recover the exact top-5, here through a
+        # 250-candidate cut. The deep cut is forced by the SYNTHETIC
+        # near-random embeddings (one true top-5 member ranks ~216th
+        # in 1-bit approx order at sf0.01 — measured, not tuned);
+        # clustered real corpora prune far harder at equal recall
+        # (same caveat as ann_lsh_recall; pruning power is gated on a
+        # clustered fixture in tests/test_binary_ann.py)
         from lucene_spark.ops.binaryq import binary_topk
-        binq = (binary_topk(emb, qs, k=5, n_candidates=100)
+        binq = (binary_topk(emb, qs, k=5, n_candidates=250)
                 .select(F.lit("binary").alias("op"), "q_id", "vec_id",
                         F.round("cos", 4).alias("cos_r")))
         return exact.unionByName(quant).unionByName(binq)
@@ -1005,6 +1010,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             seed=7, default_rate=0.1)
         return s.select("doc_id", "lang")
     q["text_sample_stratified"] = text_sample_stratified
+
+    def text_bpe_budget(sp, sf):
+        # training-budget token estimation: GPT-2-pretokenizer piece
+        # counts (RE2-compatible subset, deviation documented on
+        # BPE_PRETOKEN_RE) — one JVM projection, zero shuffle
+        return TS.bpe_token_stats(_docs(sp, sf))
+    q["text_bpe_budget"] = text_bpe_budget
+
+    def text_gopher_filter(sp, sf):
+        # composite Gopher quality verdict (Rae et al. 2021 A1.1): one
+        # boolean per published rule + the conjunction; min_tokens
+        # lowered to 30 so the synthetic corpus splits on BOTH sides
+        # of the gate (defaults would fail ~every doc on length alone)
+        return TS.gopher_quality(_docs(sp, sf), min_tokens=30)
+    q["text_gopher_filter"] = text_gopher_filter
 
     def mm_features(sp, sf):
         packed = MM.pack_binary(_docs(sp, sf), "text", "doc_id")
@@ -2463,6 +2483,57 @@ SELECT t.doc_id, t.n_grams, h.c AS n_contaminated,
        round(h.c::DOUBLE / greatest(t.n_grams, 1), 4)
        AS contamination_frac
 FROM tot t JOIN hit h USING (doc_id)
+"""
+
+    o["text_bpe_budget"] = r"""
+WITH p AS (SELECT doc_id, text, regexp_extract_all(text,
+  '''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+  AS ps FROM documents)
+SELECT doc_id, len(ps)::INT AS n_pieces, length(text)::INT AS n_chars,
+       round(length(text)::DOUBLE / greatest(len(ps), 1), 4)
+       AS chars_per_piece
+FROM p
+"""
+
+    _G_RULES = r"""
+  len(toks) BETWEEN 30 AND 100000 AS ok_len,
+  (list_sum(list_transform(toks, x -> length(x)))::DOUBLE
+   / greatest(len(toks), 1)) BETWEEN 3.0 AND 10.0 AS ok_mean_len,
+  (((length(text) - length(replace(text, '#', '')))
+    + (length(text) - length(replace(text, '...', ''))) / 3.0)
+   / greatest(len(toks), 1)) <= 0.1 AS ok_symbols,
+  (len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                   w -> regexp_matches(w, '[A-Za-z]')))::DOUBLE
+   / greatest(len(regexp_split_to_array(trim(text), '\s+')), 1)) >= 0.8
+  AS ok_alpha,
+  len(list_filter(toks, x -> x IN ('the','be','to','of','and','that',
+                                   'have','with'))) >= 2 AS ok_stopwords
+"""
+    o["text_gopher_filter"] = P + rf"""
+, g2 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         i -> array_to_string(toks[i:i+1], ' '))) AS g FROM tok)
+, c2 AS (SELECT doc_id, g, count(*)::DOUBLE AS c FROM g2 GROUP BY 1, 2)
+, f2 AS (SELECT doc_id, round(max(c * length(g)) / sum(c * length(g)), 4)
+         AS v FROM c2 GROUP BY doc_id)
+, g5 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+         i -> array_to_string(toks[i:i+4], ' '))) AS g FROM tok
+         WHERE len(toks) >= 5)
+, c5 AS (SELECT doc_id, g, count(*)::DOUBLE AS c FROM g5 GROUP BY 1, 2)
+, f5 AS (SELECT doc_id, round(sum(CASE WHEN c > 1 THEN c * length(g)
+         ELSE 0 END) / sum(c * length(g)), 4) AS v FROM c5
+         GROUP BY doc_id)
+, rep AS (SELECT t.doc_id, coalesce(f2.v, 0) AS t2, coalesce(f5.v, 0)
+          AS d5 FROM tok t LEFT JOIN f2 USING (doc_id)
+          LEFT JOIN f5 USING (doc_id))
+, sig AS (SELECT t.doc_id, len(toks)::INT AS n_tokens, {_G_RULES},
+          rep.t2 <= 0.20 AS ok_top2, rep.d5 <= 0.15 AS ok_dup5
+          FROM tok t JOIN documents d USING (doc_id)
+          JOIN rep USING (doc_id))
+SELECT doc_id, n_tokens, ok_len, ok_mean_len, ok_symbols, ok_alpha,
+       ok_stopwords, ok_top2, ok_dup5,
+       (ok_len AND ok_mean_len AND ok_symbols AND ok_alpha
+        AND ok_stopwords AND ok_top2 AND ok_dup5) AS keep
+FROM sig
 """
 
     o["text_sample_stratified"] = """

@@ -107,6 +107,97 @@ def lang_id(df: DataFrame, text_col: str = "text",
     return _lang_pred_over(d, [id_col])
 
 
+# GPT-2-style byte-pair pretokenizer pattern, RE2-compatible subset:
+# contractions, space-prefixed letter/number/punct runs, whitespace runs.
+# The reference GPT-2 pattern's \s+(?!\S) lookahead (split trailing
+# whitespace from the space that prefixes the next word) is NOT
+# RE2-expressible; this subset merges those whitespace runs — piece
+# counts differ from tiktoken by the number of multi-space gaps, which
+# is the right trade for an engine-independent (Spark/DuckDB/RE2)
+# training-budget estimator.
+BPE_PRETOKEN_RE = (r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+"
+                   r"| ?[^\s\p{L}\p{N}]+|\s+")
+
+
+def bpe_token_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Training-budget token estimation: GPT-2-pretokenizer piece count
+    per doc (the standard 'how many BPE tokens is this corpus' proxy —
+    real BPE merges only split pieces further, so this lower-bounds the
+    piece count and tracks it linearly) plus bytes-per-piece. One
+    JVM-side projection, zero shuffle."""
+    # DataFrame-API form: the pattern holds quotes/backslashes that a
+    # SQL string literal would mangle
+    pieces = F.regexp_extract_all(F.col(text_col),
+                                  F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    return df.select(
+        F.col(id_col),
+        F.size(pieces).alias("n_pieces"),
+        F.length(text_col).alias("n_chars"),
+        F.round(F.length(text_col)
+                / F.greatest(F.size(pieces), F.lit(1)), 4)
+        .alias("chars_per_piece"))
+
+
+# Gopher rule 'required stop words' list (Rae et al. 2021 A1.1: at
+# least 2 of these 8 must appear)
+GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   min_tokens: int = 50, max_tokens: int = 100_000,
+                   min_mean_len: float = 3.0, max_mean_len: float = 10.0,
+                   max_symbol_ratio: float = 0.1,
+                   min_alpha_word_frac: float = 0.8,
+                   min_stopwords: int = 2,
+                   max_top2: float = 0.20,
+                   max_dup5: float = 0.15) -> DataFrame:
+    """Composite Gopher quality-filter verdict (Rae et al. 2021 A1.1
+    thresholds as defaults): one boolean per published rule plus the
+    conjunction ``keep``. Everything except the two repetition
+    fractions is a pure projection; those come from
+    ``repetition_signals`` (tf-shaped shuffles)."""
+    stop_arr = "array(" + ", ".join(f"'{s}'" for s in GOPHER_STOPS) + ")"
+    toks = tokens_expr(text_col)
+    base = df.select(F.col(id_col), F.col(text_col), toks.alias("toks"))
+    mean_len = (F.expr("aggregate(transform(toks, t -> length(t)), 0L, "
+                       "(a, x) -> a + x)")
+                / F.greatest(F.size("toks"), F.lit(1)))
+    # symbol-to-word numerator: '#' occurrences + '...' occurrences
+    n_sym = ((F.length(text_col)
+              - F.length(F.regexp_replace(F.col(text_col), "#", "")))
+             + (F.length(text_col)
+                - F.length(F.regexp_replace(
+                    F.col(text_col), r"\.\.\.", ""))) / F.lit(3))
+    ws_words = F.split(F.trim(F.col(text_col)), r"\s+")
+    alpha_frac = (F.expr("size(filter(split(trim(" + text_col + "), "
+                         "'\\\\s+'), w -> w rlike '[A-Za-z]'))")
+                  / F.greatest(F.size(ws_words), F.lit(1)))
+    n_stop = F.expr(
+        f"size(filter(toks, t -> array_contains({stop_arr}, t)))")
+    sig = base.select(
+        F.col(id_col),
+        F.size("toks").alias("n_tokens"),
+        (F.size("toks").between(min_tokens, max_tokens)).alias("ok_len"),
+        mean_len.between(min_mean_len, max_mean_len).alias("ok_mean_len"),
+        ((n_sym / F.greatest(F.size("toks"), F.lit(1)))
+         <= max_symbol_ratio).alias("ok_symbols"),
+        (alpha_frac >= min_alpha_word_frac).alias("ok_alpha"),
+        (n_stop >= min_stopwords).alias("ok_stopwords"))
+    rep = repetition_signals(df, text_col, id_col).select(
+        id_col,
+        (F.col("top_2gram_frac") <= max_top2).alias("ok_top2"),
+        (F.col("dup_5gram_frac") <= max_dup5).alias("ok_dup5"))
+    out = sig.join(rep, id_col)
+    rules = ["ok_len", "ok_mean_len", "ok_symbols", "ok_alpha",
+             "ok_stopwords", "ok_top2", "ok_dup5"]
+    keep = F.lit(True)
+    for r in rules:
+        keep = keep & F.col(r)
+    return out.select(id_col, "n_tokens", *rules, keep.alias("keep"))
+
+
 def repetition_signals(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Gopher/MassiveText-style within-document repetition filters

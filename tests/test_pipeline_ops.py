@@ -92,6 +92,53 @@ def test_repetition_signals_values(spark, corpus):
     assert r[6].dup_5gram_frac > 0.3
 
 
+def test_bpe_token_stats(spark, corpus):
+    from lucene_spark.ops.textstats import bpe_token_stats
+    r = {x.doc_id: x for x in bpe_token_stats(corpus).collect()}
+    # doc 7 "short": one piece
+    assert r[7].n_pieces == 1 and r[7].n_chars == 5
+    # doc 0: 9 space-prefixed word pieces, no contractions/punct
+    assert r[0].n_pieces == 9
+    assert abs(r[0].chars_per_piece - r[0].n_chars / 9) < 1e-3
+
+
+def test_bpe_pattern_pieces():
+    # pin the RE2-subset pretokenizer on a mixed string (contraction,
+    # number, punctuation run, multi-space merge deviation)
+    import re
+    from lucene_spark.ops.textstats import BPE_PRETOKEN_RE
+    ascii_re = (BPE_PRETOKEN_RE
+                .replace(r"[^\s\p{L}\p{N}]", "[^\\sa-zA-Z0-9]")
+                .replace(r"\p{L}", "[a-zA-Z]")
+                .replace(r"\p{N}", "[0-9]"))
+    got = re.findall(ascii_re, "It's 42%  done!")
+    assert got == ["It", "'s", " 42", "%", "  ", "done", "!"]
+
+
+def test_gopher_quality_rules(spark):
+    rows = [
+        # long-enough, healthy English-ish doc -> keep
+        (0, ("the quick brown fox jumps over the lazy dog and then "
+             "that same fox went back home to rest with a friend "
+             "because it had been a very long day of running around "
+             "the field and the barn and it was happy to be done")),
+        # too short
+        (1, "tiny doc with the and that"),
+        # heavy repetition -> fails ok_top2/ok_dup5 even when long
+        (2, " ".join(["buy now buy now buy"] * 12)),
+        # no required stopwords
+        (3, " ".join(f"w{i:03d}" for i in range(40))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from lucene_spark.ops.textstats import gopher_quality
+    g = {x.doc_id: x for x in gopher_quality(df, min_tokens=30).collect()}
+    assert g[0].keep
+    assert not g[1].ok_len and not g[1].keep
+    assert g[2].ok_len and not g[2].ok_top2 and not g[2].ok_dup5
+    assert not g[2].keep
+    assert not g[3].ok_stopwords and not g[3].keep
+
+
 def test_rate_threshold_bounds():
     assert rate_threshold(0.0) == "00000000"
     assert rate_threshold(0.5) == "80000000"
