@@ -1026,6 +1026,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TS.gopher_quality(_docs(sp, sf), min_tokens=30)
     q["text_gopher_filter"] = text_gopher_filter
 
+    def ft_facet_dynamic(sp, sf):
+        # dynamic equal-weight range facets over the 'batch' match
+        # stream's n_chars (facet/facetset/DynamicRangeUtil.java;
+        # quantile-rule deviation documented on dynamic_range_counts):
+        # 4 buckets, actual data values as bounds
+        from lucene_spark.ops import facets as FC
+        s = _searcher(sp, sf)
+        m = s.term_postings("batch").select("doc_id")
+        return FC.dynamic_range_counts(m, _docs(sp, sf), "n_chars",
+                                       n_ranges=4)
+    q["ft_facet_dynamic"] = ft_facet_dynamic
+
     def mm_features(sp, sf):
         packed = MM.pack_binary(_docs(sp, sf), "text", "doc_id")
         return MM.extract_features(packed).select("id", "n_bytes", "sha")
@@ -2534,6 +2546,21 @@ SELECT doc_id, n_tokens, ok_len, ok_mean_len, ok_symbols, ok_alpha,
        (ok_len AND ok_mean_len AND ok_symbols AND ok_alpha
         AND ok_stopwords AND ok_top2 AND ok_dup5) AS keep
 FROM sig
+"""
+
+    o["ft_facet_dynamic"] = P + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'batch')
+, v AS (SELECT d.n_chars AS val FROM documents d JOIN m USING (doc_id)
+        WHERE d.n_chars IS NOT NULL)
+, pv AS (SELECT val, count(*)::BIGINT AS w FROM v GROUP BY val)
+, tot AS (SELECT sum(w)::DOUBLE AS t FROM pv)
+, b AS (SELECT val, w,
+        least(floor(coalesce(sum(w) OVER (ORDER BY val
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              * 4 / (SELECT t FROM tot)), 3)::INT AS range_idx FROM pv)
+SELECT range_idx, min(val) AS lo, max(val) AS hi,
+       sum(w)::BIGINT AS n_docs
+FROM b GROUP BY range_idx
 """
 
     o["text_sample_stratified"] = """

@@ -122,6 +122,56 @@ def range_counts(matches: DataFrame, docs: DataFrame, value_col: str,
         f"stack({len(ranges)}, {stack}) AS (range_label, n_docs)")
 
 
+def dynamic_range_counts(matches: DataFrame, docs: DataFrame,
+                         value_col: str, n_ranges: int = 4,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Dynamic (equal-weight) range facets
+    (facet/facetset/DynamicRangeUtil.java — computeDynamicNumericRanges
+    splits the matching values into ``n_ranges`` buckets of roughly
+    equal total weight). DOCUMENTED DEVIATION: the reference's greedy
+    sequential accumulate-until-target walk is replaced by the
+    quantile rule bucket(v) = floor(cum_weight_before(v) * n / total)
+    — same equal-weight intent, deterministic, and expressible as a
+    prefix sum instead of an inherently sequential scan (the reference
+    itself collects every matching value into one array, which cannot
+    exist at 100 TB).
+
+    Scale shape: one map-side-combined groupBy(value) collapses the
+    corpus to its DISTINCT facet values — metadata-sized, same
+    assumption as the taxonomy counts — and the cumulative window runs
+    over that value table, never over docs. NULLs count nowhere.
+
+    Returns (range_idx, lo, hi, n_docs) with lo/hi the actual data
+    values bounding each bucket (the reference reports actual values,
+    not interpolated quantiles)."""
+    from pyspark.sql import Window
+    j = (matches.select(id_col)
+         .join(docs.select(id_col, value_col), id_col)
+         .filter(F.col(value_col).isNotNull()))
+    per_v = j.groupBy(value_col).agg(F.count("*").alias("w"))
+    # the value table is facet-dimension-sized; this window is over
+    # distinct values only (bounded, like the taxonomy), not over docs
+    win = Window.orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, -1)
+    tot = per_v.agg(F.sum("w")).collect()[0][0] or 0
+    if tot == 0:
+        return per_v.select(
+            F.lit(0).alias("range_idx"),
+            F.col(value_col).alias("lo"), F.col(value_col).alias("hi"),
+            F.col("w").alias("n_docs")).limit(0)
+    bucket = F.least(
+        F.floor(F.coalesce(F.sum("w").over(win), F.lit(0))
+                * n_ranges / F.lit(int(tot))),
+        F.lit(n_ranges - 1))
+    return (per_v.select(F.col(value_col), "w",
+                         bucket.cast("int").alias("range_idx"))
+            .groupBy("range_idx")
+            .agg(F.min(value_col).alias("lo"),
+                 F.max(value_col).alias("hi"),
+                 F.sum("w").alias("n_docs"))
+            .orderBy("range_idx"))
+
+
 def association_sums(matches: DataFrame, docs: DataFrame, path_col: str,
                      assoc_col: str, max_level: int | None = None,
                      id_col: str = "doc_id") -> DataFrame:

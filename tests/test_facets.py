@@ -128,3 +128,27 @@ def test_association_sums(spark, docs, matches):
     assert got[(2, "code/py")] == (2, 10)
     assert got[(3, "code/py/nb")] == (1, 3)
     assert got[(2, "web/en")] == (2, 30)
+
+
+def test_dynamic_range_counts(spark):
+    # facetset/DynamicRangeUtil.java shape: equal-weight buckets over
+    # the matching values; quantile-rule deviation documented
+    from lucene_spark.ops.facets import dynamic_range_counts
+    docs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate([1, 1, 2, 3, 4, 5, 6, 7, 8, 8,
+                                       9, 10, None, 12, 100, 100])],
+        "doc_id long, val long")
+    m = docs.select("doc_id")
+    got = {r.range_idx: r for r in
+           dynamic_range_counts(m, docs, "val", n_ranges=3).collect()}
+    # 15 non-null values -> ~5 per bucket; ties stay in one bucket
+    assert set(got) == {0, 1, 2}
+    assert sum(r.n_docs for r in got.values()) == 15
+    assert got[0].lo == 1 and got[2].hi == 100
+    # buckets are contiguous and ordered
+    assert got[0].hi <= got[1].lo and got[1].hi <= got[2].lo
+    # weights balanced within one value-group of the target
+    assert all(3 <= r.n_docs <= 7 for r in got.values())
+    # empty match stream -> zero rows (reference returns no ranges)
+    empty = dynamic_range_counts(docs.limit(0), docs, "val", 3)
+    assert empty.count() == 0
