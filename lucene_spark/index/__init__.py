@@ -22,3 +22,4 @@ Lucene's ``segments_N`` commit points, core:index/SegmentInfos.java):
 from .add_indexes import add_indexes  # noqa: F401
 from .builder import IndexBuilder, build_index  # noqa: F401
 from .catalog import IndexCatalog  # noqa: F401
+from .splitter import split_index  # noqa: F401

@@ -357,8 +357,23 @@ class IndexBuilder:
         an = self.analyzer
 
         counts = (transcripts.groupBy("conv_id")
-                  .agg(F.count("*").alias("n_turns"))
+                  .agg(F.count("*").alias("n_turns"),
+                       F.min("turn_idx").alias("_mn"),
+                       F.max("turn_idx").alias("_mx"))
                   .persist(StorageLevel.MEMORY_AND_DISK))
+        # doc_id = base + turn_idx is only valid when every conversation
+        # has DENSE turn_idx 0..n-1; a filtered/split input (gaps) would
+        # silently overrun its conversation's [base, base+n) range —
+        # postings past the norms array (observed via split_index).
+        # Detection is one aggregate over the conversation-sized counts
+        # table; the non-dense path assigns a per-conversation rank
+        # instead (window partitioned by conv_id — bounded partitions,
+        # never a global window).
+        dense_row = counts.agg(
+            F.max(F.col("_mn") != 0).alias("a"),
+            F.max(F.col("_mx") != F.col("n_turns") - 1).alias("b")
+        ).collect()[0]
+        dense = not (dense_row["a"] or dense_row["b"])
         # ordered prefix-sum over conversations (distributed zipWithIndex
         # on the conv table): range-partition by conv_id, local cumsum,
         # per-partition offsets from a tiny collect
@@ -404,12 +419,14 @@ class IndexBuilder:
             for pdf in batches:
                 if not len(pdf):
                     continue
-                # doc_id = conv base + turn_idx (the input contract
-                # guarantees dense per-conversation turn_idx 0..n-1, so
-                # this is batch-boundary-safe — a conversation may
-                # straddle Arrow batches)
+                # doc_id = conv base + offset; offset is turn_idx when
+                # the input is dense per conversation (batch-boundary-
+                # safe: purely algebraic, a conversation may straddle
+                # Arrow batches), or the precomputed _rank for gapped
+                # inputs (split/filtered corpora)
+                off_col = "_rank" if "_rank" in pdf.columns else "turn_idx"
                 doc_ids = (pdf["base"].to_numpy(dtype=np.int64)
-                           + pdf["turn_idx"].to_numpy(dtype=np.int64))
+                           + pdf[off_col].to_numpy(dtype=np.int64))
                 # computeNorm runs on the POST-FILTER token stream
                 # (FieldInvertState.length excludes stopped tokens), so
                 # counts go through the field's analyzer chain
@@ -433,7 +450,13 @@ class IndexBuilder:
         # each task writes 1-2 bucket dirs AND tasks are row-balanced —
         # hashing on bucket_id instead puts 2-3 whole buckets on one
         # task by birthday collision (observed 4x stragglers)
-        (transcripts.join(bases, "conv_id")
+        joined = transcripts.join(bases, "conv_id")
+        if not dense:
+            from pyspark.sql import Window
+            w = Window.partitionBy("conv_id").orderBy("turn_idx")
+            joined = joined.withColumn(
+                "_rank", (F.row_number().over(w) - 1).cast("long"))
+        (joined
          .repartitionByRange(n, "conv_id")
          .mapInPandas(assign, schema=DOCSTORE_SCHEMA)
          .write.mode("overwrite").partitionBy("bucket_id").parquet(path))
