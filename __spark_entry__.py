@@ -1038,6 +1038,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                                        n_ranges=4)
     q["ft_facet_dynamic"] = ft_facet_dynamic
 
+    def text_redact(sp, sf):
+        # PII scrub (the C4-style pass, ops/redact.py): every 10th doc
+        # gets deterministic synthetic PII appended (email + IP + SSN
+        # shape — the corpus itself has none), then the full redaction
+        # chain runs; counts + the redacted-text fingerprint are gated.
+        # Clean docs double as the false-positive gate (counts 0, text
+        # unchanged)
+        from lucene_spark.ops.redact import redact
+        d = _docs(sp, sf).withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(F.col("text"), F.lit(" contact user"),
+                         F.col("doc_id").cast("string"),
+                         F.lit("@example.com at 10.0.0."),
+                         (F.col("doc_id") % 256).cast("string"),
+                         F.lit(" ssn 123-45-6789")))
+            .otherwise(F.col("text")))
+        r = redact(d)
+        return r.select("doc_id", "n_email", "n_id", "n_ip", "n_phone",
+                        F.md5("redacted").alias("fp"))
+    q["text_redact"] = text_redact
+
     def mm_features(sp, sf):
         packed = MM.pack_binary(_docs(sp, sf), "text", "doc_id")
         return MM.extract_features(packed).select("id", "n_bytes", "sha")
@@ -2496,6 +2519,23 @@ SELECT t.doc_id, t.n_grams, h.c AS n_contaminated,
        AS contamination_frac
 FROM tot t JOIN hit h USING (doc_id)
 """
+
+    # redaction: same RE2 patterns, same application order, counts on
+    # the progressively redacted text (ops/redact.PII_PATTERNS)
+    from lucene_spark.ops.redact import PII_PATTERNS as _PII
+    _cur = ("CASE WHEN doc_id % 10 = 0 THEN text || ' contact user' || "
+            "doc_id::VARCHAR || '@example.com at 10.0.0.' || "
+            "(doc_id % 256)::VARCHAR || ' ssn 123-45-6789' "
+            "ELSE text END")
+    _sels = []
+    for _kind, _pat, _token in _PII:
+        _p = _pat.replace("'", "''")
+        _sels.append(f"len(regexp_extract_all({_cur}, '{_p}'))::INT "
+                     f"AS n_{_kind}")
+        _cur = f"regexp_replace({_cur}, '{_p}', '{_token}', 'g')"
+    o["text_redact"] = (
+        f"SELECT doc_id, {', '.join(_sels)}, md5({_cur}) AS fp "
+        f"FROM documents")
 
     o["text_bpe_budget"] = r"""
 WITH p AS (SELECT doc_id, text, regexp_extract_all(text,

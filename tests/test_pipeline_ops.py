@@ -179,3 +179,42 @@ def test_sample_rates_table_counts(spark, corpus):
 def test_sample_is_pure_filter(spark, corpus):
     plan = _formatted(stratified_sample(corpus, "lang", {"en": 0.5}))
     assert "Exchange" not in plan      # zero shuffle
+
+
+def test_redact_families_and_order(spark):
+    from lucene_spark.ops.redact import redact
+    rows = [
+        (0, "mail a.b+c@ex-ample.co.uk call +1 (415) 555-0123"),
+        (1, "host 192.168.0.1 ssn 123-45-6789 and 10.0.0.255"),
+        (2, "totally clean text with numbers 42 and 7"),
+        (3, "id 999-88-7777 phone 415 555 0199"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    r = {x.doc_id: x for x in redact(df).collect()}
+    assert r[0].redacted == "mail <EMAIL> call <PHONE>"
+    assert (r[0].n_email, r[0].n_phone) == (1, 1)
+    # order: IP and SSN are consumed BEFORE the loose phone family
+    assert r[1].redacted == "host <IP> ssn <ID> and <IP>"
+    assert (r[1].n_ip, r[1].n_id, r[1].n_phone) == (2, 1, 0)
+    assert r[3].redacted == "id <ID> phone <PHONE>"
+    # clean text: no false positives, byte-identical output
+    assert r[2].redacted == rows[2][1]
+    assert r[2].n_email == r[2].n_id == r[2].n_ip == r[2].n_phone == 0
+
+
+def test_redact_no_false_positives_on_corpus(spark):
+    # the whole sf0.001 corpus is PII-free: zero counts, unchanged text
+    from lucene_spark.ops.redact import redact
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    row = (redact(docs).join(docs.select("doc_id", "text"), "doc_id")
+           .selectExpr("sum(n_email + n_id + n_ip + n_phone) as s",
+                       "sum(case when redacted = text then 0 else 1 end)"
+                       " as changed").collect()[0])
+    assert row.s == 0 and row.changed == 0
+
+
+def test_redact_is_pure_projection(spark):
+    from lucene_spark.ops.redact import redact
+    df = spark.createDataFrame([(0, "x")], "doc_id long, text string")
+    plan = _formatted(redact(df))
+    assert "Exchange" not in plan
