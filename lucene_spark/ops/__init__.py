@@ -16,6 +16,7 @@ Design rules:
 """
 
 from .decontaminate import decontaminate
+from .redact import redact
 from .dedup import (exact_duplicates, jaccard_pairs, minhash_pairs,
                     minhash_signatures, simhash, tokens_expr)
 from .sampling import sample_rates_table, stratified_sample
@@ -28,5 +29,5 @@ __all__ = [
     "jaccard_pairs", "simhash", "cosine_topk", "lsh_cosine_topk",
     "token_stats", "text_quality", "lang_id", "fingerprint",
     "decontaminate", "repetition_signals", "stratified_sample",
-    "sample_rates_table",
+    "sample_rates_table", "redact",
 ]
