@@ -50,9 +50,13 @@ def main():
 
     import __spark_entry__ as E
     from pyspark.sql import SparkSession
-    spark = (SparkSession.builder.master("local[8]")
+    # CHECK_CPUS lets robustness sweeps re-run the gate at different
+    # parallelism: results must be partition-count independent (the
+    # r05 binary-ANN candidate-cut incident)
+    cpus = int(os.environ.get("CHECK_CPUS", "8"))
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("check_entry")
-             .config("spark.sql.shuffle.partitions", "8")
+             .config("spark.sql.shuffle.partitions", str(cpus))
              .config("spark.sql.adaptive.enabled", "true")
              .config("spark.driver.memory", "8g")
              .config("spark.ui.enabled", "false")
