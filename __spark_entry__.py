@@ -438,7 +438,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                  .select(F.lit("inter").alias("op"), "doc_id", "score_r"))
         comp = (_topk_df(sp, sf, MultiTermQuery("regexp", "s~(can)"), 10)
                 .select(F.lit("comp").alias("op"), "doc_id", "score_r"))
-        return core.unionByName(inter).unionByName(comp)
+        # 'auto' = NON-TAIL intersection ((s.*&.*a)n — an s-word whose
+        # body ends in a, then n): inexpressible as a Java regex
+        # lookahead, so expand_terms falls back to the true code-point
+        # DFA (kernels/automaton.py) evaluated as a vectorized Arrow
+        # filter over the term scan
+        auto = (_topk_df(sp, sf, MultiTermQuery("regexp", "(s.*&.*a)n"),
+                         10)
+                .select(F.lit("auto").alias("op"), "doc_id", "score_r"))
+        return (core.unionByName(inter).unionByName(comp)
+                .unionByName(auto))
     q["ft_regexp"] = ft_regexp
 
     def ft_sort_by_field(sp, sf):
@@ -1751,6 +1760,10 @@ FROM (SELECT * FROM mosa ORDER BY s DESC, doc_id LIMIT 10)
         WHERE regexp_full_match(f.term, 's.*')
           AND NOT regexp_full_match(f.term, 'scan')
         GROUP BY f.doc_id)
+, ma AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE regexp_full_match(f.term, 's.*an')
+        GROUP BY f.doc_id)
 SELECT 'core' AS op, doc_id, round(s, 3) AS score_r
 FROM (SELECT * FROM mc ORDER BY s DESC, doc_id LIMIT 10)
 UNION ALL
@@ -1759,6 +1772,9 @@ FROM (SELECT * FROM mi ORDER BY s DESC, doc_id LIMIT 10)
 UNION ALL
 SELECT 'comp', doc_id, round(s, 3)
 FROM (SELECT * FROM mn ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'auto', doc_id, round(s, 3)
+FROM (SELECT * FROM ma ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     o["ft_constant_set"] = P + """

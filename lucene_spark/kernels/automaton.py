@@ -1,0 +1,514 @@
+"""True code-point automata for Lucene RegExp semantics.
+
+``kernels.regexp.translate`` covers the Java-regex-expressible core and
+encodes TAIL-position complement/intersection with anchored lookaheads,
+but raises ``LuceneRegexpError`` for the shapes only a real automaton
+product can express: non-tail ``~``/``&`` (``(a&b)c``), and repeated
+complement/intersection (``(~(ab))*``). This module closes that
+documented deviation with the construction the reference itself uses —
+RegExp.java:toAutomaton builds a brics-style char-range automaton and
+Operations.java supplies determinize/complement/intersection
+(core:util/automaton/Operations.java, public Hopcroft/Thompson/subset
+algorithms) — re-derived here over Unicode code points:
+
+- Thompson NFA fragments per AST node, transitions stored as inclusive
+  code-point RANGES (lo, hi, dst) like the reference's Transition(min,
+  max, dest) — never per-character fan-out;
+- subset-construction determinization with per-subset cut-point
+  refinement (the minterm trick of Operations.determinize), capped at
+  DEFAULT_DETERMINIZE_WORK_LIMIT-style ``max_states`` (raises
+  LuceneRegexpError past it, mirroring TooComplexToDeterminizeException);
+- complement = complete-with-sink + flip accepting; intersection =
+  product over merged cut points — both yield DFAs that re-embed as NFA
+  fragments so ``~``/``&`` compose anywhere in the tree (concatenated,
+  repeated, nested);
+- evaluation is BATCH-vectorized for the executor-side dictionary scan:
+  the final DFA is completed and flattened into (cuts, table, accept)
+  numpy arrays; a whole Arrow batch of terms becomes one uint32
+  code-point matrix (utf-32 reinterpret, same trick as kernels/osa.py)
+  and the run is max_len steps of ``table[state, searchsorted(cuts, col)]``
+  — no per-term Python, no per-character Python.
+
+Scale shape: compilation happens once on the driver (pattern-sized,
+micro-seconds); the compiled arrays are a few KB and ship to executors
+inside the pandas-UDF closure; matching cost is O(max_term_len) numpy
+passes per batch, independent of dictionary size per row.
+
+Escape handling matches the ``translate`` path the goldens pinned:
+``\\x`` outside a class is the literal char x; inside a class, ``\\d``
+``\\s`` ``\\w`` expand to the Java-regex sets (the raw class text is
+passed to ``rlike`` verbatim on the fast path, so the automaton must
+agree), any other ``\\x`` is literal.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .regexp import LuceneRegexpError, parse
+
+__all__ = ["CompiledDfa", "compile_pattern", "match_terms", "accepts_udf"]
+
+MAX_CP = 0x10FFFF
+# RegExp.java passes Operations.DEFAULT_DETERMINIZE_WORK_LIMIT; we cap
+# DFA states the same way the pre-work-limit API did (10k states).
+MAX_DET_STATES = 10_000
+
+_CLASS_SETS = {
+    "d": [(0x30, 0x39)],
+    "s": [(0x09, 0x0D), (0x20, 0x20)],
+    "w": [(0x30, 0x39), (0x41, 0x5A), (0x5F, 0x5F), (0x61, 0x7A)],
+}
+
+
+# ---------------------------------------------------------------------------
+# NFA builder (Thompson fragments over code-point ranges)
+# ---------------------------------------------------------------------------
+
+class _Nfa:
+    def __init__(self):
+        self.trans: list[list[tuple[int, int, int]]] = []
+        self.eps: list[list[int]] = []
+
+    def new(self) -> int:
+        self.trans.append([])
+        self.eps.append([])
+        return len(self.trans) - 1
+
+    def edge(self, s: int, lo: int, hi: int, d: int) -> None:
+        self.trans[s].append((lo, hi, d))
+
+    def link(self, s: int, d: int) -> None:
+        self.eps[s].append(d)
+
+
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+def _invert_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    out, cur = [], 0
+    for lo, hi in _merge_ranges(ranges):
+        if lo > cur:
+            out.append((cur, lo - 1))
+        cur = max(cur, hi + 1)
+    if cur <= MAX_CP:
+        out.append((cur, MAX_CP))
+    return out
+
+
+def _class_ranges(raw: str) -> list[tuple[int, int]]:
+    """Parse the raw ``[...]`` text (brackets included) into inclusive
+    code-point ranges; ``^`` negation inverts over [0, U+10FFFF]."""
+    body = raw[1:-1]
+    neg = body.startswith("^")
+    if neg:
+        body = body[1:]
+    i, n = 0, len(body)
+    ranges: list[tuple[int, int]] = []
+
+    def _read(j: int) -> tuple[object, int]:
+        if body[j] == "\\" and j + 1 < n:
+            c = body[j + 1]
+            if c in _CLASS_SETS:
+                return ("set", c), j + 2
+            return ord(c), j + 2
+        return ord(body[j]), j + 1
+
+    while i < n:
+        c, i2 = _read(i)
+        if isinstance(c, tuple):
+            ranges.extend(_CLASS_SETS[c[1]])
+            i = i2
+            continue
+        if i2 < n and body[i2] == "-" and i2 + 1 < n:
+            d, i3 = _read(i2 + 1)
+            if isinstance(d, tuple):
+                raise LuceneRegexpError(f"bad class range in {raw!r}")
+            if c > d:
+                raise LuceneRegexpError(f"reversed class range in {raw!r}")
+            ranges.append((c, d))
+            i = i3
+        else:
+            ranges.append((c, c))
+            i = i2
+    if not ranges:
+        raise LuceneRegexpError(f"empty class {raw!r}")
+    return _invert_ranges(ranges) if neg else _merge_ranges(ranges)
+
+
+def _string_frag(nfa: _Nfa, s: str) -> tuple[int, int]:
+    start = nfa.new()
+    cur = start
+    for ch in s:
+        nxt = nfa.new()
+        nfa.edge(cur, ord(ch), ord(ch), nxt)
+        cur = nxt
+    return start, cur
+
+
+def _ranges_frag(nfa: _Nfa, ranges) -> tuple[int, int]:
+    s, a = nfa.new(), nfa.new()
+    for lo, hi in ranges:
+        nfa.edge(s, lo, hi, a)
+    return s, a
+
+
+def _same_len_frag(nfa: _Nfa, a: str, b: str) -> tuple[int, int]:
+    """Fragment for decimal strings s with len==len(a) and a <= s <= b
+    (the automaton twin of regexp._same_len)."""
+    if a == b:
+        return _string_frag(nfa, a)
+    if len(a) == 1:
+        return _ranges_frag(nfa, [(ord(a), ord(b))])
+    if a[0] == b[0]:
+        h = _ranges_frag(nfa, [(ord(a[0]), ord(a[0]))])
+        t = _same_len_frag(nfa, a[1:], b[1:])
+        nfa.link(h[1], t[0])
+        return h[0], t[1]
+    alts = []
+    lo9 = _same_len_frag(nfa, a[1:], "9" * (len(a) - 1))
+    h = _ranges_frag(nfa, [(ord(a[0]), ord(a[0]))])
+    nfa.link(h[1], lo9[0])
+    alts.append((h[0], lo9[1]))
+    lo_d, hi_d = ord(a[0]) + 1, ord(b[0]) - 1
+    if lo_d <= hi_d:
+        mid = _ranges_frag(nfa, [(lo_d, hi_d)])
+        cur = mid
+        for _ in range(len(a) - 1):
+            dig = _ranges_frag(nfa, [(0x30, 0x39)])
+            nfa.link(cur[1], dig[0])
+            cur = (mid[0], dig[1])
+        alts.append(cur)
+    hi0 = _same_len_frag(nfa, "0" * (len(b) - 1), b[1:])
+    h2 = _ranges_frag(nfa, [(ord(b[0]), ord(b[0]))])
+    nfa.link(h2[1], hi0[0])
+    alts.append((h2[0], hi0[1]))
+    s, acc = nfa.new(), nfa.new()
+    for fs, fa in alts:
+        nfa.link(s, fs)
+        nfa.link(fa, acc)
+    return s, acc
+
+
+def _interval_frag(nfa: _Nfa, lo: int, hi: int) -> tuple[int, int]:
+    """``0*`` then the union over digit lengths — the language of
+    regexp._interval_rx (brics makeDecimalInterval, digits=0)."""
+    z = nfa.new()
+    nfa.edge(z, 0x30, 0x30, z)  # leading zeros
+    alts = []
+    for d in range(len(str(lo)), len(str(hi)) + 1):
+        dlo = max(lo, 0 if d == 1 else 10 ** (d - 1))
+        dhi = min(hi, 10 ** d - 1)
+        if dlo <= dhi:
+            alts.append(_same_len_frag(
+                nfa, str(dlo).zfill(d), str(dhi).zfill(d)))
+    acc = nfa.new()
+    for fs, fa in alts:
+        nfa.link(z, fs)
+        nfa.link(fa, acc)
+    return z, acc
+
+
+def _embed_dfa(nfa: _Nfa, dfa) -> tuple[int, int]:
+    """Re-embed a DFA (trans list + accept flags) as an NFA fragment
+    with a single accept state, so complement/intersection results
+    compose under concat/union/repeat like any other fragment."""
+    trans, accept = dfa
+    base = [nfa.new() for _ in trans]
+    acc = nfa.new()
+    for i, edges in enumerate(trans):
+        for lo, hi, d in edges:
+            nfa.edge(base[i], lo, hi, base[d])
+        if accept[i]:
+            nfa.link(base[i], acc)
+    return base[0], acc
+
+
+def _frag(nfa: _Nfa, node) -> tuple[int, int]:
+    kind = node[0]
+    if kind == "char":
+        return _string_frag(nfa, node[1])
+    if kind == "string":
+        return _string_frag(nfa, node[1])
+    if kind == "any":
+        return _ranges_frag(nfa, [(0, MAX_CP)])
+    if kind == "anystring":
+        s = nfa.new()
+        nfa.edge(s, 0, MAX_CP, s)
+        return s, s
+    if kind == "nothing":
+        return nfa.new(), nfa.new()  # accept unreachable
+    if kind == "class":
+        return _ranges_frag(nfa, _class_ranges(node[1]))
+    if kind == "interval":
+        return _interval_frag(nfa, node[1], node[2])
+    if kind == "union":
+        f1, f2 = _frag(nfa, node[1]), _frag(nfa, node[2])
+        s, a = nfa.new(), nfa.new()
+        nfa.link(s, f1[0])
+        nfa.link(s, f2[0])
+        nfa.link(f1[1], a)
+        nfa.link(f2[1], a)
+        return s, a
+    if kind == "concat":
+        parts = [_frag(nfa, p) for p in node[1]]
+        for (_, a), (s2, _) in zip(parts, parts[1:]):
+            nfa.link(a, s2)
+        return parts[0][0], parts[-1][1]
+    if kind == "repeat":
+        return _repeat_frag(nfa, node[1], node[2])
+    if kind == "comp":
+        sub = _determinize(*_sub_nfa(node[1]))
+        return _embed_dfa(nfa, _complement(sub))
+    if kind == "inter":
+        d1 = _complete(_determinize(*_sub_nfa(node[1])))
+        d2 = _complete(_determinize(*_sub_nfa(node[2])))
+        return _embed_dfa(nfa, _product(d1, d2))
+    raise LuceneRegexpError(f"unknown node {kind}")
+
+
+def _repeat_frag(nfa: _Nfa, inner, spec: str) -> tuple[int, int]:
+    def once():
+        return _frag(nfa, inner)
+
+    if spec == "?":
+        f = once()
+        s, a = nfa.new(), nfa.new()
+        nfa.link(s, f[0])
+        nfa.link(f[1], a)
+        nfa.link(s, a)
+        return s, a
+    if spec == "*":
+        f = once()
+        s = nfa.new()
+        nfa.link(s, f[0])
+        nfa.link(f[1], s)
+        return s, s
+    if spec == "+":
+        f = once()
+        nfa.link(f[1], f[0])
+        return f
+    # {n} / {n,} / {n,m} — expand by recompiling the subtree per copy
+    body = spec[1:-1]
+    if "," in body:
+        lo_s, hi_s = body.split(",", 1)
+        lo = int(lo_s)
+        hi = int(hi_s) if hi_s else None
+    else:
+        lo = hi = int(body)
+    start = cur = nfa.new()
+    for _ in range(lo):
+        f = once()
+        nfa.link(cur, f[0])
+        cur = f[1]
+    if hi is None:
+        f = once()
+        nfa.link(cur, f[0])
+        nfa.link(f[1], cur)
+        return start, cur
+    acc = nfa.new()
+    nfa.link(cur, acc)
+    for _ in range(hi - lo):
+        f = once()
+        nfa.link(cur, f[0])
+        cur = f[1]
+        nfa.link(cur, acc)
+    return start, acc
+
+
+def _sub_nfa(node) -> tuple[_Nfa, int, int]:
+    nfa = _Nfa()
+    s, a = _frag(nfa, node)
+    return nfa, s, a
+
+
+# ---------------------------------------------------------------------------
+# subset construction / complement / product
+# ---------------------------------------------------------------------------
+
+def _closure(nfa: _Nfa, states: frozenset[int]) -> frozenset[int]:
+    stack, seen = list(states), set(states)
+    while stack:
+        s = stack.pop()
+        for d in nfa.eps[s]:
+            if d not in seen:
+                seen.add(d)
+                stack.append(d)
+    return frozenset(seen)
+
+
+def _determinize(nfa: _Nfa, start: int, accept: int):
+    """Subset construction with per-subset cut-point refinement.
+    Returns (trans, accept_flags) with PARTIAL transitions (missing
+    range = dead)."""
+    init = _closure(nfa, frozenset((start,)))
+    ids = {init: 0}
+    order = [init]
+    trans: list[list[tuple[int, int, int]]] = [[]]
+    acc = [accept in init]
+    i = 0
+    while i < len(order):
+        subset = order[i]
+        edges = [t for s in subset for t in nfa.trans[s]]
+        if edges:
+            cuts = sorted({lo for lo, _, _ in edges}
+                          | {hi + 1 for _, hi, _ in edges if hi < MAX_CP})
+            for j, c in enumerate(cuts):
+                hi = (cuts[j + 1] - 1) if j + 1 < len(cuts) else MAX_CP
+                dst = frozenset(d for lo, h, d in edges if lo <= c <= h)
+                if not dst:
+                    continue
+                dst = _closure(nfa, dst)
+                if dst not in ids:
+                    if len(ids) >= MAX_DET_STATES:
+                        raise LuceneRegexpError(
+                            "determinized automaton exceeds "
+                            f"{MAX_DET_STATES} states")
+                    ids[dst] = len(order)
+                    order.append(dst)
+                    trans.append([])
+                    acc.append(accept in dst)
+                trans[i].append((c, hi, ids[dst]))
+        i += 1
+    return trans, acc
+
+
+def _complete(dfa):
+    """Total transition function: gaps -> a dead sink (self-loop)."""
+    trans, acc = dfa
+    trans = [list(e) for e in trans]
+    acc = list(acc)
+    sink = len(trans)
+    used_sink = False
+    for s in range(len(trans)):
+        out, cur = [], 0
+        for lo, hi, d in sorted(trans[s]):
+            if lo > cur:
+                out.append((cur, lo - 1, sink))
+                used_sink = True
+            out.append((lo, hi, d))
+            cur = hi + 1
+        if cur <= MAX_CP:
+            out.append((cur, MAX_CP, sink))
+            used_sink = True
+        trans[s] = out
+    if used_sink:
+        trans.append([(0, MAX_CP, sink)])
+        acc.append(False)
+    return trans, acc
+
+
+def _complement(dfa):
+    trans, acc = _complete(dfa)
+    return trans, [not a for a in acc]
+
+
+def _product(d1, d2):
+    """Intersection product of two COMPLETE DFAs."""
+    t1, a1 = d1
+    t2, a2 = d2
+    ids = {(0, 0): 0}
+    order = [(0, 0)]
+    trans: list[list[tuple[int, int, int]]] = [[]]
+    acc = [a1[0] and a2[0]]
+    i = 0
+    while i < len(order):
+        s1, s2 = order[i]
+        cuts = sorted({lo for lo, _, _ in t1[s1]}
+                      | {lo for lo, _, _ in t2[s2]})
+        for j, c in enumerate(cuts):
+            hi = (cuts[j + 1] - 1) if j + 1 < len(cuts) else MAX_CP
+            d1s = next(d for lo, h, d in t1[s1] if lo <= c <= h)
+            d2s = next(d for lo, h, d in t2[s2] if lo <= c <= h)
+            key = (d1s, d2s)
+            if key not in ids:
+                if len(ids) >= MAX_DET_STATES:
+                    raise LuceneRegexpError(
+                        f"product automaton exceeds {MAX_DET_STATES} states")
+                ids[key] = len(order)
+                order.append(key)
+                trans.append([])
+                acc.append(a1[d1s] and a2[d2s])
+            trans[i].append((c, hi, ids[key]))
+        i += 1
+    return trans, acc
+
+
+# ---------------------------------------------------------------------------
+# compiled form + vectorized evaluation
+# ---------------------------------------------------------------------------
+
+class CompiledDfa:
+    """Flattened total DFA: ``cuts`` (sorted class boundaries),
+    ``table[state, class] -> state``, ``accept[state]``. Pickles small
+    (a few KB) into pandas-UDF closures."""
+
+    def __init__(self, dfa):
+        trans, acc = _complete(dfa)
+        cuts = sorted({lo for edges in trans for lo, _, _ in edges})
+        self.cuts = np.asarray(cuts, dtype=np.uint32)
+        table = np.zeros((len(trans), len(cuts)), dtype=np.int32)
+        for s, edges in enumerate(trans):
+            los = [lo for lo, _, _ in edges]
+            dsts = [d for _, _, d in edges]
+            idx = np.searchsorted(los, cuts, side="right") - 1
+            table[s] = np.asarray(dsts, dtype=np.int32)[idx]
+        self.table = table
+        self.accept = np.asarray(acc, dtype=bool)
+
+    def accepts(self, terms: list[str]) -> np.ndarray:
+        """One uint32 matrix + max_len vectorized steps for the batch."""
+        n = len(terms)
+        if n == 0:
+            return np.zeros(0, dtype=bool)
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64,
+                           count=n)
+        L = int(lens.max()) if n else 0
+        state = np.zeros(n, dtype=np.int32)
+        if L:
+            buf = np.frombuffer("".join(terms).encode("utf-32-le"),
+                                dtype=np.uint32)
+            mat = np.zeros((n, L), dtype=np.uint32)
+            rows = np.repeat(np.arange(n), lens)
+            offs = np.repeat(np.cumsum(lens) - lens, lens)
+            mat[rows, np.arange(len(buf)) - offs] = buf
+            for j in range(L):
+                alive = lens > j
+                if not alive.any():
+                    break
+                cls = np.searchsorted(self.cuts, mat[alive, j],
+                                      side="right") - 1
+                state[alive] = self.table[state[alive], cls]
+        return self.accept[state]
+
+
+def compile_pattern(pattern: str) -> CompiledDfa:
+    """Lucene RegExp pattern -> total-DFA matcher (full syntax,
+    including non-tail / repeated ``~`` and ``&``)."""
+    return CompiledDfa(_determinize(*_sub_nfa(parse(pattern))))
+
+
+def match_terms(pattern: str, terms: list[str]) -> np.ndarray:
+    """Convenience: compile + batch-accept (driver-side callers)."""
+    return compile_pattern(pattern).accepts(list(terms))
+
+
+def accepts_udf(dfa: CompiledDfa):
+    """Arrow-batched boolean pandas_udf over a term column — the
+    executor-side RegexpQuery expansion scan for patterns the
+    Java-regex translation can't express (AutomatonTermsEnum's role,
+    core:index/AutomatonTermsEnum.java, as a vectorized batch filter)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("boolean")
+    def _ok(s: pd.Series) -> pd.Series:
+        return pd.Series(dfa.accepts(s.tolist()), index=s.index)
+    return _ok

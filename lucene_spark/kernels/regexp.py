@@ -23,9 +23,11 @@ equivalent fullmatch-anchored Java/Python regex:
 Lookahead encodings are exact ONLY in TAIL position (nothing
 concatenated after, not repeated) — there the subexpression must match
 precisely the remaining suffix, which is what the ``$``-anchored
-lookahead tests. Non-tail complement/intersection would need a real
-automaton product; those raise ValueError (documented deviation —
-``(a&b)c`` is rejected, ``c(a&b)`` works).
+lookahead tests. Non-tail complement/intersection need a real automaton
+product; those raise LuceneRegexpError and every caller falls back to
+the TRUE code-point DFA in ``kernels/automaton.py`` (full RegExp
+syntax, vectorized batch evaluation), keeping this translation as the
+pushed-down JVM ``rlike`` fast path for the expressible shapes.
 
 The emitted pattern carries no flags; callers anchor it with
 ``^...$`` / fullmatch like the reference's automaton acceptance.
@@ -35,7 +37,7 @@ from __future__ import annotations
 
 import re as _re
 
-__all__ = ["translate", "LuceneRegexpError"]
+__all__ = ["translate", "parse", "LuceneRegexpError"]
 
 
 class LuceneRegexpError(ValueError):
@@ -265,11 +267,19 @@ def _emit(node, tail: bool) -> str:
     raise LuceneRegexpError(f"unknown node {kind}")
 
 
-def translate(pattern: str) -> str:
-    """Lucene RegExp pattern -> Java/Python regex body (caller anchors
-    with ^...$ / fullmatch)."""
+def parse(pattern: str):
+    """Lucene RegExp pattern -> AST (the tuple trees consumed by
+    ``_emit`` here and by ``kernels.automaton``'s NFA compiler)."""
     p = _P(pattern)
     ast = p.union()
     if p.more():
         raise LuceneRegexpError(f"trailing input at {p.i}: {pattern!r}")
-    return _emit(ast, True)
+    return ast
+
+
+def translate(pattern: str) -> str:
+    """Lucene RegExp pattern -> Java/Python regex body (caller anchors
+    with ^...$ / fullmatch). Raises LuceneRegexpError for non-tail
+    complement/intersection — callers fall back to the true automaton
+    (``kernels.automaton.compile_pattern``) on that path."""
+    return _emit(parse(pattern), True)

@@ -195,9 +195,14 @@ def _mtq_match(q, terms) -> bool:
             for c in q.pattern))
         return any(rx.fullmatch(t) for t in terms)
     if q.kind == "regexp":
+        from ..kernels.regexp import LuceneRegexpError
         from ..kernels.regexp import translate as _lucene_rx
-        rx = _re.compile(_lucene_rx(q.pattern))
-        return any(rx.fullmatch(t) for t in terms)
+        try:
+            rx = _re.compile(_lucene_rx(q.pattern))
+            return any(rx.fullmatch(t) for t in terms)
+        except LuceneRegexpError:  # non-tail ~/& -> true automaton
+            from ..kernels.automaton import match_terms
+            return bool(match_terms(q.pattern, list(terms)).any())
     if q.kind == "fuzzy":
         p = q.pattern
         if getattr(q, "transpositions", True):
@@ -393,9 +398,14 @@ def _verify_batch(pdf, reg: dict):
                          else _re.escape(c) for c in q.pattern)
             return s.str.fullmatch(rx).fillna(False).to_numpy(dtype=bool)
         if q.kind == "regexp":
+            from ..kernels.regexp import LuceneRegexpError
             from ..kernels.regexp import translate as _lucene_rx
-            return (s.str.fullmatch(_lucene_rx(q.pattern)).fillna(False)
-                    .to_numpy(dtype=bool))
+            try:
+                return (s.str.fullmatch(_lucene_rx(q.pattern))
+                        .fillna(False).to_numpy(dtype=bool))
+            except LuceneRegexpError:  # non-tail ~/& -> true automaton
+                from ..kernels.automaton import match_terms
+                return match_terms(q.pattern, list(uniq))
         if q.kind == "fuzzy":
             from ..kernels.osa import osa_leq
             return osa_leq(list(uniq), q.pattern, q.max_edits,

@@ -380,10 +380,20 @@ class IndexSearcher:
         elif kind == "regexp":
             # RegexpQuery patterns use Lucene's RegExp syntax, not Java
             # regex (complement/intersection/numeric intervals) —
-            # translate before the pushed-down rlike (kernels/regexp.py)
-            from ..kernels.regexp import translate as _lucene_rx
-            ts = ts.filter(F.col("term").rlike("^(?:" + _lucene_rx(pat)
-                                               + ")$"))
+            # translate before the pushed-down rlike (kernels/regexp.py).
+            # Patterns the Java-regex encoding can't express (non-tail
+            # or repeated ~/&) compile to a true code-point DFA and run
+            # as a vectorized Arrow-batch filter on the same scan
+            # (kernels/automaton.py — AutomatonTermsEnum's role)
+            from ..kernels.regexp import (LuceneRegexpError,
+                                          translate as _lucene_rx)
+            try:
+                ts = ts.filter(F.col("term").rlike(
+                    "^(?:" + _lucene_rx(pat) + ")$"))
+            except LuceneRegexpError:
+                from ..kernels.automaton import accepts_udf, compile_pattern
+                ts = ts.filter(accepts_udf(compile_pattern(pat))(
+                    F.col("term")))
         elif kind == "fuzzy":
             # banded acceptance like the Levenshtein automaton's length
             # bound: |len(t) - len(pat)| <= k is NECESSARY for distance
