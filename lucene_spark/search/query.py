@@ -461,6 +461,7 @@ def from_dict(q: dict):
 #   term^2.5        boost
 #   wild* / wi?ld   wildcard MultiTermQuery
 #   term~1          fuzzy MultiTermQuery (edit distance)
+#   /re.*gexp/      regexp MultiTermQuery (Lucene RegExp syntax)
 #   ( ... )         grouping (nested boolean)
 # Default operator is OR (bare clauses are SHOULD), like the reference.
 # ---------------------------------------------------------------------------
@@ -470,6 +471,7 @@ _TOKEN_RE = re.compile(
     r'\(|\)'                           # grouping
     r'|(?:\[[^\]]*\]|\{[^}]*\})(?:\^\d+(?:\.\d+)?)?'  # ranges (+^boost)
     r'|"[^"]*"(?:~\d+)?(?:\^\d+(?:\.\d+)?)?'  # phrase (+~slop) (+^boost)
+    r'|(?:[^\s():/]+:)?/[^/]*/(?:\^\d+(?:\.\d+)?)?'  # [f:]/regexp/ (+^boost)
     r'|AND\b|OR\b|NOT\b'               # operators
     r'|\+|-'                           # occur prefixes
     r'|[^\s()+"\[{]+'                  # term-ish (field:term, boost, fuzzy)
@@ -516,6 +518,13 @@ def _parse_atom(tok: str, field: str):
         if m.group(4) == "]" and hi is not None:
             hi = hi + "\x00"
         return MultiTermQuery("range", (lo, hi), field, boost=boost), boost
+    if tok.startswith("/") and tok.endswith("/") and len(tok) >= 2:
+        # /regexp/ — Lucene RegExp syntax (QueryParser.java Regexp
+        # production). Lowercased like the wildcard/fuzzy atoms: the
+        # term dictionary is lowercase, so uppercase literals could
+        # never match
+        return MultiTermQuery("regexp", tok[1:-1].lower(), field,
+                              boost=boost), boost
     if tok.startswith('"'):
         body = tok[1:]
         slop = 0

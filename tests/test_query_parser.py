@@ -1,5 +1,5 @@
 """Classic QueryParser subset v2: field:term, +/-, AND/OR/NOT, boosts,
-sloppy phrases, wildcard/fuzzy terms, grouping
+sloppy phrases, wildcard/fuzzy terms, /regexp/ terms, grouping
 (queryparser/classic/QueryParser.java:82). Round-trips into the Query
 AST and executes end-to-end against the oracle."""
 
@@ -129,3 +129,29 @@ def test_parsed_boolean_of_boolean_executes(searcher, oracle):
         BooleanQuery(must=(BooleanQuery(should=(T[1], T[2])),
                            BooleanQuery(should=(T[4], T[5])))), 10)
     assert got == want
+
+
+# ---- /regexp/ syntax (QueryParser.java Regexp production) --------------
+
+def test_regexp_atom():
+    q = parse_query("/s(low|ort)/")
+    assert q == MultiTermQuery("regexp", "s(low|ort)")
+
+
+def test_regexp_with_field_boost_and_clauses():
+    q = parse_query("vector AND /ind.*/^2")
+    assert isinstance(q, BooleanQuery)
+    assert MultiTermQuery("regexp", "ind.*", boost=2.0) in q.must
+    q2 = parse_query("text:/w[0-9]+/ fast")
+    assert MultiTermQuery("regexp", "w[0-9]+", "text") in q2.should
+    # slash inside a bare term stays a term (paths are not regexps)
+    assert parse_query("a/b") == TermQuery("a/b")
+
+
+def test_regexp_parsed_executes(searcher, oracle):
+    # parsed /regexp/ == hand-built MultiTermQuery, including a
+    # non-tail-intersection pattern that runs the DFA fallback
+    for pat in ("w.*&.*1", "(w.*&.*1)()"):
+        got = searcher.search(parse_query(f"/{pat}/"), k=10)
+        want = searcher.search(MultiTermQuery("regexp", pat), k=10)
+        assert got == want and got
