@@ -296,3 +296,145 @@ class BM25Scorer:
         (MaxScoreCache.java:19-159 computes exactly score(freq, norm))."""
         s = self.score(np.asarray(freqs), np.asarray(norm_codes))
         return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
+class DFIScorer:
+    """Divergence from Independence (core:search/similarities/
+    DFISimilarity.java:70-81): expected = (ttf + 1) * dl /
+    (sum_ttf + 1); score = 0 when freq <= expected, else boost *
+    log2(independence(freq, expected) + 1) with the three reference
+    measures (IndependenceChiSquared.java:33 (f-e)^2/e,
+    IndependenceStandardized.java:33 (f-e)/sqrt(e),
+    IndependenceSaturated.java:31 (f-e)/e). Parameter-free; the
+    reference javadoc recommends NOT removing stop words with it.
+    Double interior like SimilarityBase, float32 cast at the end."""
+
+    MEASURES = ("chi_squared", "standardized", "saturated")
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0,
+                 independence: str = "chi_squared"):
+        if independence not in self.MEASURES:
+            raise ValueError(f"unknown independence {independence!r}")
+        self.independence = independence
+        self.exp_per_dl = np.float64(ttf + 1.0) / np.float64(sum_ttf + 1.0)
+        self.boost = np.float32(boost)
+        self.idf = np.float32(-np.log(self.exp_per_dl))  # for explain()
+        self.weight = self.boost
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+
+    def _measure(self, f, e):
+        if self.independence == "chi_squared":
+            return (f - e) * (f - e) / e
+        if self.independence == "standardized":
+            return (f - e) / np.sqrt(e)
+        return (f - e) / e
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        e = self.exp_per_dl * dl
+        s = np.float64(self.boost) * np.log2(self._measure(f, e) + 1.0)
+        return np.where(f <= e, 0.0, s).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(0.0)
+
+
+def dfi_scorer(independence: str):
+    """Factory-of-factories: IndexSearcher(similarity=
+    dfi_scorer("standardized")) — mirrors new DFISimilarity(measure)."""
+    def _make(doc_freq, doc_count, sum_ttf, boost=1.0, ttf=0):
+        return DFIScorer(doc_freq, doc_count, sum_ttf, boost=boost,
+                         ttf=ttf, independence=independence)
+    return _make
+
+
+class BooleanScorer:
+    """BooleanSimilarity (core:search/similarities/
+    BooleanSimilarity.java:50-52): every match scores exactly the query
+    boost — frequency, norms, and collection stats are ignored."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int = 0,
+                 boost: float = 1.0, ttf: int = 0):
+        self.boost = np.float32(boost)
+        self.idf = np.float32(1.0)  # for explain()
+        self.weight = self.boost
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        return np.full(np.asarray(freqs).shape, self.boost,
+                       dtype=np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        return self.boost if np.asarray(freqs).size else np.float32(0.0)
+
+
+class SweetSpotScorer:
+    """SweetSpotSimilarity (misc:SweetSpotSimilarity.java:111-147): the
+    ClassicSimilarity TF-IDF family with a plateau — lengthNorm(dl) =
+    1/sqrt(steep*(|dl-ln_min| + |dl-ln_max| - (ln_max-ln_min)) + 1)
+    is flat 1.0 inside [ln_min, ln_max], and baselineTf(f) = base for
+    0 < f <= tf_min else sqrt(f + base^2 - tf_min). With the defaults
+    (ln 1..1 steep .5, tf 0/0) it degrades to ClassicScorer exactly.
+    The reference bakes lengthNorm into the index-time norm byte; this
+    engine stores SmallFloat length codes, so the same function runs at
+    query time over the decoded length — identical up to the shared
+    SmallFloat quantization (same trade ClassicScorer documents)."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int = 0,
+                 boost: float = 1.0, ttf: int = 0,
+                 ln_min: int = 1, ln_max: int = 1, steepness: float = 0.5,
+                 tf_base: float = 0.0, tf_min: float = 0.0):
+        idf_d = 1.0 + np.log((doc_count + 1.0) / (doc_freq + 1.0))
+        self.idf = np.float32(idf_d)
+        self.weight = np.float32(np.float32(boost) * self.idf * self.idf)
+        self.tf_base = np.float64(tf_base)
+        self.tf_min = np.float64(tf_min)
+        dl = np.maximum(LENGTH_TABLE.astype(np.float64), 1.0)
+        raw = (steepness * (np.abs(dl - ln_min) + np.abs(dl - ln_max)
+                            - (ln_max - ln_min)) + 1.0)
+        self.norm_table = (1.0 / np.sqrt(raw)).astype(np.float32)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        tf = np.where(f <= self.tf_min, self.tf_base,
+                      np.sqrt(np.maximum(
+                          f + self.tf_base * self.tf_base - self.tf_min,
+                          0.0)))
+        tf = np.where(f == 0.0, 0.0, tf).astype(np.float32)
+        ln = self.norm_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        return (self.weight * tf * ln).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        """CONSERVATIVE bound: the plateau makes lengthNorm NON-monotone
+        in dl (it rises toward ln_min from below), which violates the
+        impact skyline's dominance assumption (scores non-increasing in
+        norm — CompetitiveImpactAccumulator's contract); a dominated
+        (freq, shorter-doc) pair could out-score every kept pair. Bound
+        with the block's max freq times the GLOBAL max lengthNorm —
+        looser but always an upper bound, so pruned == exhaustive."""
+        f = np.asarray(freqs)
+        if not f.size:
+            return np.float32(0.0)
+        fmax = np.float64(f.max())
+        if fmax == 0.0:
+            return np.float32(0.0)
+        tf = (self.tf_base if fmax <= self.tf_min
+              else np.sqrt(max(fmax + self.tf_base * self.tf_base
+                               - self.tf_min, 0.0)))
+        return np.float32(self.weight * np.float32(tf)
+                          * self.norm_table.max())
+
+
+def sweetspot_scorer(ln_min: int, ln_max: int, steepness: float = 0.5,
+                     tf_base: float = 0.0, tf_min: float = 0.0):
+    """Factory-of-factories mirroring setLengthNormFactors /
+    setBaselineTfFactors: IndexSearcher(similarity=
+    sweetspot_scorer(40, 120))."""
+    def _make(doc_freq, doc_count, sum_ttf, boost=1.0, ttf=0):
+        return SweetSpotScorer(doc_freq, doc_count, sum_ttf, boost=boost,
+                               ttf=ttf, ln_min=ln_min, ln_max=ln_max,
+                               steepness=steepness, tf_base=tf_base,
+                               tf_min=tf_min)
+    return _make

@@ -95,3 +95,95 @@ def test_ib_ll_d_formula():
     tfn = 3.0 * np.log2(1.0 + (5000.0 / 100.0) / dl)
     want = -np.log(lam / (tfn + lam))
     assert got == pytest.approx(want, rel=1e-6)
+
+
+# ---- DFI / Boolean / SweetSpot (round-5 family completion) -------------
+
+def test_dfi_formulas():
+    from lucene_spark.kernels.bm25 import DFIScorer
+    code = int(int_to_byte4(np.array([30]))[0])
+    dl = float(LENGTH_TABLE[code])
+    e = (50.0 + 1.0) * dl / (5000.0 + 1.0)
+    for measure, m in [("chi_squared", (3.0 - e) ** 2 / e),
+                       ("standardized", (3.0 - e) / np.sqrt(e)),
+                       ("saturated", (3.0 - e) / e)]:
+        sc = DFIScorer(10, 100, 5000, ttf=50, independence=measure)
+        got = float(sc.score(np.array([3]), np.array([code]))[0])
+        assert got == pytest.approx(np.log2(m + 1.0), rel=1e-6), measure
+        # freq <= expected scores exactly 0 (DFISimilarity.java:77)
+        big = int(int_to_byte4(np.array([200000]))[0])
+        assert float(sc.score(np.array([1]), np.array([big]))[0]) == 0.0
+
+
+def test_boolean_similarity_scores_boost():
+    from lucene_spark.kernels.bm25 import BooleanScorer
+    sc = BooleanScorer(10, 100, boost=2.5)
+    code = int(int_to_byte4(np.array([30]))[0])
+    assert list(sc.score(np.array([1, 7]), np.array([code, 3]))) == \
+        [np.float32(2.5)] * 2
+    assert sc.max_score_for_impacts(np.array([9]), np.array([code])) == \
+        np.float32(2.5)
+
+
+def test_sweetspot_default_degrades_to_classic():
+    from lucene_spark.kernels.bm25 import ClassicScorer, SweetSpotScorer
+    f = np.array([0, 1, 2, 5, 11])
+    n = np.array([int(int_to_byte4(np.array([x]))[0])
+                  for x in (1, 7, 30, 120, 4000)])
+    assert np.array_equal(SweetSpotScorer(10, 100).score(f, n),
+                          ClassicScorer(10, 100).score(f, n))
+
+
+def test_sweetspot_plateau_and_baseline():
+    from lucene_spark.kernels.bm25 import SweetSpotScorer
+    sc = SweetSpotScorer(1, 2, ln_min=20, ln_max=60, steepness=0.5,
+                         tf_base=1.5, tf_min=2.0)
+    codes = [int(int_to_byte4(np.array([x]))[0]) for x in (5, 20, 40, 60, 200)]
+    s = sc.score(np.array([3] * 5), np.array(codes))
+    # flat 1.0 lengthNorm inside [ln_min, ln_max]
+    assert s[1] == s[2] == s[3]
+    # non-monotone: shorter-than-plateau docs score LOWER than plateau
+    assert s[0] < s[1] and s[4] < s[3]
+    # baselineTf: 0 < f <= tf_min pins tf at tf_base
+    one = sc.score(np.array([1, 2, 3]), np.array([codes[2]] * 3))
+    assert one[0] == one[1]  # both <= tf_min -> tf_base
+    assert one[2] > one[1]
+    assert float(sc.score(np.array([0]), np.array([codes[2]]))[0]) == 0.0
+
+
+def _extra_sims():
+    from lucene_spark.kernels.bm25 import (BooleanScorer, dfi_scorer,
+                                           sweetspot_scorer)
+    return [dfi_scorer("chi_squared"), dfi_scorer("standardized"),
+            BooleanScorer, sweetspot_scorer(10, 40, 0.5)]
+
+
+@pytest.mark.parametrize("scorer_cls", _extra_sims())
+def test_new_sims_search_matches_bruteforce(spark, small_index, scorer_cls):
+    s = IndexSearcher(spark, small_index, similarity=scorer_cls)
+    cat = IndexCatalog(small_index)
+    pdf = (spark.read.parquet(cat.table_path("docstore"))
+           .select("doc_id", "text").orderBy("doc_id").toPandas())
+    o = BruteForceOracle(pdf)
+
+    def brute(term, k):
+        sc = scorer_cls(o.df[term], o.doc_count, o.sum_ttf,
+                        ttf=sum(c.get(term, 0) for c in o.tfs))
+        tf = np.array([c.get(term, 0) for c in o.tfs], dtype=np.int64)
+        sv = sc.score(tf, o.norms)
+        idx = np.flatnonzero(tf > 0)
+        order = np.lexsort((o.doc_ids[idx], -sv[idx]))[:k]
+        return [(int(o.doc_ids[idx[i]]), np.float32(sv[idx[i]]))
+                for i in order]
+
+    for term in (T[0], T[3], T[9]):
+        assert s.search(TermQuery(term), k=10) == brute(term, 10), term
+
+
+@pytest.mark.parametrize("scorer_cls", _extra_sims())
+def test_new_sims_pruned_equals_exhaustive(spark, small_index, scorer_cls):
+    # sweetspot's plateau violates the skyline dominance assumption —
+    # its conservative global-max-norm bound must keep pruning safe
+    s = IndexSearcher(spark, small_index, similarity=scorer_cls)
+    q = OrQuery((T[1], T[4], T[8]))
+    assert s.search(q, k=10, pruned=True) == s.search(q, k=10, pruned=False)
