@@ -34,7 +34,9 @@ from .smallfloat import LENGTH_TABLE
 __all__ = ["idf", "sum_idf", "avg_field_length", "norm_inverse_cache",
            "bm25_score", "BM25Scorer", "ClassicScorer", "LMDirichletScorer",
            "LMJelinekMercerScorer", "AxiomaticF2EXPScorer",
-           "DFRInLH2Scorer", "IBLLDScorer"]
+           "DFRInLH2Scorer", "IBLLDScorer", "DFIScorer", "dfi_scorer",
+           "BooleanScorer", "SweetSpotScorer", "sweetspot_scorer",
+           "IndriDirichletScorer", "RawTFScorer", "multi_scorer"]
 
 K1_DEFAULT = np.float32(1.2)
 B_DEFAULT = np.float32(0.75)
@@ -438,3 +440,92 @@ def sweetspot_scorer(ln_min: int, ln_max: int, steepness: float = 0.5,
                                steepness=steepness, tf_base=tf_base,
                                tf_min=tf_min)
     return _make
+
+
+class IndriDirichletScorer:
+    """Indri's Dirichlet-smoothed query likelihood (core:search/
+    similarities/IndriDirichletSimilarity.java:69-73): score = boost *
+    log((tf + mu * p_col) / (dl + mu)) with the Indri collection model
+    p_col = ttf / sum_ttf (IndriDirichletSimilarity.java:96-100 — NOT
+    the (ttf+1)/(sum_ttf+1) default model) and NO zero clamp: scores
+    are log-probabilities and normally NEGATIVE. The pruning kernels
+    initialize theta at -inf and compare plainly, so block-max pruning
+    stays exact (property-tested pruned == exhaustive)."""
+
+    negative_scores = True  # kernels drop the 0.0 window floor
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int,
+                 boost: float = 1.0, ttf: int = 0, mu: float = 2000.0):
+        self.mu = np.float64(mu)
+        self.p_col = np.float64(ttf) / np.float64(max(sum_ttf, 1))
+        self.boost = np.float32(boost)
+        self.idf = np.float32(-np.log(max(self.p_col, 1e-12)))
+        self.weight = self.boost
+        self.dl_table = LENGTH_TABLE.astype(np.float64)
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        f = np.asarray(freqs, dtype=np.float64)
+        dl = self.dl_table[np.asarray(norm_codes, dtype=np.int64) & 0xFF]
+        s = np.float64(self.boost) * np.log(
+            (f + self.mu * self.p_col) / (dl + self.mu))
+        return s.astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        s = self.score(np.asarray(freqs), np.asarray(norm_codes))
+        return np.float32(s.max()) if s.size else np.float32(-np.inf)
+
+
+class RawTFScorer:
+    """RawTFSimilarity (core:search/similarities/RawTFSimilarity.java):
+    score = boost * freq — norms and collection stats ignored."""
+
+    def __init__(self, doc_freq: int, doc_count: int, sum_ttf: int = 0,
+                 boost: float = 1.0, ttf: int = 0):
+        self.boost = np.float32(boost)
+        self.idf = np.float32(1.0)  # for explain()
+        self.weight = self.boost
+
+    def score(self, freqs, norm_codes) -> np.ndarray:
+        return (self.boost
+                * np.asarray(freqs).astype(np.float32)).astype(np.float32)
+
+    def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+        f = np.asarray(freqs)
+        return (np.float32(self.boost * np.float32(f.max()))
+                if f.size else np.float32(0.0))
+
+
+def multi_scorer(*factories):
+    """MultiSimilarity (core:search/similarities/MultiSimilarity.java:
+    47-68): the combined score is the SUM of each sub-similarity's
+    score at the same (freq, norm); each sub-scorer is built with the
+    same boost and stats. IndexSearcher(similarity=
+    multi_scorer(BM25Scorer, ClassicScorer))."""
+    if not factories:
+        raise ValueError("multi_scorer needs at least one similarity")
+
+    class _Multi:
+        def __init__(self, doc_freq, doc_count, sum_ttf, boost=1.0,
+                     ttf=0):
+            self.subs = [f(doc_freq, doc_count, sum_ttf, boost=boost,
+                           ttf=ttf) for f in factories]
+            self.idf = np.float32(sum(float(s.idf) for s in self.subs))
+            self.weight = np.float32(sum(float(s.weight)
+                                         for s in self.subs))
+            self.negative_scores = any(
+                getattr(s, "negative_scores", False) for s in self.subs)
+
+        def score(self, freqs, norm_codes) -> np.ndarray:
+            out = self.subs[0].score(freqs, norm_codes)
+            for s in self.subs[1:]:
+                out = out + s.score(freqs, norm_codes)
+            return out.astype(np.float32)
+
+        def max_score_for_impacts(self, freqs, norm_codes) -> np.float32:
+            # sum of per-sub maxima over the same skyline upper-bounds
+            # the max of the sum
+            return np.float32(sum(
+                float(s.max_score_for_impacts(freqs, norm_codes))
+                for s in self.subs))
+
+    return _Multi

@@ -323,6 +323,8 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
         np.add.at(sums, inv, np.concatenate(parts_s).astype(np.float64))
         return topk_select(udocs, sums.astype(np.float32), k)
     # --- WAND ---
+    floor = _score_floor(s for _, s in live)
+    negative = floor == -np.inf
     edges = np.unique(np.concatenate(
         [c.firsts for c, _ in live] + [c.lasts + 1 for c, _ in live]))
     windows = list(zip(edges[:-1], edges[1:]))  # [lo, hi)
@@ -330,19 +332,33 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
     ub = np.zeros(len(windows), dtype=np.float64)
     cover = np.full((len(live), len(windows)), -1, dtype=np.int64)
     w_lo = edges[:-1]
+    if negative:
+        # sum-of-maxima is NOT an upper bound when per-term maxima can
+        # be negative (matching FEWER terms scores higher): the best
+        # achievable disjunction sum is Σ max(bm, 0) over covering
+        # terms, or — when every covering max is negative — the single
+        # largest max (a match must include at least one term)
+        possum = np.zeros(len(windows), dtype=np.float64)
+        maxbm = np.full(len(windows), -np.inf, dtype=np.float64)
     for ti, (c, _) in enumerate(live):
         idx = np.searchsorted(c.lasts, w_lo, side="left")
         idx_c = np.minimum(idx, c.n_blocks() - 1)
         covers = (c.firsts[idx_c] <= w_lo) & (c.lasts[idx_c] >= w_lo)
         cover[ti, covers] = idx_c[covers]
-        ub[covers] += c.block_max[idx_c[covers]]
+        bm = c.block_max[idx_c[covers]]
+        ub[covers] += bm
+        if negative:
+            possum[covers] += np.maximum(bm, 0.0)
+            maxbm[covers] = np.maximum(maxbm[covers], bm)
+    if negative:
+        ub = np.where(possum > 0.0, possum, maxbm)
     worder = np.argsort(-ub, kind="stable")
     # accumulate candidate scores doc->float32 (dict of arrays per window)
     got_d, got_s = [], []
     count = 0
     theta = theta0
     for wi in worder:
-        if ub[wi] <= 0:
+        if ub[wi] <= floor:
             break
         if ub[wi] < theta and (count >= k or ub[wi] < theta0):
             break
@@ -354,8 +370,12 @@ def or_topk(chunks, scorers, norms_arr, base_doc, k, pruned=True,
         order_t = np.argsort(-t_bounds, kind="stable")
         ess_n = cov_t.size
         # θ is the running local k-th (rank-safe) or the global θ₀
-        # (docs below it cannot enter the global top-k either)
-        th32 = np.float32(theta) if np.isfinite(theta) else None
+        # (docs below it cannot enter the global top-k either).
+        # The essential/non-essential split's remainder arithmetic
+        # assumes non-negative sub-scores — skip it for negative-score
+        # similarities (window-level pruning above stays exact)
+        th32 = (np.float32(theta)
+                if np.isfinite(theta) and not negative else None)
         if th32 is not None and cov_t.size > 1:
             sorted_b = t_bounds[order_t]
             suffix = np.cumsum(sorted_b[::-1])[::-1]
@@ -1328,6 +1348,28 @@ def eval_tree(node, get_chunk, norms_for, base_doc, universe=None):
 # ---------------------------------------------------------------------------
 
 
+def _score_floor(scorers) -> float:
+    """Window bounds at or below this value are non-competitive. 0.0
+    for the standard similarities (scores are non-negative; a 0 bound
+    means either no covering blocks or a zero-clamping similarity like
+    LMDirichlet treating the match as worthless). Similarities that
+    produce NEGATIVE scores (IndriDirichlet's unclamped
+    log-probabilities) advertise ``negative_scores = True`` and get a
+    -inf floor so genuinely-negative top-k windows still evaluate."""
+    return (-np.inf if any(getattr(s, "negative_scores", False)
+                           for s in scorers) else 0.0)
+
+
+def _any_negative_scorer(obj) -> bool:
+    """Recursive plan-tree scan for a negative-score similarity (plan
+    trees are term-count-sized tuples; this is driver-side and cheap)."""
+    if getattr(obj, "negative_scores", False):
+        return True
+    if isinstance(obj, (tuple, list)):
+        return any(_any_negative_scorer(x) for x in obj)
+    return False
+
+
 def _tree_leaf_chunks(node, get_chunk, out: dict):
     """All distinct (field, term) chunks a plan tree touches."""
     kind = node[0]
@@ -1577,7 +1619,24 @@ def eval_tree_topk(node, get_chunk, norms_for, base_doc, k,
     Like the flat kernels, windows with bound <= 0 are never visited —
     a similarity that clamps scores to 0 (LMDirichlet) treats
     zero-score matches as non-competitive everywhere, consistently.
+    A NEGATIVE-score similarity anywhere in the tree (IndriDirichlet's
+    unclamped log-probabilities — advertised via negative_scores)
+    bypasses the pruned path entirely: composed sum/remainder bounds
+    assume non-negative sub-scores, so the tree evaluates exhaustively
+    and heap-selects (same results, no pruning).
     """
+    if _any_negative_scorer(node):
+        # composed sum/remainder bounds assume non-negative sub-scores
+        # (the reference's Similarity contract for dynamic pruning);
+        # a negative-score similarity (IndriDirichlet) in the tree
+        # falls back to exhaustive evaluation + heap — same results,
+        # no pruning
+        docs, scores = eval_tree(node, get_chunk, norms_for, base_doc)
+        if after is not None:
+            s_a, d_a = np.float32(after[0]), np.int64(after[1])
+            keep = (scores < s_a) | ((scores == s_a) & (docs > d_a))
+            docs, scores = docs[keep], scores[keep]
+        return topk_select(docs, scores, k)
     norms_for = _CachingNorms(norms_for)
     chunks: dict = {}
     _tree_leaf_chunks(node, get_chunk, chunks)

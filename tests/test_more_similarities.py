@@ -187,3 +187,90 @@ def test_new_sims_pruned_equals_exhaustive(spark, small_index, scorer_cls):
     s = IndexSearcher(spark, small_index, similarity=scorer_cls)
     q = OrQuery((T[1], T[4], T[8]))
     assert s.search(q, k=10, pruned=True) == s.search(q, k=10, pruned=False)
+
+
+# ---- Indri / RawTF / Multi (similarity directory completion) -----------
+
+def test_indri_dirichlet_formula_and_negative_scores():
+    from lucene_spark.kernels.bm25 import IndriDirichletScorer
+    sc = IndriDirichletScorer(10, 100, 5000, ttf=50)
+    code = int(int_to_byte4(np.array([30]))[0])
+    dl = float(LENGTH_TABLE[code])
+    got = float(sc.score(np.array([3]), np.array([code]))[0])
+    want = np.log((3.0 + 2000.0 * (50.0 / 5000.0)) / (dl + 2000.0))
+    assert got == pytest.approx(want, rel=1e-6)
+    assert got < 0  # log-probabilities: NO zero clamp (unlike LMDirichlet)
+
+
+def test_rawtf_formula():
+    from lucene_spark.kernels.bm25 import RawTFScorer
+    sc = RawTFScorer(10, 100, boost=2.0)
+    assert list(sc.score(np.array([0, 3, 7]), np.array([5, 5, 5]))) == \
+        [np.float32(0.0), np.float32(6.0), np.float32(14.0)]
+
+
+def test_multi_similarity_sums():
+    from lucene_spark.kernels.bm25 import (BM25Scorer, ClassicScorer,
+                                           multi_scorer)
+    m = multi_scorer(BM25Scorer, ClassicScorer)(10, 100, 5000)
+    b = BM25Scorer(10, 100, 5000)
+    c = ClassicScorer(10, 100, 5000)
+    f = np.array([1, 2, 9])
+    n = np.array([int(int_to_byte4(np.array([x]))[0]) for x in (4, 30, 900)])
+    assert np.allclose(m.score(f, n), b.score(f, n) + c.score(f, n))
+    # bound: sum of sub-bounds upper-bounds every scored point
+    assert float(m.max_score_for_impacts(f, n)) >= float(m.score(f, n).max())
+
+
+def _dir_completion_sims():
+    from lucene_spark.kernels.bm25 import (BM25Scorer, ClassicScorer,
+                                           IndriDirichletScorer,
+                                           RawTFScorer, multi_scorer)
+    return [IndriDirichletScorer, RawTFScorer,
+            multi_scorer(BM25Scorer, ClassicScorer)]
+
+
+@pytest.mark.parametrize("scorer_cls", _dir_completion_sims())
+def test_dir_completion_search_matches_bruteforce(spark, small_index,
+                                                  scorer_cls):
+    s = IndexSearcher(spark, small_index, similarity=scorer_cls)
+    cat = IndexCatalog(small_index)
+    pdf = (spark.read.parquet(cat.table_path("docstore"))
+           .select("doc_id", "text").orderBy("doc_id").toPandas())
+    o = BruteForceOracle(pdf)
+
+    def brute(term, k):
+        sc = scorer_cls(o.df[term], o.doc_count, o.sum_ttf,
+                        ttf=sum(c.get(term, 0) for c in o.tfs))
+        tf = np.array([c.get(term, 0) for c in o.tfs], dtype=np.int64)
+        sv = sc.score(tf, o.norms)
+        idx = np.flatnonzero(tf > 0)
+        order = np.lexsort((o.doc_ids[idx], -sv[idx]))[:k]
+        return [(int(o.doc_ids[idx[i]]), np.float32(sv[idx[i]]))
+                for i in order]
+
+    for term in (T[0], T[3], T[9]):
+        assert s.search(TermQuery(term), k=10) == brute(term, 10), term
+
+
+@pytest.mark.parametrize("scorer_cls", _dir_completion_sims())
+def test_dir_completion_pruned_equals_exhaustive(spark, small_index,
+                                                 scorer_cls):
+    # Indri scores are NEGATIVE log-probs — theta starts at -inf with
+    # plain comparisons, so pruning must stay exact below zero too
+    s = IndexSearcher(spark, small_index, similarity=scorer_cls)
+    q = OrQuery((T[1], T[4], T[8]))
+    assert s.search(q, k=10, pruned=True) == s.search(q, k=10, pruned=False)
+
+
+def test_indri_nested_tree_pruned_equals_exhaustive(spark, small_index):
+    # nested trees route negative-score similarities to the exhaustive
+    # evaluator (composed bounds assume non-negative sub-scores)
+    from lucene_spark.kernels.bm25 import IndriDirichletScorer
+    from lucene_spark.search.query import BooleanQuery, PhraseQuery
+    s = IndexSearcher(spark, small_index, similarity=IndriDirichletScorer)
+    q = BooleanQuery(must=(T[1],),
+                     should=(T[4], PhraseQuery((T[2], T[3]))))
+    got = s.search(q, k=10, pruned=True)
+    assert got == s.search(q, k=10, pruned=False)
+    assert got  # non-empty: negative scores survive the tree path
