@@ -98,9 +98,21 @@ class IndexSearcher:
         with .score(freqs, norm_codes) / .max_score_for_impacts — the
         Similarity extension point (core:search/similarities/
         Similarity.java:93). Non-default similarities trigger query-time
-        bound recomputation from impacts (baked floats are BM25)."""
+        bound recomputation from impacts (baked floats are BM25).
+
+        A DICT maps field -> factory (PerFieldSimilarityWrapper,
+        core:search/similarities/PerFieldSimilarityWrapper.java): the
+        "*" entry (default BM25Scorer) covers unlisted fields;
+        CombinedFieldQuery always uses the default (the reference's
+        CombinedFieldQuery is BM25-defined, sandbox/CombinedFieldQuery
+        .java:86)."""
         self.spark = spark
-        self.similarity = similarity
+        if isinstance(similarity, dict):
+            self._sim_map = dict(similarity)
+            self.similarity = self._sim_map.pop("*", BM25Scorer)
+        else:
+            self._sim_map = None
+            self.similarity = similarity
         self.catalog = IndexCatalog(index_dir)
         # generation=N opens a PAST commit point — DirectoryReader.open
         # (IndexCommit) (core:index/DirectoryReader.java:89): old data
@@ -297,9 +309,17 @@ class IndexSearcher:
             raise ValueError(f"field {field!r} is not indexed "
                              f"(indexed: {sorted(self.field_stats)})")
 
+    def _sim_for(self, field: str):
+        """PerFieldSimilarityWrapper.get(field) — the field's factory,
+        or the searcher default when no per-field map / no entry."""
+        if self._sim_map is not None:
+            return self._sim_map.get(field, self.similarity)
+        return self.similarity
+
     def _scorers(self, query, tstats):
         terms = query.terms
         doc_count, sum_ttf = self._field_stats(query.field)
+        sim = self._sim_for(query.field)
         if isinstance(query, PhraseQuery):
             idfs = [BM25Scorer(tstats[t][0], doc_count, sum_ttf).idf
                     for t in terms]
@@ -309,10 +329,10 @@ class IndexSearcher:
             # (SynonymQuery.java builds one TermStatistics with max docFreq)
             df = max(tstats[t][0] for t in terms if t in tstats)
             sttf_syn = sum(tstats[t][1] for t in terms if t in tstats)
-            return [self.similarity(df, doc_count, sum_ttf,
-                                    boost=query.boost, ttf=sttf_syn)]
-        return [self.similarity(tstats[t][0], doc_count, sum_ttf,
-                                boost=query.boost, ttf=tstats[t][1])
+            return [sim(df, doc_count, sum_ttf,
+                        boost=query.boost, ttf=sttf_syn)]
+        return [sim(tstats[t][0], doc_count, sum_ttf,
+                    boost=query.boost, ttf=tstats[t][1])
                 if t in tstats else None for t in terms]
 
     # ---- multi-term expansion (the AutomatonTermsEnum analog) ------------
@@ -697,9 +717,9 @@ class IndexSearcher:
             if q.term not in ts:
                 return None
             dc, sttf = self._field_stats(q.field)
-            sc = self.similarity(ts[q.term][0], dc, sttf,
-                                 boost=boost_mult * q.boost,
-                                 ttf=ts[q.term][1])
+            sc = self._sim_for(q.field)(ts[q.term][0], dc, sttf,
+                                        boost=boost_mult * q.boost,
+                                        ttf=ts[q.term][1])
             return ("term", q.field, q.term, sc)
         if isinstance(q, PhraseQuery):
             ts = stats.get(q.field, {})
@@ -737,9 +757,10 @@ class IndexSearcher:
             if not present:
                 return None
             dc, sttf = self._field_stats(q.field)
-            sc = self.similarity(max(ts[t][0] for t in present), dc, sttf,
-                                 boost=boost_mult * q.boost,
-                                 ttf=sum(ts[t][1] for t in present))
+            sc = self._sim_for(q.field)(
+                max(ts[t][0] for t in present), dc, sttf,
+                boost=boost_mult * q.boost,
+                ttf=sum(ts[t][1] for t in present))
             return ("synonym", q.field, present, sc)
         if isinstance(q, AndQuery):
             kids = [C(TermQuery(t, q.field), stats, boost_mult * q.boost)
@@ -877,9 +898,9 @@ class IndexSearcher:
             kids = []
             for f, t, b in present:
                 dc, sttf = self._field_stats(f)
-                sc = self.similarity(df, dc, sttf,
-                                     boost=boost_mult * q.boost * b,
-                                     ttf=max(1, ttf))
+                sc = self._sim_for(f)(df, dc, sttf,
+                                      boost=boost_mult * q.boost * b,
+                                      ttf=max(1, ttf))
                 kids.append(("term", f, t, sc))
             if q.rewrite == "boolean":
                 return ("bool", [], kids, [], [], 0)
@@ -1158,6 +1179,7 @@ class IndexSearcher:
         # query carries a boost (baked floats are boost-1.0 BM25 — a
         # boosted score can exceed them, breaking prune rank-safety)
         recompute = (self.nrt_dirty or self.similarity is not BM25Scorer
+                     or self._sim_map is not None
                      or float(getattr(query, "boost", 1.0)) != 1.0)
         dirty_scorers = (dict(zip(term_order, scorers))
                          if recompute and qtype in ("term", "or") else None)
@@ -1375,6 +1397,7 @@ class IndexSearcher:
             rebind = (qt in ("term", "or")
                       and (self.nrt_dirty
                            or self.similarity is not BM25Scorer
+                           or self._sim_map is not None
                            or float(getattr(q, "boost", 1.0)) != 1.0))
             plans[qid] = (qt, fld, list(q.terms), self._scorers(q, tstats),
                           getattr(q, "slop", 0),
@@ -1778,9 +1801,10 @@ class IndexSearcher:
                        .filter(F.col("doc_id") == doc_id).collect())
             tf = int(tf_rows[0]["tf"]) if tf_rows else 0
             # the searcher's pluggable similarity, not hardcoded BM25 —
-            # explanations must agree with actual scores
-            sc = self.similarity(tstats[t][0], doc_count, sum_ttf,
-                                 boost=query.boost, ttf=tstats[t][1])
+            # explanations must agree with actual scores (per-field map
+            # included)
+            sc = self._sim_for(field)(tstats[t][0], doc_count, sum_ttf,
+                                      boost=query.boost, ttf=tstats[t][1])
             s = float(sc.score(np.array([tf]), np.array([norm]))[0]) if tf else 0.0
             out["terms"][t] = {"df": tstats[t][0], "tf": tf,
                                "idf": float(sc.idf), "weight": float(sc.weight),

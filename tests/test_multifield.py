@@ -128,3 +128,42 @@ def test_nrt_append_keeps_keyword_fields(spark, mf_index, tmp_path_factory):
     assert got == want
     n = len(ds)
     assert s.field_stats["role"] == (n, n)
+
+
+# ---- PerFieldSimilarityWrapper (similarity={field: factory}) -----------
+
+def test_per_field_similarity_routes_by_field(spark, mf_index):
+    from lucene_spark.kernels.bm25 import ClassicScorer
+    pf = IndexSearcher(spark, mf_index,
+                       similarity={"text": ClassicScorer, "*": BM25Scorer})
+    all_classic = IndexSearcher(spark, mf_index, similarity=ClassicScorer)
+    all_bm25 = IndexSearcher(spark, mf_index)
+    # text field -> Classic; keyword field -> the "*" default (BM25)
+    q_text = TermQuery(T[1])
+    q_role = TermQuery("user", field="role")
+    assert pf.search(q_text, k=10) == all_classic.search(q_text, k=10)
+    assert pf.search(q_role, k=10) == all_bm25.search(q_role, k=10)
+    # and the per-field results DIFFER from the wrong-similarity runs
+    assert pf.search(q_text, k=10) != all_bm25.search(q_text, k=10)
+
+
+def test_per_field_similarity_nested_tree_and_explain(spark, mf_index):
+    from lucene_spark.kernels.bm25 import ClassicScorer
+    from lucene_spark.search.query import BooleanQuery
+    pf = IndexSearcher(spark, mf_index,
+                       similarity={"text": ClassicScorer})
+    # nested tree mixing fields: text clauses score Classic, the role
+    # FILTER clause is unscored — equal to the all-Classic searcher
+    # because only text clauses contribute score
+    all_classic = IndexSearcher(spark, mf_index, similarity=ClassicScorer)
+    q = BooleanQuery(must=(TermQuery(T[1]),),
+                     should=(TermQuery(T[4]),),
+                     filter_=(TermQuery("user", field="role"),))
+    got = pf.search(q, k=10, pruned=True)
+    assert got == all_classic.search(q, k=10, pruned=True)
+    assert got == pf.search(q, k=10, pruned=False)
+    # explain() uses the field's similarity
+    d0 = got[0][0]
+    ex = pf.explain(TermQuery(T[1]), d0)
+    sc = ClassicScorer(ex["terms"][T[1]]["df"], ex["doc_count"])
+    assert ex["terms"][T[1]]["idf"] == pytest.approx(float(sc.idf))
