@@ -39,6 +39,10 @@ _FORMAT_VERSION = "v8"  # v8: (field, term_h) partitioned postings
 _CACHE_ROOT = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            ".idxcache")
 
+# the designed cross-doc duplicated substring for dedup_substring
+# (8 tokens, none in the corpus vocabulary)
+_BOILERPLATE = "please review the generated summary and confirm output"
+
 
 # ---------------------------------------------------------------------------
 # corpus adapter + cached index build
@@ -632,6 +636,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 3).alias("score_r"))
     q["ft_feature_boost"] = ft_feature_boost
 
+    def ft_distance_feature(sp, sf):
+        # DistanceFeatureQuery (document/LongDistanceFeatureQuery
+        # .java:121, LongPoint.newDistanceFeatureQuery): the
+        # recency/proximity SHOULD clause — total = BM25('vector') +
+        # weight * pivot / (pivot + |token_count - origin|), ranked
+        # over the full match stream like ft_feature_boost
+        from lucene_spark.ops.features import boost_by_distance
+        s = _searcher(sp, sf)
+        top = boost_by_distance(s, TermQuery("vector"), "token_count",
+                                origin=50, pivot=10, k=10, weight=2.0)
+        return top.select("doc_id",
+                          F.round(F.col("score"), 3).alias("score_r"))
+    q["ft_distance_feature"] = ft_distance_feature
+
     def ft_term_vector(sp, sf):
         # TermVectors (core:index/TermVectors.java,
         # IndexReader.getTermVector): per-doc (term, freq, positions)
@@ -837,6 +855,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact(sp, sf):
         return D.exact_duplicates(_docs(sp, sf))
     q["dedup_exact"] = dedup_exact
+
+    def dedup_substring(sp, sf):
+        # exact SUBSTRING dedup at token-window granularity (the
+        # distributed Lee et al. 2021 suffix-array-dedup analog,
+        # ops/dedup.py duplicate_substring_spans): every 10th doc gets
+        # a deterministic 8-token boilerplate appended (a designed
+        # cross-doc duplicated substring over tokens absent from the
+        # corpus vocabulary); any 5-token window occurring >= 2 times
+        # corpus-wide marks its occurrences, overlapping windows merge
+        # into maximal per-doc spans. Chance window repeats in the
+        # natural text are detected identically by the oracle
+        d = _docs(sp, sf).withColumn(
+            "text",
+            F.when(F.col("doc_id") % 10 == 0,
+                   F.concat(F.col("text"), F.lit(" " + _BOILERPLATE)))
+            .otherwise(F.col("text")))
+        return D.duplicate_substring_spans(d, window=5, min_count=2)
+    q["dedup_substring"] = dedup_substring
 
     def dedup_minhash_pairs(sp, sf):
         return D.minhash_pairs(_docs(sp, sf), num_hashes=8, bands=4)
@@ -2031,6 +2067,18 @@ FROM m JOIN dl d USING (doc_id)
 ORDER BY m.s + 2.0 * d.dl / (d.dl + 40.0) DESC, m.doc_id LIMIT 10
 """
 
+    # DistanceFeatureQuery: BM25 for 'vector' + the reference's
+    # weight * pivot / (pivot + |dl - origin|) distance score
+    o["ft_distance_feature"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+SELECT m.doc_id,
+       round(m.s + 2.0 * 10.0 / (10.0 + abs(d.dl - 50)), 3) AS score_r
+FROM m JOIN dl d USING (doc_id)
+ORDER BY m.s + 2.0 * 10.0 / (10.0 + abs(d.dl - 50)) DESC, m.doc_id LIMIT 10
+"""
+
     o["ft_term_vector"] = P + """
 SELECT doc_id, term, count(*)::INT AS freq, (min(pos) - 1)::INT AS fp
 FROM pos WHERE doc_id IN (7, 11) GROUP BY doc_id, term
@@ -2242,6 +2290,41 @@ FROM g GROUP BY user_id
 SELECT md5(array_to_string(toks, ' ')) AS text_hash,
        count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
 FROM tok GROUP BY 1 HAVING count(*) > 1
+"""
+
+    # substring dedup: same injection, same 5-token windows, same
+    # gap>window span merge — window functions mirror the Spark path
+    o["dedup_substring"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+         regexp_extract_all(lower(CASE WHEN doc_id % 10 = 0
+             THEN text || ' {_BOILERPLATE}' ELSE text END),
+             '[0-9a-z]+') AS toks
+  FROM documents
+),
+win AS (
+  SELECT doc_id, i AS pos, md5(array_to_string(toks[i:i+4], ' ')) AS wh
+  FROM tok, unnest(range(1, len(toks) - 3)) r(i)
+  WHERE len(toks) >= 5
+),
+dup AS (
+  SELECT doc_id, pos FROM win
+  WHERE wh IN (SELECT wh FROM win GROUP BY wh HAVING count(*) >= 2)
+),
+mk AS (
+  SELECT doc_id, pos,
+         CASE WHEN lag(pos) OVER w IS NULL OR pos - lag(pos) OVER w > 5
+              THEN 1 ELSE 0 END AS nw
+  FROM dup WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+),
+sp AS (
+  SELECT doc_id, pos,
+         sum(nw) OVER (PARTITION BY doc_id ORDER BY pos) AS sid
+  FROM mk
+)
+SELECT doc_id, min(pos)::INT AS start_tok, (max(pos) + 4)::INT AS end_tok,
+       count(*)::BIGINT AS n_windows
+FROM sp GROUP BY doc_id, sid
 """
 
     o["dedup_minhash_pairs"] = P + _SHINGLE_CTES + f"""

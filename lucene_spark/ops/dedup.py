@@ -296,3 +296,125 @@ def keep_canonical(df: DataFrame, clusters: DataFrame,
     losers = clusters.filter(F.col("doc_id") != F.col("cluster")) \
         .select(F.col("doc_id").alias(id_col))
     return df.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# exact substring (n-token window) deduplication
+# ---------------------------------------------------------------------------
+
+def duplicate_substring_spans(df: DataFrame, window: int = 5,
+                              min_count: int = 2, text_col: str = "text",
+                              id_col: str = "doc_id") -> DataFrame:
+    """Exact substring duplication at TOKEN-window granularity — the
+    distributed analog of suffix-array substring dedup (Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better"):
+    any ``window``-token sequence occurring >= ``min_count`` times
+    across the corpus (including repeats within one document) marks
+    its occurrences as duplicated; overlapping/adjacent duplicated
+    windows in a document merge into maximal spans. A window length of
+    ~50 tokens reproduces the paper's operating point; small windows
+    behave like boilerplate detection.
+
+    Returns one row per (doc, merged span): (doc_id, start_tok,
+    end_tok, n_windows) with 1-based inclusive token positions over
+    the normalized token stream (:func:`tokens_expr`).
+
+    Scale (100 TB): the window explode is O(total tokens) — the same
+    cost class as the MinHash shingle stage; the occurrence count is
+    one map-side-combined shuffle on an md5-uniform key; the join back
+    is a hash join on that key; span merging is a per-document window
+    (partition key = doc_id, partition size = doc length, bounded).
+    Nothing touches the driver. The windows frame is persisted so the
+    count branch and the join branch share one tokenize+explode.
+    """
+    from pyspark.sql.window import Window
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    base = df.select(F.col(id_col).alias("doc_id"),
+                     tokens_expr(text_col).alias("toks"))
+    wins = (base.select("doc_id",
+                        F.posexplode(shingles_expr("toks", window))
+                        .alias("pos0", "sh"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    F.md5("sh").alias("wh"))
+            .persist())
+    dup_wh = (wins.groupBy("wh").agg(F.count("*").alias("n"))
+              .filter(F.col("n") >= min_count)
+              .select("wh"))
+    dup = wins.join(dup_wh, "wh")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    gap = F.col("pos") - F.lag("pos").over(w)
+    # a new span starts when the previous duplicated window cannot
+    # overlap or touch this one (gap > window)
+    spans = (dup.withColumn("_new",
+                            F.when(gap.isNull() | (gap > window), 1)
+                            .otherwise(0))
+             .withColumn("_span", F.sum("_new").over(
+                 w.rowsBetween(Window.unboundedPreceding, 0)))
+             .groupBy("doc_id", "_span")
+             .agg(F.min("pos").alias("start_tok"),
+                  (F.max("pos") + window - 1).alias("end_tok"),
+                  F.count("*").alias("n_windows"))
+             .drop("_span"))
+    return spans
+
+
+def strip_duplicate_substrings(df: DataFrame, window: int = 5,
+                               min_count: int = 2, text_col: str = "text",
+                               id_col: str = "doc_id") -> DataFrame:
+    """Remove duplicated substrings keeping ONE canonical occurrence
+    (the paper's "leave one copy" policy, made deterministic): for
+    each duplicated window hash the occurrence at the minimum
+    (doc_id, pos) is canonical; every token covered only by
+    non-canonical duplicated windows is dropped; the surviving tokens
+    are re-joined with single spaces (the token stream is the
+    normalized one, so casing/punctuation are already folded — this
+    is a TRAINING-DATA transform, not a display transform).
+
+    Returns (id_col, text_col) with the cleaned token stream, one row
+    per input document (documents with nothing to strip pass through
+    with their normalized token stream).
+
+    Scale: canonical selection is one min-struct aggregate on the
+    window-hash key; the removal set explodes w tokens per
+    non-canonical duplicated window (bounded fan-out) and the final
+    rebuild is a token-position anti-join + per-doc sort — all hash
+    shuffles on uniform keys.
+    """
+    base = (df.select(F.col(id_col).alias("doc_id"),
+                      tokens_expr(text_col).alias("toks"))
+            .persist())
+    wins = (base.select("doc_id",
+                        F.posexplode(shingles_expr("toks", window))
+                        .alias("pos0", "sh"))
+            .select("doc_id", (F.col("pos0") + 1).alias("pos"),
+                    F.md5("sh").alias("wh"))
+            .persist())
+    stats = (wins.groupBy("wh")
+             .agg(F.count("*").alias("n"),
+                  F.min(F.struct("doc_id", "pos")).alias("canon"))
+             .filter(F.col("n") >= min_count))
+    noncanon = (wins.join(stats, "wh")
+                .filter(~((F.col("doc_id") == F.col("canon.doc_id"))
+                          & (F.col("pos") == F.col("canon.pos")))))
+    # token positions covered by non-canonical duplicated windows
+    drop_pos = (noncanon
+                .select("doc_id",
+                        F.explode(F.sequence(
+                            F.col("pos"),
+                            F.col("pos") + F.lit(window - 1)))
+                        .alias("tpos"))
+                .distinct())
+    tok_pos = base.select("doc_id",
+                          F.posexplode("toks").alias("tpos0", "tok")) \
+        .select("doc_id", (F.col("tpos0") + 1).alias("tpos"), "tok")
+    kept = (tok_pos.join(drop_pos, ["doc_id", "tpos"], "left_anti")
+            .groupBy("doc_id")
+            .agg(F.concat_ws(" ", F.array_sort(F.collect_list(
+                F.struct("tpos", "tok"))).getField("tok"))
+                 .alias("_text")))
+    out = (base.select("doc_id").join(kept, "doc_id", "left")
+           .select(F.col("doc_id").alias(id_col),
+                   F.coalesce("_text", F.lit("")).alias(text_col)))
+    return out

@@ -25,7 +25,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["feature_score", "boost_by_feature"]
+__all__ = ["feature_score", "boost_by_feature",
+           "distance_feature_score", "boost_by_distance"]
 
 
 def feature_score(value_col, fn: str = "saturation", weight: float = 1.0,
@@ -66,6 +67,52 @@ def boost_by_feature(searcher, query, value_col: str,
     j = ds.join(m, "doc_id", "inner")
     total = (F.col("score").cast("double")
              + feature_score(value_col, fn, weight, **params))
+    return (j.select("doc_id", total.alias("score"))
+            .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+            .limit(k))
+
+
+def distance_feature_score(value_col, origin: float, pivot: float,
+                           weight: float = 1.0) -> Column:
+    """DistanceFeatureQuery score as a Catalyst expression
+    (core/src/java/org/apache/lucene/document/LongDistanceFeatureQuery.java:121,265):
+
+        weight * pivot / (pivot + |value - origin|)
+
+    — the recency/proximity boost behind
+    ``LongPoint.newDistanceFeatureQuery`` (LongPoint.java). The
+    reference requires pivot > 0 (:53-55) and skips docs without the
+    field (they don't match the SHOULD clause): NULLs score 0 here.
+    Arithmetic is double (the reference casts the same expression to
+    float at :121; sub-ulp divergence only)."""
+    if pivot <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot}")
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    dist = F.abs(v.cast("double") - F.lit(float(origin)))
+    s = F.lit(float(weight)) * F.lit(float(pivot)) / (F.lit(float(pivot)) + dist)
+    return F.coalesce(s, F.lit(0.0))
+
+
+def boost_by_distance(searcher, query, value_col: str, origin: float,
+                      pivot: float, k: int = 10,
+                      weight: float = 1.0) -> DataFrame:
+    """BooleanQuery(should=[query, LongPoint.newDistanceFeatureQuery])
+    — the reference's recommended recency-boost composition
+    (LongDistanceFeatureQuery.java javadoc): total = BM25(query) +
+    weight * pivot / (pivot + |value - origin|). Same distributed
+    shape as :func:`boost_by_feature` — the feature clause matches
+    every doc carrying the field, so the match stream is ranked
+    exhaustively (the reference's iterator-skipping optimization
+    kicks in only once minCompetitiveScore exceeds the text clause's
+    ceiling; our TakeOrderedAndProject tail keeps the top-k cut in one
+    pass). The reference's bound story holds trivially: the clause's
+    maximum contribution is ``weight`` (distance 0). Returns
+    (doc_id, score)."""
+    m = searcher.matches_df(query)
+    ds = searcher._read_cached(searcher.docstore_paths)
+    j = ds.join(m, "doc_id", "inner")
+    total = (F.col("score").cast("double")
+             + distance_feature_score(value_col, origin, pivot, weight))
     return (j.select("doc_id", total.alias("score"))
             .orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
