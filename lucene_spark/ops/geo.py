@@ -28,7 +28,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["EARTH_MEAN_RADIUS_METERS", "haversine_meters_expr",
-           "box_query", "distance_query", "polygon_query"]
+           "box_query", "distance_query", "polygon_query",
+           "geo_distance_feature_score"]
 
 EARTH_MEAN_RADIUS_METERS = 6371008.7714  # GeoUtils.EARTH_MEAN_RADIUS_METERS
 
@@ -130,3 +131,30 @@ def polygon_query(docs: DataFrame, lat_col: str, lon_col: str,
                 + F.lit(x1))
         crossings = crossings + F.when(spans & (x < x_at), 1).otherwise(0)
     return pre.filter(crossings % 2 == 1)
+
+
+def geo_distance_feature_score(lat_col: str, lon_col: str,
+                               origin_lat: float, origin_lon: float,
+                               pivot_m: float,
+                               weight: float = 1.0) -> Column:
+    """LatLonPoint.newDistanceFeatureQuery score
+    (core:document/LatLonPointDistanceFeatureQuery.java:130):
+
+        weight * pivot / (pivot + haversine_m(point, origin))
+
+    — the geo twin of the Long distance feature
+    (``ops.features.distance_feature_score``): boost hits near an
+    origin point, half the weight at ``pivot_m`` meters. The reference
+    requires pivotDistance > 0 (:58-60) and skips docs without the
+    field: NULL coordinates score 0. Compose as a SHOULD clause beside
+    text clauses (score addition over the match stream), exactly like
+    ``boost_by_distance``."""
+    if pivot_m <= 0:
+        raise ValueError(f"pivotDistance must be > 0, got {pivot_m}")
+    dist = haversine_meters_expr(lat_col, lon_col, origin_lat, origin_lon)
+    s = F.lit(float(weight)) * F.lit(float(pivot_m)) / (F.lit(float(pivot_m)) + dist)
+    # explicit NULL guard: least(1.0, NULL) is 1.0 in Spark SQL (least
+    # skips NULLs), so a NULL coordinate would otherwise score as an
+    # antipodal-distance match instead of not matching at all
+    has_point = F.col(lat_col).isNotNull() & F.col(lon_col).isNotNull()
+    return F.when(has_point, s).otherwise(F.lit(0.0))

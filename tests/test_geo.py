@@ -151,3 +151,30 @@ def test_polygon_is_pure_catalyst(spark, points):
     plan = (polygon_query(df, "lat", "lon", L_POLY)
             ._jdf.queryExecution().executedPlan().toString())
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_geo_distance_feature_matches_reference_formula(spark, points):
+    # LatLonPointDistanceFeatureQuery.java:130 —
+    # boost * pivot / (pivot + haversine)
+    from lucene_spark.ops.geo import geo_distance_feature_score
+    df, rows = points
+    origin, pivot, w = (48.8566, 2.3522), 50_000.0, 3.0
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", geo_distance_feature_score(
+            "lat", "lon", origin[0], origin[1], pivot, w).alias("s"))
+        .collect()}
+    for i, la, lo in rows:
+        want = w * pivot / (pivot + _hav(la, lo, *origin))
+        assert got[i] == pytest.approx(want, rel=1e-9), i
+    # the origin point itself scores the full weight
+    assert got[403] == pytest.approx(
+        w * pivot / (pivot + _hav(48.8566, 2.3522, *origin)), rel=1e-9)
+    assert got[403] > 2.999  # distance ~0 -> ~weight
+    # NULL coordinates do not match -> 0
+    null_df = spark.createDataFrame([(0, None, None)],
+                                    "id long, lat double, lon double")
+    out = null_df.select(geo_distance_feature_score(
+        "lat", "lon", 0.0, 0.0, 1000.0).alias("s")).collect()
+    assert out[0]["s"] == 0.0
+    with pytest.raises(ValueError):
+        geo_distance_feature_score("lat", "lon", 0.0, 0.0, 0.0)
