@@ -650,6 +650,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.round(F.col("score"), 3).alias("score_r"))
     q["ft_distance_feature"] = ft_distance_feature
 
+    def ft_payload_score(sp, sf):
+        # PayloadScoreQuery over a DelimitedPayloadTokenFilter index
+        # (queries/payloads/PayloadScoreQuery.java + analysis/common/
+        # payloads/DelimitedPayloadTokenFilter.java): every doc gains
+        # ' relevance|<doc_id%20>' (a payload-bearing occurrence) and
+        # every 3rd doc an extra bare ' relevance' (payload-free ->
+        # factor 1, PayloadDecoder.java:29); ops score
+        # span*payload for Max/Sum/Average payload functions
+        from lucene_spark.ops.payloads import payload_score_df
+        key = (_FORMAT_VERSION + "_payload_"
+               + re.sub(r"\W+", "_", os.path.abspath(sf)))
+        out = os.path.join(_CACHE_ROOT, key)
+        if not IndexCatalog(out).has_table("postings"):
+            d = _docs(sp, sf).withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" relevance|"),
+                         (F.col("doc_id") % 20).cast("string"),
+                         F.when(F.col("doc_id") % 3 == 0,
+                                F.lit(" relevance"))
+                         .otherwise(F.lit(""))))
+            build_index(sp, _as_transcripts(d), out, num_buckets=4,
+                        analyzers={"text": "payload"})
+        s = _cached_searcher(sp, out)
+        parts = [payload_score_df(s, "relevance", fn=fn, k=10)
+                 .select(F.lit(fn).alias("op"), "doc_id",
+                         F.round(F.col("score"), 3).alias("score_r"))
+                 for fn in ("max", "sum", "avg")]
+        return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    q["ft_payload_score"] = ft_payload_score
+
     def ft_term_vector(sp, sf):
         # TermVectors (core:index/TermVectors.java,
         # IndexReader.getTermVector): per-doc (term, freq, positions)
@@ -2077,6 +2107,49 @@ SELECT m.doc_id,
        round(m.s + 2.0 * 10.0 / (10.0 + abs(d.dl - 50)), 3) AS score_r
 FROM m JOIN dl d USING (doc_id)
 ORDER BY m.s + 2.0 * 10.0 / (10.0 + abs(d.dl - 50)) DESC, m.doc_id LIMIT 10
+"""
+
+    # PayloadScoreQuery: BM25 over the delimited-payload chain's terms
+    # (whitespace tokens, lowercased, cut at the first '|', empty term
+    # parts dropped) x Max/Sum/Average payload functions; payload-free
+    # occurrences decode to factor 1
+    _PAYINJ = ("text || ' relevance|' || (doc_id % 20)::VARCHAR || "
+               "CASE WHEN doc_id % 3 = 0 THEN ' relevance' ELSE '' END")
+    PPAY = _prelude(
+        "list_filter(list_transform(regexp_split_to_array(lower("
+        + _PAYINJ + "), '\\s+'), x -> str_split(x, '|')[1]), "
+        "x -> x <> '')", lut_max=300)
+    o["ft_payload_score"] = PPAY + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'relevance')
+, pay AS (
+  SELECT doc_id, count(*) AS n,
+         max(CASE WHEN len(parts) > 1 THEN parts[2]::DOUBLE
+             ELSE 1.0 END) AS pmax,
+         sum(CASE WHEN len(parts) > 1 THEN parts[2]::DOUBLE
+             ELSE 1.0 END) AS psum
+  FROM (SELECT doc_id, str_split(tok, '|') AS parts
+        FROM (SELECT doc_id,
+                     unnest(regexp_split_to_array(lower({_PAYINJ}),
+                                                  '\\s+')) AS tok
+              FROM documents))
+  WHERE parts[1] = 'relevance'
+  GROUP BY doc_id)
+, scored AS (
+  SELECT m.doc_id,
+         m.s * pay.pmax AS s_max,
+         m.s * pay.psum AS s_sum,
+         m.s * (pay.psum / pay.n) AS s_avg
+  FROM m JOIN pay USING (doc_id))
+SELECT 'max' AS op, doc_id, round(s_max, 3) AS score_r FROM (
+  SELECT doc_id, s_max FROM scored ORDER BY s_max DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'sum', doc_id, round(s_sum, 3) FROM (
+  SELECT doc_id, s_sum FROM scored ORDER BY s_sum DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'avg', doc_id, round(s_avg, 3) FROM (
+  SELECT doc_id, s_avg FROM scored ORDER BY s_avg DESC, doc_id LIMIT 10)
 """
 
     o["ft_term_vector"] = P + """

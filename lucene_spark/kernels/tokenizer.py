@@ -343,7 +343,7 @@ def tokenize_one(text: str) -> list:
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
              "french", "portuguese", "spanish", "italian", "wdgf",
-             "shingle", "edge")
+             "shingle", "edge", "payload")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -385,6 +385,12 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # each token — the search-as-you-type field (kernels/shingle.py)
         from .shingle import edge_series
         return edge_series(texts.fillna(""))
+    if analyzer == "payload":
+        # WhitespaceTokenizer + LowerCase + DelimitedPayloadTokenFilter:
+        # terms are the pre-'|' parts; payloads re-derive at query time
+        # from the stored field (kernels/payload.py)
+        from .payload import payload_tokenize_series
+        return payload_tokenize_series(texts)
     toks = tokenize_series(texts)
     if analyzer == "standard":
         return toks
@@ -452,6 +458,9 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "edge":
         from .shingle import edge_one
         return edge_one(text)
+    if analyzer == "payload":
+        from .payload import payload_analyze_one
+        return payload_analyze_one(text)
     toks = tokenize_one(text)
     if analyzer == "standard":
         return toks
@@ -542,6 +551,9 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         # prefix): lowercase only — both chains store their tokens
         # lowercased by the standard tokenizer underneath
         return term.lower()
+    if analyzer == "payload":
+        from .payload import payload_term
+        return payload_term(term)
     if analyzer == "german":
         from .de import GERMAN_STOP_WORDS, german_light_stem, \
             german_normalize
