@@ -1136,6 +1136,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.md5("redacted").alias("fp"))
     q["text_redact"] = text_redact
 
+    def text_perplexity(sp, sf):
+        # CCNet-style LM quality scoring (ops/perplexity.py, Wenzek et
+        # al. 2020): a trigram stupid-backoff LM trained on the EVEN
+        # half of the corpus scores EVERY doc (held-out odd docs
+        # exercise the backoff orders and the OOV floor); head/middle/
+        # tail buckets via exact ntile. Bucketing orders by the ROUNDED
+        # perplexity (ties -> doc_id) so the order is engine-exact.
+        from lucene_spark.ops.perplexity import (lm_perplexity,
+                                                 train_trigram_lm)
+        from pyspark.sql.window import Window
+        d = _docs(sp, sf)
+        lm = train_trigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+        scored = (lm_perplexity(d, lm)
+                  .withColumn("ppl_r", F.round("ppl", 3)))
+        w = Window.orderBy(F.col("ppl_r").asc_nulls_last(),
+                           F.col("doc_id").asc())
+        return scored.select("doc_id", "n_toks", "ppl_r",
+                             F.ntile(3).over(w).alias("bucket"))
+    q["text_perplexity"] = text_perplexity
+
     def mm_features(sp, sf):
         packed = MM.pack_binary(_docs(sp, sf), "text", "doc_id")
         return MM.extract_features(packed).select("id", "n_bytes", "sha")
@@ -2708,6 +2728,65 @@ FROM tot t JOIN hit h USING (doc_id)
     o["text_redact"] = (
         f"SELECT doc_id, {', '.join(_sels)}, md5({_cur}) AS fp "
         f"FROM documents")
+
+    # CCNet perplexity: trigram stupid backoff, trained on even docs.
+    # The backoff constants are written as the repr of the SAME Python
+    # doubles the Spark side multiplies, so both engines evaluate
+    # bit-identical IEEE literals.
+    _A = 0.4
+    o["text_perplexity"] = f"""
+WITH tok AS (SELECT doc_id,
+             regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
+             FROM documents),
+pos AS (
+  SELECT doc_id, i - 1 AS pos, toks[i] AS w,
+         CASE WHEN i >= 2 THEN toks[i-1] END AS ctx1,
+         CASE WHEN i >= 3 THEN toks[i-2] || ' ' || toks[i-1] END AS ctx2
+  FROM tok, unnest(range(1, len(toks) + 1)) r(i)
+),
+tpos AS (SELECT * FROM pos WHERE doc_id % 2 = 0),
+uni AS (SELECT w, count(*)::DOUBLE AS c1 FROM tpos GROUP BY w),
+bi  AS (SELECT ctx1, w, count(*)::DOUBLE AS c2 FROM tpos
+        WHERE ctx1 IS NOT NULL GROUP BY ctx1, w),
+tri AS (SELECT ctx2, w, count(*)::DOUBLE AS c3 FROM tpos
+        WHERE ctx2 IS NOT NULL GROUP BY ctx2, w),
+tot AS (SELECT count(*)::DOUBLE AS t FROM tpos),
+sc AS (
+  SELECT p.doc_id, p.pos, u.c1, b.c2, t.c3,
+         lag(b.c2) OVER win AS c2ctx,
+         lag(u.c1) OVER win AS c1ctx
+  FROM pos p
+  LEFT JOIN uni u ON u.w = p.w
+  LEFT JOIN bi b ON b.ctx1 = p.ctx1 AND b.w = p.w
+  LEFT JOIN tri t ON t.ctx2 = p.ctx2 AND t.w = p.w
+  WINDOW win AS (PARTITION BY p.doc_id ORDER BY p.pos)
+),
+lp AS (
+  SELECT doc_id, ln(CASE
+    WHEN pos >= 2 AND c3 IS NOT NULL THEN c3 / c2ctx
+    WHEN pos >= 2 AND c2 IS NOT NULL THEN {_A!r} * (c2 / c1ctx)
+    WHEN pos >= 2 THEN {_A * _A!r} *
+         (CASE WHEN c1 IS NOT NULL THEN c1 / (SELECT t FROM tot)
+               ELSE 1.0 / (SELECT t FROM tot) END)
+    WHEN pos = 1 AND c2 IS NOT NULL THEN c2 / c1ctx
+    WHEN pos = 1 THEN {_A!r} *
+         (CASE WHEN c1 IS NOT NULL THEN c1 / (SELECT t FROM tot)
+               ELSE 1.0 / (SELECT t FROM tot) END)
+    ELSE (CASE WHEN c1 IS NOT NULL THEN c1 / (SELECT t FROM tot)
+               ELSE 1.0 / (SELECT t FROM tot) END)
+  END) AS l
+  FROM sc
+),
+agg AS (SELECT doc_id, count(*)::INT AS n_toks, exp(-avg(l)) AS ppl
+        FROM lp GROUP BY doc_id),
+alldocs AS (SELECT DISTINCT doc_id FROM documents),
+f AS (SELECT d.doc_id, coalesce(a.n_toks, 0) AS n_toks,
+             round(a.ppl, 3) AS ppl_r
+      FROM alldocs d LEFT JOIN agg a USING (doc_id))
+SELECT doc_id, n_toks, ppl_r,
+       ntile(3) OVER (ORDER BY ppl_r ASC NULLS LAST, doc_id ASC) AS bucket
+FROM f
+"""
 
     o["text_bpe_budget"] = r"""
 WITH p AS (SELECT doc_id, text, regexp_extract_all(text,
