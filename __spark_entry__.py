@@ -143,6 +143,25 @@ def _searcher_stem(spark: SparkSession, sf_dir: str,
     return _cached_searcher(spark, out)
 
 
+def _searcher_payload(spark: SparkSession, sf_dir: str) -> IndexSearcher:
+    """Index built with the delimited-payload chain: every doc gains
+    ' relevance|<doc_id%20>' and every 3rd doc an extra bare
+    ' relevance' (a payload-free occurrence)."""
+    key = (_FORMAT_VERSION + "_payload_"
+           + re.sub(r"\W+", "_", os.path.abspath(sf_dir)))
+    out = os.path.join(_CACHE_ROOT, key)
+    if not IndexCatalog(out).has_table("postings"):
+        d = _docs(spark, sf_dir).withColumn(
+            "text",
+            F.concat(F.col("text"), F.lit(" relevance|"),
+                     (F.col("doc_id") % 20).cast("string"),
+                     F.when(F.col("doc_id") % 3 == 0, F.lit(" relevance"))
+                     .otherwise(F.lit(""))))
+        build_index(spark, _as_transcripts(d), out, num_buckets=4,
+                    analyzers={"text": "payload"})
+    return _cached_searcher(spark, out)
+
+
 def _topk_df(spark, sf_dir, query, k) -> DataFrame:
     s = _searcher(spark, sf_dir)
     res = s.search_df(query, k=k)
@@ -659,26 +678,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # factor 1, PayloadDecoder.java:29); ops score
         # span*payload for Max/Sum/Average payload functions
         from lucene_spark.ops.payloads import payload_score_df
-        key = (_FORMAT_VERSION + "_payload_"
-               + re.sub(r"\W+", "_", os.path.abspath(sf)))
-        out = os.path.join(_CACHE_ROOT, key)
-        if not IndexCatalog(out).has_table("postings"):
-            d = _docs(sp, sf).withColumn(
-                "text",
-                F.concat(F.col("text"), F.lit(" relevance|"),
-                         (F.col("doc_id") % 20).cast("string"),
-                         F.when(F.col("doc_id") % 3 == 0,
-                                F.lit(" relevance"))
-                         .otherwise(F.lit(""))))
-            build_index(sp, _as_transcripts(d), out, num_buckets=4,
-                        analyzers={"text": "payload"})
-        s = _cached_searcher(sp, out)
+        s = _searcher_payload(sp, sf)
         parts = [payload_score_df(s, "relevance", fn=fn, k=10)
                  .select(F.lit(fn).alias("op"), "doc_id",
                          F.round(F.col("score"), 3).alias("score_r"))
                  for fn in ("max", "sum", "avg")]
         return parts[0].unionByName(parts[1]).unionByName(parts[2])
     q["ft_payload_score"] = ft_payload_score
+
+    def ft_payload_check(sp, sf):
+        # SpanPayloadCheckQuery (queries/payloads/SpanPayloadCheck
+        # Query.java): spans accepted only where per-position payloads
+        # satisfy the matcher — ops: EQ 7.0 (docs with doc_id%20==7),
+        # GTE 10.0 (%20 in 10..19), and a None expectation (payload
+        # MUST be absent — the bare ' relevance' occurrences, :222-224)
+        from lucene_spark.ops.payloads import span_payload_check_df
+        s = _searcher_payload(sp, sf)
+        specs = [("eq7", [7.0], "eq"), ("gte10", [10.0], "gte"),
+                 ("nul", [None], "eq")]
+        parts = [span_payload_check_df(s, ["relevance"], exp, op=op)
+                 .select(F.lit(tag).alias("op"), "doc_id", "n_spans")
+                 for tag, exp, op in specs]
+        return parts[0].unionByName(parts[1]).unionByName(parts[2])
+    q["ft_payload_check"] = ft_payload_check
 
     def ft_term_vector(sp, sf):
         # TermVectors (core:index/TermVectors.java,
@@ -2170,6 +2192,31 @@ SELECT 'sum', doc_id, round(s_sum, 3) FROM (
 UNION ALL
 SELECT 'avg', doc_id, round(s_avg, 3) FROM (
   SELECT doc_id, s_avg FROM scored ORDER BY s_avg DESC, doc_id LIMIT 10)
+"""
+
+    # SpanPayloadCheckQuery: per-token payload matcher over the same
+    # injected corpus — EQ/GTE on the decoded float, None = absent
+    o["ft_payload_check"] = f"""
+WITH ptok AS (
+  SELECT doc_id, str_split(tok, '|') AS parts
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(lower({_PAYINJ}),
+                                            '\\s+')) AS tok
+        FROM documents)
+),
+t AS (SELECT doc_id, parts[1] AS term,
+             len(parts) > 1 AS haspay,
+             CASE WHEN len(parts) > 1
+                  THEN TRY_CAST(parts[2] AS DOUBLE) END AS pv
+      FROM ptok WHERE parts[1] = 'relevance')
+SELECT 'eq7' AS op, doc_id, count(*)::BIGINT AS n_spans
+FROM t WHERE haspay AND pv = 7.0 GROUP BY doc_id
+UNION ALL
+SELECT 'gte10', doc_id, count(*)::BIGINT
+FROM t WHERE haspay AND pv >= 10.0 GROUP BY doc_id
+UNION ALL
+SELECT 'nul', doc_id, count(*)::BIGINT
+FROM t WHERE NOT haspay GROUP BY doc_id
 """
 
     o["ft_term_vector"] = P + """

@@ -32,7 +32,8 @@ import pandas as pd
 PAYLOAD_DELIM = "|"
 
 __all__ = ["PAYLOAD_DELIM", "payload_tokenize_series",
-           "payload_analyze_one", "payload_term", "payload_stats_frame"]
+           "payload_analyze_one", "payload_term", "payload_stats_frame",
+           "span_payload_check_batch"]
 
 
 def payload_tokenize_series(texts: pd.Series) -> pd.Series:
@@ -121,3 +122,100 @@ def payload_stats_frame(texts: pd.Series, term: str) -> pd.DataFrame:
     out.iloc[ridx, out.columns.get_loc("p_sum")] = \
         agg["sum"].to_numpy(dtype=np.float32)
     return out
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery kernel
+# ---------------------------------------------------------------------------
+
+_OPS = ("eq", "gt", "gte", "lt", "lte")
+
+
+def _decode(pays: np.ndarray, has: np.ndarray, ptype: str):
+    """payload strings -> typed values (NaN/sentinel where absent)."""
+    if ptype == "string":
+        return pays  # compare as UTF-8 strings (StringPayloadMatcher)
+    vals = pd.to_numeric(pd.Series(pays, dtype=object).where(has),
+                         errors="coerce").to_numpy(dtype=np.float64)
+    if ptype == "int":
+        # IntPayloadMatcher decodes a packed int; unparsable -> NaN
+        with np.errstate(invalid="ignore"):
+            frac = vals != np.floor(vals)
+        vals = np.where(frac, np.nan, vals)
+    return vals
+
+
+def _compare(vals, expected, op: str, ptype: str) -> np.ndarray:
+    if ptype == "string":
+        v = pd.Series(vals, dtype=object).fillna("")
+        e = str(expected)
+        if op == "eq":
+            return (v == e).to_numpy()
+        m = {"gt": v > e, "gte": v >= e, "lt": v < e, "lte": v <= e}[op]
+        return m.to_numpy()
+    e = float(expected)
+    with np.errstate(invalid="ignore"):
+        if op == "eq":
+            # EQ is BINARY payload equality in the reference
+            # (PayloadMatcherFactory.java:105); for FLOAT/INT-encoded
+            # payloads that is value equality
+            return vals == e
+        if op == "gt":
+            return vals > e
+        if op == "gte":
+            return vals >= e
+        if op == "lt":
+            return vals < e
+        return vals <= e
+
+
+def span_payload_check_batch(texts: pd.Series, terms: list,
+                             expected: list, op: str = "eq",
+                             ptype: str = "float") -> np.ndarray:
+    """Accepted-span count per row for SpanPayloadCheckQuery
+    (queries/payloads/SpanPayloadCheckQuery.java PayloadChecker): the
+    ordered ``terms`` must occur at consecutive positions and the
+    payload at position j must satisfy (op, ptype) against
+    ``expected[j]``; a None expectation matches ONLY a missing payload
+    (:222-224); a missing payload fails any non-None expectation
+    (:226-229). Vectorized: one flat split + partition, shifted-mask
+    conjunction over the flat stream (the phrase-kernel shape).
+    """
+    if op not in _OPS:
+        raise ValueError(f"unknown operation {op!r}; expected {_OPS}")
+    if len(expected) != len(terms):
+        raise ValueError("expected must align with terms (one payload "
+                         "check per span position)")
+    n = len(texts)
+    counts = np.zeros(n, dtype=np.int64)
+    toks = texts.fillna("").str.lower().str.split()
+    lens = toks.str.len().to_numpy(dtype=np.int64)
+    total = int(lens.sum())
+    L = len(terms)
+    if total == 0 or L == 0 or total < L:
+        return counts
+    flat = np.concatenate([np.asarray(t, dtype=object) if t
+                           else np.empty(0, object) for t in toks])
+    row_of = np.repeat(np.arange(n, dtype=np.int64), lens)
+    parts = pd.Series(flat, dtype=object).str.partition(PAYLOAD_DELIM)
+    tarr = parts[0].to_numpy(dtype=object)
+    has_pay = parts[1].to_numpy(dtype=object) == PAYLOAD_DELIM
+    pays = parts[2].to_numpy(dtype=object)
+    vals = _decode(pays, has_pay, ptype)
+    m = total - L + 1
+    ok = np.ones(m, dtype=bool)
+    for j, (term, exp) in enumerate(zip(terms, expected)):
+        sl = slice(j, j + m)
+        ok &= tarr[sl] == term
+        if exp is None:
+            ok &= ~has_pay[sl]
+        elif ptype == "string":
+            ok &= has_pay[sl] & _compare(pays[sl], exp, op, ptype)
+        else:
+            ok &= has_pay[sl] & _compare(vals[sl], exp, op, ptype)
+    # the span must not straddle a document boundary
+    ok &= row_of[:m] == row_of[L - 1:]
+    hit_rows = row_of[:m][ok]
+    if hit_rows.size:
+        np.add.at(counts, hit_rows, 1)
+    return counts

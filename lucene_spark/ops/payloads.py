@@ -87,3 +87,48 @@ def payload_score_df(searcher, term: str, fn: str = "max",
     scored = j.mapInPandas(run, schema="doc_id long, score double")
     return (scored.orderBy(F.col("score").desc(), F.col("doc_id").asc())
             .limit(k))
+
+
+def span_payload_check_df(searcher, terms, expected, op: str = "eq",
+                          ptype: str = "float",
+                          text_col: str = "text") -> DataFrame:
+    """SpanPayloadCheckQuery
+    (queries/payloads/SpanPayloadCheckQuery.java): return the documents
+    holding at least one span of the ordered ``terms`` whose per-position
+    payloads satisfy (``op``, ``ptype``) against ``expected`` — None in
+    ``expected`` demands a MISSING payload at that position; a missing
+    payload fails any non-None expectation. ``op``: eq|gt|gte|lt|lte
+    (MatchOperation; EQ is binary payload equality); ``ptype``:
+    float|int|string (PayloadType decode).
+
+    Returns (doc_id, n_spans) with n_spans = accepted span count (the
+    SpanScorer's freq), ordered by doc_id.
+
+    Distributed shape: the underlying span query (phrase/term over the
+    payload chain's positions) prefilters via the postings — only docs
+    containing the term sequence AT ALL reach the payload re-derivation
+    pass, which is one Arrow-batched kernel over their stored fields.
+    """
+    from ..kernels.payload import span_payload_check_batch
+    from ..search.query import PhraseQuery, TermQuery
+
+    analyzed = [payload_term(t) for t in terms]
+    q = TermQuery(terms[0]) if len(terms) == 1 \
+        else PhraseQuery(tuple(terms))
+    m = searcher.matches_df(q).select("doc_id")
+    ds = (searcher._read_cached(searcher.docstore_paths)
+          .select("doc_id", F.col(text_col).alias("_ptext")))
+    j = m.join(ds, "doc_id", "inner")
+    exp = list(expected)
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            cnt = span_payload_check_batch(pdf["_ptext"], analyzed, exp,
+                                           op=op, ptype=ptype)
+            out = pdf[["doc_id"]].assign(n_spans=cnt)
+            yield out[out["n_spans"] > 0]
+
+    return (j.mapInPandas(run, schema="doc_id long, n_spans long")
+            .orderBy("doc_id"))

@@ -145,3 +145,118 @@ def test_negative_payload_truncates_to_zero(payload_searcher):
 def test_unknown_function_rejected(payload_searcher):
     with pytest.raises(ValueError):
         payload_score_df(payload_searcher, "alpha", fn="median")
+
+
+# ---------------------------------------------------------------------------
+# SpanPayloadCheckQuery
+# ---------------------------------------------------------------------------
+
+def _brute_span_check(texts, terms, expected, op="eq", ptype="float"):
+    import math
+
+    def dec(p):
+        if ptype == "string":
+            return p
+        try:
+            v = float(p)
+        except ValueError:
+            return math.nan
+        if ptype == "int" and v != int(v):
+            return math.nan
+        return v
+
+    def cmp(v, e):
+        if ptype == "string":
+            pass
+        else:
+            e = float(e)
+            if v != v:  # NaN
+                return False
+        return {"eq": v == e, "gt": v > e, "gte": v >= e,
+                "lt": v < e, "lte": v <= e}[op]
+
+    out = {}
+    for d, t in texts.items():
+        toks = [tok.partition("|") for tok in t.lower().split()]
+        n = 0
+        for i in range(len(toks) - len(terms) + 1):
+            ok = True
+            for j, (term, exp) in enumerate(zip(terms, expected)):
+                w, delim, pay = toks[i + j]
+                if w != term:
+                    ok = False
+                    break
+                if exp is None:
+                    if delim:
+                        ok = False
+                        break
+                elif not delim or not cmp(dec(pay), exp):
+                    ok = False
+                    break
+            if ok:
+                n += 1
+        if n:
+            out[d] = n
+    return out
+
+
+def _searcher_texts(searcher):
+    return {r["doc_id"]: r["text"]
+            for r in searcher._read_cached(searcher.docstore_paths)
+            .select("doc_id", "text").collect()}
+
+
+@pytest.mark.parametrize("terms,expected,op", [
+    (["alpha"], [2.0], "eq"),
+    (["alpha"], [1.0], "gte"),
+    (["alpha"], [None], "eq"),      # bare occurrence only
+    (["alpha", "beta"], [2.0, None], "eq"),
+    (["alpha", "beta"], [None, 3.0], "eq"),
+    (["alpha"], [0.0], "lt"),       # negative payload
+    (["beta"], [4.0], "gt"),
+])
+def test_span_payload_check_matches_brute(payload_searcher, terms,
+                                          expected, op):
+    from lucene_spark.ops.payloads import span_payload_check_df
+    got = {r["doc_id"]: r["n_spans"]
+           for r in span_payload_check_df(payload_searcher, terms,
+                                          expected, op=op).collect()}
+    want = _brute_span_check(_searcher_texts(payload_searcher),
+                             terms, expected, op)
+    assert got == want, (terms, expected, op)
+
+
+def test_span_payload_check_string_and_int_types():
+    from lucene_spark.kernels.payload import span_payload_check_batch
+    texts = pd.Series([
+        "color|red shape|round",
+        "color|blue shape|square",
+        "color|red",
+        "num|3 num|4.5",
+    ])
+    # STRING equality
+    c = span_payload_check_batch(texts, ["color"], ["red"],
+                                 op="eq", ptype="string")
+    assert list(c) == [1, 0, 1, 0]
+    # STRING lexicographic GT ("red" > "blue")
+    c = span_payload_check_batch(texts, ["color"], ["blue"],
+                                 op="gt", ptype="string")
+    assert list(c) == [1, 0, 1, 0]
+    # INT type rejects fractional payloads (4.5 is not a packed int)
+    c = span_payload_check_batch(texts, ["num"], [3.0],
+                                 op="gte", ptype="int")
+    assert list(c) == [0, 0, 0, 1]
+    # unknown op / misaligned expectations raise
+    with pytest.raises(ValueError):
+        span_payload_check_batch(texts, ["color"], ["red"], op="ne")
+    with pytest.raises(ValueError):
+        span_payload_check_batch(texts, ["color"], ["red", "blue"])
+
+
+def test_span_payload_check_no_cross_doc_span():
+    from lucene_spark.kernels.payload import span_payload_check_batch
+    # "x" ends row 0, "y" starts row 1: the flat stream is contiguous,
+    # but the span must not straddle the boundary
+    texts = pd.Series(["a x|1", "y|2 b"])
+    c = span_payload_check_batch(texts, ["x", "y"], [1.0, 2.0], op="eq")
+    assert list(c) == [0, 0]
