@@ -1398,12 +1398,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # phrase "slow f*" — the prefix slot expands against the term
         # dictionary, then MultiPhraseQuery semantics (union positions,
         # idf summed over every expanded term)
+        # op 'api' = the direct phrase_wildcard surface; op 'parsed' =
+        # the SAME query through ComplexPhraseQueryParser (queryparser/
+        # complexPhrase/ComplexPhraseQueryParser.java) — '"slow f*"'
+        # with the prefix atom inside the quoted phrase
+        from lucene_spark.search.query import parse_complex_phrase_query
         s = _searcher(sp, sf)
         qq = s.phrase_wildcard(["slow", MultiTermQuery("prefix", "f")])
-        res = s.search_df(qq, k=10)
-        return res.select(
-            "doc_id",
-            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+        parsed = parse_complex_phrase_query('"slow f*"')
+        parts = [
+            s.search_df(qq, k=10).select(
+                F.lit("api").alias("op"), "doc_id",
+                F.round(F.col("score").cast("double"), 3)
+                .alias("score_r")),
+            s.search_df(parsed, k=10).select(
+                F.lit("parsed").alias("op"), "doc_id",
+                F.round(F.col("score").cast("double"), 3)
+                .alias("score_r")),
+        ]
+        return parts[0].unionByName(parts[1])
     q["ft_phrase_wildcard"] = ft_phrase_wildcard
 
     def ft_function_score(sp, sf):
@@ -3186,8 +3199,11 @@ WHERE rk <= 2 ORDER BY s DESC, doc_id LIMIT 10
 , m AS (SELECT p.doc_id,
         {_score('p.freq', idf='(SELECT widf FROM w)')} AS s
         FROM mph p JOIN qdl q USING (doc_id))
-SELECT doc_id, round(s, 3) AS score_r FROM m
-ORDER BY s DESC, doc_id LIMIT 10
+, top AS (SELECT doc_id, round(s, 3) AS score_r FROM m
+          ORDER BY s DESC, doc_id LIMIT 10)
+SELECT 'api' AS op, doc_id, score_r FROM top
+UNION ALL
+SELECT 'parsed', doc_id, score_r FROM top
 """
 
     # FunctionScoreQuery: BM25 for 'vector', score replaced by

@@ -94,6 +94,29 @@ class MultiPhraseQuery:
 
 
 @dataclass(frozen=True)
+class ComplexPhraseQuery:
+    """A phrase whose slots may be MultiTermQuerys — the query produced
+    by ComplexPhraseQueryParser (queryparser/src/java/org/apache/lucene/
+    queryparser/complexPhrase/ComplexPhraseQueryParser.java:60-90
+    ComplexPhraseQuery): '"slow f*"' or '"smyth~ john"'. Like the
+    reference, the MTQ slots resolve against the term dictionary at
+    REWRITE time (the searcher's MTQ-expansion pass calls
+    phrase_wildcard), after which it is an ordinary MultiPhraseQuery —
+    union positions per slot, idf summed over expanded terms.
+
+    ``slots_``: tuple of str (plain term) or MultiTermQuery entries.
+    """
+    slots_: tuple
+    field: str = "text"
+    slop: int = 0
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return [s for s in self.slots_ if isinstance(s, str)]
+
+
+@dataclass(frozen=True)
 class SynonymQuery:
     """All terms scored as one pseudo-term: per-doc tf = Σ member tfs,
     blended stats df = max(member df), ttf = Σ member ttf
@@ -496,7 +519,7 @@ _BOOST_RE = re.compile(r"^(.*?)\^(\d+(?:\.\d+)?)$")
 _FUZZY_RE = re.compile(r"^(.*?)~(\d*)$")
 
 
-def _parse_atom(tok: str, field: str):
+def _parse_atom(tok: str, field: str, complex_phrases: bool = False):
     """One term-ish token -> (query-or-term, boost). Bare analyzed terms
     come back as plain strings (flat clause fast path)."""
     boost = 1.0
@@ -535,6 +558,34 @@ def _parse_atom(tok: str, field: str):
         terms = tuple(body.lower().split())
         if not terms:
             raise ValueError(f"empty phrase in query: {tok!r}")
+        if complex_phrases:
+            # ComplexPhraseQueryParser.java: each phrase word parses
+            # through the full term grammar — prefix/wildcard/fuzzy
+            # slots resolve against the term dictionary at rewrite time
+            slots, any_mtq = [], False
+            for w in terms:
+                fm = _FUZZY_RE.match(w)
+                if fm and fm.group(1):  # "smyth~" / "smyth~1"
+                    edits = int(fm.group(2)) if fm.group(2) else 2
+                    slots.append(MultiTermQuery(
+                        "fuzzy", fm.group(1), field,
+                        max_edits=min(edits, 2)))
+                    any_mtq = True
+                elif "*" in w or "?" in w:
+                    if w.endswith("*") and "*" not in w[:-1] \
+                            and "?" not in w:
+                        slots.append(MultiTermQuery("prefix", w[:-1],
+                                                    field))
+                    else:
+                        slots.append(MultiTermQuery("wildcard", w,
+                                                    field))
+                    any_mtq = True
+                else:
+                    slots.append(w)
+            if any_mtq:
+                return ComplexPhraseQuery(tuple(slots), field,
+                                          slop=slop,
+                                          boost=boost), boost
         if len(terms) == 1:
             return (TermQuery(terms[0], field, boost=boost)
                     if (field != "text" or boost != 1.0) else terms[0],
@@ -559,7 +610,8 @@ def _parse_atom(tok: str, field: str):
     return t, boost
 
 
-def _parse_clauses(toks: list, pos: int, field: str):
+def _parse_clauses(toks: list, pos: int, field: str,
+                   complex_phrases: bool = False):
     """Parse until ')' or end -> (clauses [(occur, clause)], next pos).
     occur in {'must', 'should', 'must_not'}."""
     clauses = []
@@ -601,7 +653,8 @@ def _parse_clauses(toks: list, pos: int, field: str):
             pos += 1
             t = toks[pos]
         if t == "(":
-            sub, pos = _parse_clauses(toks, pos + 1, clause_field)
+            sub, pos = _parse_clauses(toks, pos + 1, clause_field,
+                                      complex_phrases)
             boost = 1.0
             if pos < len(toks) and toks[pos].startswith("^"):
                 boost = float(toks[pos][1:])
@@ -610,7 +663,7 @@ def _parse_clauses(toks: list, pos: int, field: str):
             clauses.append((pending or "should", q))
             pending = None
             continue
-        atom, _ = _parse_atom(t, clause_field)
+        atom, _ = _parse_atom(t, clause_field, complex_phrases)
         clauses.append((pending or "should", atom))
         pending = None
         pos += 1
@@ -634,11 +687,16 @@ def _build_boolean(clauses: list, field: str, boost: float = 1.0):
     return rewrite(q)
 
 
-def parse_query(s: str, field: str = "text"):
+def parse_query(s: str, field: str = "text",
+                complex_phrases: bool = False):
     """Parse a classic-QueryParser-subset string into the Query AST.
-    Single-clause results are elided to the bare query (rewrite)."""
+    Single-clause results are elided to the bare query (rewrite).
+    ``complex_phrases=True`` enables the ComplexPhraseQueryParser
+    grammar: prefix/wildcard/fuzzy atoms INSIDE quoted phrases
+    (queryparser/complexPhrase/ComplexPhraseQueryParser.java) —
+    the classic parser treats them as literal phrase words."""
     toks = _tokenize_query(s.strip())
-    clauses, _ = _parse_clauses(toks, 0, field)
+    clauses, _ = _parse_clauses(toks, 0, field, complex_phrases)
     if not clauses:
         raise ValueError(f"empty query: {s!r}")
     # all-SHOULD flat terms keep the compact OrQuery shape; a single
@@ -652,3 +710,13 @@ def parse_query(s: str, field: str = "text"):
         return (TermQuery(terms[0], field) if len(terms) == 1
                 else AndQuery(terms, field))
     return _build_boolean(clauses, field)
+
+
+def parse_complex_phrase_query(s: str, field: str = "text"):
+    """ComplexPhraseQueryParser.parse
+    (queryparser/complexPhrase/ComplexPhraseQueryParser.java): the
+    classic grammar with prefix/wildcard/fuzzy atoms allowed inside
+    quoted phrases. Subset deviation (documented): embedded range
+    queries inside phrases and the inOrder=false toggle are not
+    supported."""
+    return parse_query(s, field, complex_phrases=True)

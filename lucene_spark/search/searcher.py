@@ -37,10 +37,10 @@ from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       phrase_freqs, score_bucket, topk_select)
 from .query import (AndQuery, BlendedTermQuery, BooleanQuery,
                     CombinedFieldQuery, CommonTermsQuery,
-                    ConstantScoreQuery, DisMaxQuery, FieldExistsQuery,
-                    MatchAllQuery, MultiPhraseQuery, MultiTermQuery,
-                    OrQuery, PhraseQuery, PreAnalyzed, SynonymQuery,
-                    TermQuery, rewrite)
+                    ComplexPhraseQuery, ConstantScoreQuery, DisMaxQuery,
+                    FieldExistsQuery, MatchAllQuery, MultiPhraseQuery,
+                    MultiTermQuery, OrQuery, PhraseQuery, PreAnalyzed,
+                    SynonymQuery, TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -54,7 +54,7 @@ def _needs_tree(query) -> bool:
     sub-query clauses, constant-score wrappers, dismax over queries."""
     if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery,
                           MultiPhraseQuery, CommonTermsQuery,
-                          BlendedTermQuery)):
+                          BlendedTermQuery, ComplexPhraseQuery)):
         return True
     if isinstance(query, BooleanQuery):
         return query.nested
@@ -656,6 +656,19 @@ class IndexSearcher:
                 return inner
             return ConstantScoreQuery(OrQuery(expanded, q.field),
                                       q.field, q.boost)
+        if isinstance(q, ComplexPhraseQuery):
+            # ComplexPhraseQueryParser's ComplexPhraseQuery rewrites
+            # against the reader at this exact point in the reference
+            # too (ComplexPhraseQueryParser.java ComplexPhraseQuery
+            # .rewrite): MTQ slots expand via the term dictionary and
+            # the result is an ordinary MultiPhraseQuery
+            import dataclasses as _dc
+            rw = self.phrase_wildcard(list(q.slots_), q.field, q.slop)
+            if isinstance(rw, PreAnalyzed):
+                rw = rw.query
+            if q.boost != 1.0:
+                rw = _dc.replace(rw, boost=q.boost)
+            return rewrite(rw)
         if isinstance(q, BooleanQuery):
             fx = (lambda c: c if isinstance(c, str)
                   else self._expand_mtq_tree(c))

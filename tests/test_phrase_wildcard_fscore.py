@@ -75,3 +75,56 @@ def test_function_score_identity_matches_search(searcher):
     b = searcher.search_df(TermQuery(t), k=10).collect()
     assert [(r["doc_id"], pytest.approx(r["score"], rel=1e-6))
             for r in a] == [(r["doc_id"], r["score"]) for r in b]
+
+
+# ---------------------------------------------------------------------------
+# ComplexPhraseQueryParser (queryparser/complexPhrase)
+# ---------------------------------------------------------------------------
+
+def test_complex_phrase_parser_equals_phrase_wildcard(searcher):
+    from lucene_spark.search.query import (ComplexPhraseQuery,
+                                           parse_complex_phrase_query,
+                                           parse_query)
+    t0 = term_string(0)
+    pfx = term_string(5)[:5]
+    q = parse_complex_phrase_query(f'"{t0} {pfx}*"')
+    assert isinstance(q, ComplexPhraseQuery)
+    want = searcher.search_df(
+        searcher.phrase_wildcard([t0, MultiTermQuery("prefix", pfx)]),
+        k=10).collect()
+    got = searcher.search_df(q, k=10).collect()
+    assert [(r["doc_id"], r["score"]) for r in got] \
+        == [(r["doc_id"], r["score"]) for r in want]
+    assert len(got) > 0
+    # the CLASSIC parser keeps the literal star (reference parity:
+    # wildcards in phrases are ComplexPhraseQueryParser-only)
+    from lucene_spark.search.query import PhraseQuery
+    assert isinstance(parse_query(f'"{t0} {pfx}*"'), PhraseQuery)
+
+
+def test_complex_phrase_parses_fuzzy_and_wildcard_slots():
+    from lucene_spark.search.query import (ComplexPhraseQuery,
+                                           parse_complex_phrase_query)
+    q = parse_complex_phrase_query('"smyth~ jo?n w*rd plain"~3^2')
+    assert isinstance(q, ComplexPhraseQuery)
+    assert q.slop == 3 and q.boost == 2.0
+    kinds = [getattr(s, "kind", "term") for s in q.slots_]
+    assert kinds == ["fuzzy", "wildcard", "wildcard", "term"]
+    assert q.slots_[0].max_edits == 2      # bare ~ = maxEdits 2
+    q1 = parse_complex_phrase_query('"smyth~1 x"')
+    assert q1.slots_[0].max_edits == 1
+    # a quoted phrase with no MTQ atoms stays a plain PhraseQuery
+    from lucene_spark.search.query import PhraseQuery
+    assert isinstance(parse_complex_phrase_query('"plain words"'),
+                      PhraseQuery)
+
+
+def test_complex_phrase_inside_boolean(searcher):
+    from lucene_spark.search.query import parse_complex_phrase_query
+    t0, t1 = term_string(0), term_string(1)
+    pfx = term_string(5)[:5]
+    q = parse_complex_phrase_query(f'{t1} AND "{t0} {pfx}*"')
+    got = searcher.search_df(q, k=10)
+    assert got.count() > 0
+    # count/matches paths resolve the node too
+    assert searcher.count(q) >= got.count()
