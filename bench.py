@@ -161,6 +161,12 @@ def main():
         from lucene_spark.ops import dedup as D
         from lucene_spark.ops import similarity as SIM
         from lucene_spark.ops.decontaminate import decontaminate as _dec
+        from lucene_spark.ops.perplexity import (lm_perplexity,
+                                                 train_trigram_lm)
+
+        def _ppl_count(docs):
+            lm = train_trigram_lm(docs.filter("doc_id % 2 = 0"))
+            return lm_perplexity(docs, lm).count()
         raw = E._docs(spark, sf_dir)
         emb = E._embeddings(spark, sf_dir)
         qs = (emb.filter(F.col("vec_id") < 16)
@@ -175,7 +181,14 @@ def main():
                 ("op_decontam",
                  lambda: _dec(raw.filter("doc_id % 25 <> 0"),
                               raw.filter("doc_id % 25 = 0"), n=3)
-                 .filter("n_contaminated > 0").count())):
+                 .filter("n_contaminated > 0").count()),
+                ("op_substring",
+                 # exact substring dedup (Lee et al. window analog)
+                 lambda: D.duplicate_substring_spans(
+                     raw, window=5, min_count=2).count()),
+                ("op_perplexity",
+                 # CCNet LM quality: train on half, score all
+                 lambda: _ppl_count(raw))):
             reps = []
             for i in range(4):
                 t0 = time.time()
