@@ -27,7 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-__all__ = ["build_suggester", "ContextSuggester"]
+__all__ = ["build_suggester", "build_suggester_entries",
+           "ContextSuggester"]
 
 
 def build_suggester(docs: DataFrame, path: str, text_col: str = "text",
@@ -52,6 +53,30 @@ def build_suggester(docs: DataFrame, path: str, text_col: str = "text",
      .groupBy("context", "term")
      .agg(F.count("*").alias("weight"))
      .write.mode("overwrite").parquet(path))
+
+
+def build_suggester_entries(entries: DataFrame, path: str,
+                            text_col: str = "text",
+                            weight_col: str = "weight",
+                            payload_col: str | None = None,
+                            context_col: str | None = None) -> None:
+    """The reference's ACTUAL input model — InputIterator entries of
+    (text, weight, payload, contexts)
+    (suggest/src/java/org/apache/lucene/search/suggest/InputIterator
+    .java; AnalyzingInfixSuggester.build consumes it and returns the
+    payload with every LookupResult): suggestions are app-provided
+    entries (product names with URLs, commands with help ids), not
+    corpus terms. One row per entry (per context if ``context_col``);
+    lookup returns (term, weight, payload)."""
+    cols = [F.col(text_col).alias("term"),
+            F.col(weight_col).cast("long").alias("weight")]
+    if context_col is not None:
+        cols.insert(0, F.col(context_col).alias("context"))
+    else:
+        cols.insert(0, F.lit(None).cast("string").alias("context"))
+    if payload_col is not None:
+        cols.append(F.col(payload_col).cast("string").alias("payload"))
+    entries.select(*cols).write.mode("overwrite").parquet(path)
 
 
 class ContextSuggester:
@@ -81,7 +106,12 @@ class ContextSuggester:
                 & osa_leq_udf(pattern, max_edits)(F.col("term")))
         else:
             raise ValueError(f"unknown suggest kind {kind!r}")
-        out = (df.groupBy("term")
-               .agg(F.sum("weight").alias("weight")))
+        aggs = [F.sum("weight").alias("weight")]
+        if "payload" in df.columns:
+            # entries-mode index: the payload travels with the entry
+            # (LookupResult.payload — one payload per suggestion text,
+            # shared across its contexts)
+            aggs.append(F.max("payload").alias("payload"))
+        out = df.groupBy("term").agg(*aggs)
         return (out.orderBy(F.col("weight").desc(), F.col("term").asc())
                 .limit(n))

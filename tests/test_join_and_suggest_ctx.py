@@ -107,3 +107,42 @@ def test_context_suggester_infix_and_fuzzy(sugg):
           sugg.lookup("sacn", "fuzzy", n=5, contexts=["en"],
                       max_edits=1).collect()]
     assert fz == ["scan"]  # transposition = one edit
+
+
+def test_entries_suggester_returns_payloads(spark, tmp_path):
+    # InputIterator entries model (AnalyzingInfixSuggester.build):
+    # (text, weight, payload, contexts) in -> payload out per result
+    from lucene_spark.search.suggest import (ContextSuggester,
+                                             build_suggester_entries)
+    rows = [
+        ("search syntax guide", 50, "url:/docs/syntax", "en"),
+        ("search operators", 90, "url:/docs/ops", "en"),
+        ("searching basics", 20, "url:/docs/basics", "en"),
+        ("suchmaschine intern", 70, "url:/de/intern", "de"),
+        ("search operators", 90, "url:/docs/ops", "de"),  # 2nd context
+    ]
+    df = spark.createDataFrame(
+        rows, "text string, weight long, payload string, lang string")
+    path = str(tmp_path / "sugg_entries")
+    build_suggester_entries(df, path, payload_col="payload",
+                            context_col="lang")
+    s = ContextSuggester(spark, path)
+    got = [(r["term"], r["weight"], r["payload"])
+           for r in s.lookup("search", kind="prefix", n=3).collect()]
+    # no-context lookup sums weights across contexts, keeps the payload
+    assert got == [("search operators", 180, "url:/docs/ops"),
+                   ("search syntax guide", 50, "url:/docs/syntax"),
+                   ("searching basics", 20, "url:/docs/basics")]
+    got_de = [(r["term"], r["payload"])
+              for r in s.lookup("s", kind="prefix", n=5,
+                                contexts=["de"]).collect()]
+    assert got_de == [("search operators", "url:/docs/ops"),
+                      ("suchmaschine intern", "url:/de/intern")]
+    # infix + payload
+    got_in = [(r["term"], r["payload"])
+              for r in s.lookup("basics", kind="infix", n=5).collect()]
+    assert got_in == [("searching basics", "url:/docs/basics")]
+    # a payload-free entries index keeps the two-column shape
+    build_suggester_entries(df, path + "2", context_col="lang")
+    s2 = ContextSuggester(spark, path + "2")
+    assert s2.lookup("search", n=1).columns == ["term", "weight"]
