@@ -702,6 +702,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return parts[0].unionByName(parts[1]).unionByName(parts[2])
     q["ft_payload_check"] = ft_payload_check
 
+    def ft_html_search(sp, sf):
+        # HTMLStripCharFilter chain end-to-end (analysis/common/
+        # charfilter/HTMLStripCharFilter.jflex): every doc is wrapped
+        # in real markup — a block heading with an inline <b>, a
+        # <script> whose CONTENT must vanish, an inline <a> whose
+        # anchor text must survive, entities, and a comment. The
+        # oracle states the expected stripped token stream as a GOLDEN
+        # ('doc heading ' || text || ' footer link tail'), so any leak
+        # (script body, comment words, tag/attribute names) shifts
+        # tf/dl and breaks the hash. Ops: 'top' = BM25 top-10 for a
+        # content term over the html index; 'count' = per-probe-term
+        # doc counts (injected terms present everywhere, markup terms
+        # in NO doc)
+        key = (_FORMAT_VERSION + "_html_"
+               + re.sub(r"\W+", "_", os.path.abspath(sf)))
+        out = os.path.join(_CACHE_ROOT, key)
+        if not IndexCatalog(out).has_table("postings"):
+            d = _docs(sp, sf).withColumn(
+                "text",
+                F.concat(
+                    F.lit('<div class="hd"><b>doc</b> heading</div>'
+                          '<script>var x = "<p>ignored tokens</p>";'
+                          '</script>'),
+                    F.col("text"),
+                    F.lit(' <br><a href="#f">footer link</a> &amp; '
+                          '&#33; tail<!-- hidden comment words -->')))
+            build_index(sp, _as_transcripts(d), out, num_buckets=4,
+                        analyzers={"text": "html"})
+        s = _cached_searcher(sp, out)
+        top = (s.search_df(TermQuery("vector"), k=10)
+               .select(F.lit("top").alias("op"),
+                       F.col("doc_id").cast("string").alias("k"),
+                       F.round(F.col("score").cast("double"), 3)
+                       .alias("v")))
+        probes = ["doc", "heading", "footer", "tail", "var", "ignored",
+                  "hidden", "href", "script", "div"]
+        rows = [("count", t, float(s.count(TermQuery(t))))
+                for t in probes]
+        cnt = sp.createDataFrame(rows, "op string, k string, v double")
+        return top.unionByName(cnt)
+    q["ft_html_search"] = ft_html_search
+
     def ft_term_vector(sp, sf):
         # TermVectors (core:index/TermVectors.java,
         # IndexReader.getTermVector): per-doc (term, freq, positions)
@@ -2205,6 +2247,29 @@ SELECT 'sum', doc_id, round(s_sum, 3) FROM (
 UNION ALL
 SELECT 'avg', doc_id, round(s_avg, 3) FROM (
   SELECT doc_id, s_avg FROM scored ORDER BY s_avg DESC, doc_id LIMIT 10)
+"""
+
+    # HTMLStrip chain: the oracle is the GOLDEN stripped token stream
+    # — the injected markup reduces to 'doc heading' + text + 'footer
+    # link tail' (script bodies, comments, tags, attributes all gone)
+    PH = _prelude(
+        "regexp_extract_all(lower('doc heading ' || text || "
+        "' footer link tail'), '[0-9a-z]+')", lut_max=300)
+    o["ft_html_search"] = PH + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+, cnts AS (
+  SELECT p.term AS k, coalesce(t.n, 0)::DOUBLE AS v
+  FROM (VALUES ('doc'), ('heading'), ('footer'), ('tail'), ('var'),
+               ('ignored'), ('hidden'), ('href'), ('script'), ('div'))
+       p(term)
+  LEFT JOIN (SELECT term, count(*) AS n FROM tf GROUP BY term) t
+       USING (term))
+SELECT 'top' AS op, doc_id::VARCHAR AS k, round(s, 3) AS v FROM (
+  SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'count', k, v FROM cnts
 """
 
     # SpanPayloadCheckQuery: per-token payload matcher over the same

@@ -343,7 +343,7 @@ def tokenize_one(text: str) -> list:
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
              "french", "portuguese", "spanish", "italian", "wdgf",
-             "shingle", "edge", "payload")
+             "shingle", "edge", "payload", "html")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -391,6 +391,10 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # from the stored field (kernels/payload.py)
         from .payload import payload_tokenize_series
         return payload_tokenize_series(texts)
+    if analyzer == "html":
+        # HTMLStripCharFilter + StandardAnalyzer (kernels/htmlstrip.py)
+        from .htmlstrip import html_tokenize_series
+        return html_tokenize_series(texts)
     toks = tokenize_series(texts)
     if analyzer == "standard":
         return toks
@@ -461,6 +465,9 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "payload":
         from .payload import payload_analyze_one
         return payload_analyze_one(text)
+    if analyzer == "html":
+        from .htmlstrip import html_analyze_one
+        return html_analyze_one(text)
     toks = tokenize_one(text)
     if analyzer == "standard":
         return toks
@@ -554,6 +561,11 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
     if analyzer == "payload":
         from .payload import payload_term
         return payload_term(term)
+    if analyzer == "html":
+        # query terms are not HTML: the char filter is an index-side
+        # transform; a single term slot just lowercases (the standard
+        # chain underneath)
+        return term.lower()
     if analyzer == "german":
         from .de import GERMAN_STOP_WORDS, german_light_stem, \
             german_normalize
