@@ -968,6 +968,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return D.duplicate_substring_spans(d, window=5, min_count=2)
     q["dedup_substring"] = dedup_substring
 
+    def dedup_lines(sp, sf):
+        # C4-style LINE-level dedup (ops/dedup.py line_dedup): every
+        # doc gains a corpus-wide shared boilerplate line plus a
+        # 'section <doc_id%7>' line shared within its mod-7 class;
+        # keep-first drops all but the (doc_id, line_no)-minimal
+        # occurrence. Naturally-duplicated whole-doc texts (the
+        # dedup_exact groups) dedup as lines too — mirrored exactly by
+        # the oracle. Gated on the cleaned-text fingerprint
+        d = _docs(sp, sf).withColumn(
+            "text",
+            F.concat(F.col("text"),
+                     F.lit("\nplease visit our website today"),
+                     F.lit("\nsection "),
+                     (F.col("doc_id") % 7).cast("string")))
+        out = D.line_dedup(d)
+        return out.select("doc_id",
+                          F.length("text").alias("n_chars"),
+                          F.md5("text").alias("fp"))
+    q["dedup_lines"] = dedup_lines
+
     def dedup_minhash_pairs(sp, sf):
         return D.minhash_pairs(_docs(sp, sf), num_hashes=8, bands=4)
     q["dedup_minhash_pairs"] = dedup_minhash_pairs
@@ -2508,6 +2528,31 @@ FROM g GROUP BY user_id
 SELECT md5(array_to_string(toks, ' ')) AS text_hash,
        count(*)::BIGINT AS n_docs, min(doc_id) AS min_doc_id
 FROM tok GROUP BY 1 HAVING count(*) > 1
+"""
+
+    # line dedup: same injection, keep-first by (doc_id, line_no) per
+    # normalized line hash, blank lines pass through
+    o["dedup_lines"] = """
+WITH inj AS (
+  SELECT doc_id,
+         text || chr(10) || 'please visit our website today' ||
+         chr(10) || 'section ' || (doc_id % 7)::VARCHAR AS text
+  FROM documents),
+l AS (SELECT doc_id, generate_subscripts(parts, 1) AS ln,
+             unnest(parts) AS line
+      FROM (SELECT doc_id, str_split(text, chr(10)) AS parts FROM inj)),
+k AS (SELECT doc_id, ln, line,
+             row_number() OVER (PARTITION BY md5(trim(lower(line)))
+                                ORDER BY doc_id, ln) AS rk,
+             trim(line) = '' AS blank
+      FROM l),
+kept AS (SELECT doc_id, ln, line FROM k WHERE blank OR rk = 1),
+agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ln) AS t
+        FROM kept GROUP BY doc_id)
+SELECT d.doc_id, length(coalesce(a.t, ''))::INT AS n_chars,
+       md5(coalesce(a.t, '')) AS fp
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
 """
 
     # substring dedup: same injection, same 5-token windows, same

@@ -418,3 +418,45 @@ def strip_duplicate_substrings(df: DataFrame, window: int = 5,
            .select(F.col("doc_id").alias(id_col),
                    F.coalesce("_text", F.lit("")).alias(text_col)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# line-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def line_dedup(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """C4-style LINE-level exact deduplication (Raffel et al. 2020,
+    "Exploring the Limits of Transfer Learning..." §2.2 — production
+    pipelines drop repeated boilerplate lines corpus-wide, keeping one
+    occurrence): every non-blank line whose normalized form
+    (trim+lowercase) repeats anywhere in the corpus keeps ONLY its
+    first occurrence in (doc_id, line_no) order; blank lines pass
+    through (they are structure, not content — deduping them would
+    collapse every paragraph break onto one document).
+
+    Returns (id_col, text_col) with the cleaned text, one row per
+    input document (a document whose every line was dropped comes back
+    as the empty string).
+
+    Scale: explode is O(total lines); keep-first is ONE row_number
+    window partitioned by the md5 line key (uniform, no skew beyond
+    true duplicate mass); reassembly is a per-doc sort of surviving
+    lines. No driver-side state.
+    """
+    from pyspark.sql.window import Window
+
+    lines = (df.select(F.col(id_col).alias("doc_id"),
+                       F.posexplode(F.split(F.col(text_col), "\n"))
+                       .alias("ln", "line")))
+    h = F.md5(F.trim(F.lower(F.col("line"))))
+    w = Window.partitionBy(h).orderBy("doc_id", "ln")
+    kept = (lines.withColumn("_rk", F.row_number().over(w))
+            .filter((F.trim(F.col("line")) == "") | (F.col("_rk") == 1)))
+    out = (kept.groupBy("doc_id")
+           .agg(F.concat_ws("\n", F.array_sort(F.collect_list(
+               F.struct("ln", "line"))).getField("line")).alias("_t")))
+    ids = df.select(F.col(id_col).alias("doc_id")).distinct()
+    return (ids.join(out, "doc_id", "left")
+            .select(F.col("doc_id").alias(id_col),
+                    F.coalesce("_t", F.lit("")).alias(text_col)))

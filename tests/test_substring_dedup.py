@@ -113,3 +113,34 @@ def test_short_and_empty_docs(spark):
     out = {r["doc_id"]: r["text"]
            for r in strip_duplicate_substrings(df, window=3).collect()}
     assert out == {0: "one two", 1: "", 2: "one two"}
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level dedup
+# ---------------------------------------------------------------------------
+
+def test_line_dedup_keeps_first_occurrence(spark):
+    from lucene_spark.ops.dedup import line_dedup
+    docs = [
+        (0, "unique zero\nShared Boilerplate\nalso zero"),
+        (1, "shared boilerplate\nunique one"),      # normalized dup
+        (2, "unique two\n\nshared boilerplate"),    # blank line kept
+        (3, "unique three"),
+        (4, "unique zero"),  # dup of doc 0's first line -> dropped
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
+    assert out[0] == "unique zero\nShared Boilerplate\nalso zero"
+    assert out[1] == "unique one"
+    assert out[2] == "unique two\n"       # blank survives, dup dropped
+    assert out[3] == "unique three"
+    assert out[4] == ""                   # whole doc was a dup line
+
+
+def test_line_dedup_blank_lines_never_collapse(spark):
+    from lucene_spark.ops.dedup import line_dedup
+    df = spark.createDataFrame(
+        [(0, "a\n\nb"), (1, "c\n\nd"), (2, "e\n \nf")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in line_dedup(df).collect()}
+    assert out == {0: "a\n\nb", 1: "c\n\nd", 2: "e\n \nf"}
