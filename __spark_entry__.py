@@ -744,6 +744,48 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return top.unionByName(cnt)
     q["ft_html_search"] = ft_html_search
 
+    def ft_phonetic(sp, sf):
+        # PhoneticFilter(Soundex, inject=false) chain end-to-end
+        # (analysis/phonetic/.../PhoneticFilter.java:33, encoder
+        # golden-tested vs the commons-codec jar): every doc gains a
+        # surname whose SPELLING varies by doc_id — smith / smyth /
+        # smithe / even schmidt all share code S530 (the census
+        # classic), jones (J520) is the decoy — and
+        # the whole corpus is soundex-encoded, so vocabulary words
+        # collapse too (e.g. 'merge' and 'mark' both index as M620).
+        # Ops: 'name' = top-10 for query "smyth" (analyzes to S530,
+        # matching all three spellings with merged tf/df stats);
+        # 'word' = top-10 for "merge" (M620 — BM25 over the collapsed
+        # vocabulary class); 'decoy' = count for "jones" (only the
+        # J520 quarter of the corpus).
+        key = (_FORMAT_VERSION + "_phonetic_"
+               + re.sub(r"\W+", "_", os.path.abspath(sf)))
+        out = os.path.join(_CACHE_ROOT, key)
+        variants = ["smith", "smyth", "smithe", "jones"]
+        if not IndexCatalog(out).has_table("postings"):
+            d = _docs(sp, sf).withColumn(
+                "text",
+                F.concat(
+                    F.element_at(F.array(*[F.lit(v) for v in variants]),
+                                 (F.col("doc_id") % 4 + 1).cast("int")),
+                    F.lit(" "), F.col("text")))
+            build_index(sp, _as_transcripts(d), out, num_buckets=4,
+                        analyzers={"text": "phonetic"})
+        s = _cached_searcher(sp, out)
+        a = (s.search_df(TermQuery("smyth"), k=10)
+             .select(F.lit("name").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        b = (s.search_df(TermQuery("merge"), k=10)
+             .select(F.lit("word").alias("op"), "doc_id",
+                     F.round(F.col("score").cast("double"), 3)
+                     .alias("score_r")))
+        c = sp.createDataFrame(
+            [("decoy", -1, float(s.count(TermQuery("jones"))))],
+            "op string, doc_id long, score_r double")
+        return a.unionByName(b).unionByName(c)
+    q["ft_phonetic"] = ft_phonetic
+
     def ft_term_vector(sp, sf):
         # TermVectors (core:index/TermVectors.java,
         # IndexReader.getTermVector): per-doc (term, freq, positions)
@@ -1565,6 +1607,29 @@ def _norm_lut_sql(max_len: int = 255) -> str:
 _AVGDL = "(SELECT sttf / n FROM st)"
 
 
+def _soundex_sql(var: str) -> str:
+    """Independent DuckDB implementation of commons-codec Soundex with
+    PhoneticFilter replace semantics (letterless tokens pass through) —
+    the oracle side of the 'phonetic' analyzer chain. RE2 has no
+    backreferences, so adjacent-duplicate collapse runs as one
+    run-collapse per consonant code 1-6 (runs of '0' are dropped whole
+    afterwards); H/W are deleted from position >= 1 BEFORE mapping
+    (commons Soundex.java specialCaseHW: skipped without updating the
+    collapse state). Cross-checked against kernels/phonetic.py over
+    every golden word in tests/test_phonetic.py."""
+    letters = f"regexp_replace(upper({var}), '[^A-Z]', '', 'g')"
+    body = (f"substr({letters}, 1, 1) || "
+            f"regexp_replace(substr({letters}, 2), '[HW]', '', 'g')")
+    codes = (f"translate({body}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', "
+             f"'01230120022455012623010202')")
+    for d in "123456":
+        codes = f"regexp_replace({codes}, '{d}+', '{d}', 'g')"
+    return (f"CASE WHEN length({letters}) = 0 THEN {var} ELSE "
+            f"substr({letters}, 1, 1) || "
+            f"substr(replace(substr({codes}, 2), '0', '') || '000', 1, 3) "
+            f"END")
+
+
 def _prelude(tok_expr: str | None = None, src: str = "documents",
              lut_max: int = 255) -> str:
     tok_expr = tok_expr or "regexp_extract_all(lower(text), '[0-9a-z]+')"
@@ -2290,6 +2355,33 @@ SELECT 'top' AS op, doc_id::VARCHAR AS k, round(s, 3) AS v FROM (
   SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
 UNION ALL
 SELECT 'count', k, v FROM cnts
+"""
+
+    # phonetic chain: the injected surname variant (by doc_id % 4) is
+    # prepended, then EVERY token goes through the independent SQL
+    # soundex; queries hit the encoded terms (smyth -> S530 unifies
+    # smith/smyth/smithe AND corpus words like 'sent'/'smd'; merge ->
+    # M620 also absorbs 'mark' etc.)
+    PPH = _prelude(
+        "list_transform(list_concat("
+        "[(['smith', 'smyth', 'smithe', 'jones'])[(doc_id % 4 + 1)]], "
+        "regexp_extract_all(lower(text), '[0-9a-z]+')), "
+        f"t -> {_soundex_sql('t')})")
+    o["ft_phonetic"] = PPH + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'S530')
+, m2 AS (SELECT f.doc_id, {_score('f.tf')} AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term = 'M620')
+SELECT 'name' AS op, doc_id, round(s, 3) AS score_r FROM (
+  SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'word', doc_id, round(s, 3) FROM (
+  SELECT doc_id, s FROM m2 ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'decoy', -1::BIGINT,
+       (SELECT count(*)::DOUBLE FROM tf WHERE term = 'J520')
 """
 
     # SpanPayloadCheckQuery: per-token payload matcher over the same

@@ -343,7 +343,8 @@ def tokenize_one(text: str) -> list:
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
              "french", "portuguese", "spanish", "italian", "wdgf",
-             "shingle", "edge", "payload", "html")
+             "shingle", "edge", "payload", "html", "phonetic",
+             "metaphone")
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -406,9 +407,17 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                            else np.empty(0, object) for t in toks])
     import pandas as _pd
     codes, uniq = _pd.factorize(flat)
-    if analyzer in ("porter", "fold"):
+    if analyzer in ("porter", "fold", "phonetic", "metaphone"):
         if analyzer == "porter":
             from .stem import stem_unique as _map_unique
+        elif analyzer == "phonetic":
+            # 'phonetic' = StandardAnalyzer + PhoneticFilter(Soundex,
+            # inject=false): rewrites tokens 1:1 (kernels/phonetic.py)
+            from .phonetic import soundex_unique as _map_unique
+        elif analyzer == "metaphone":
+            # 'metaphone' = StandardAnalyzer + PhoneticFilter(
+            # DoubleMetaphone, inject=false): primary codes
+            from .phonetic import metaphone_unique as _map_unique
         else:
             # 'fold' = StandardAnalyzer + ASCIIFoldingFilter:
             # rewrites tokens, never drops them (kernels/fold.py)
@@ -478,6 +487,10 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "fold":
         from .fold import fold_one
         return [fold_one(t) for t in toks]
+    if analyzer in ("phonetic", "metaphone"):
+        from .phonetic import phonetic_encode
+        enc = "soundex" if analyzer == "phonetic" else "metaphone"
+        return [phonetic_encode(t, enc) for t in toks]
     if analyzer == "german":
         from .de import GERMAN_STOP_WORDS, german_light_stem, \
             german_normalize
@@ -536,6 +549,13 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
     if analyzer == "fold":
         from .fold import fold_one
         return fold_one(term.lower())
+    if analyzer in ("phonetic", "metaphone"):
+        # query term -> its phonetic code, the same PhoneticFilter
+        # replace semantics the index side applied (query "smith"
+        # seeks S530 / SM0 in the dictionary)
+        from .phonetic import phonetic_encode
+        enc = "soundex" if analyzer == "phonetic" else "metaphone"
+        return phonetic_encode(term.lower(), enc)
     if analyzer == "cjk":
         # single term slot: width fold + lowercase. A 2-char CJK term
         # IS its bigram; a longer CJK term analyzes to MULTIPLE bigram
