@@ -786,6 +786,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b).unionByName(c)
     q["ft_phonetic"] = ft_phonetic
 
+    def ft_expression(sp, sf):
+        # Expressions module (expressions/js/JavascriptCompiler.java):
+        # the JS-like scoring language compiled to one Catalyst SQL
+        # expression, driving second-pass rescoring
+        # (ExpressionRescorer): BM25 top-50 for 'vector' re-ranked by
+        # sqrt(_score) + a ternary over token_count + ln + min —
+        # exercising functions, the conditional, comparison-as-double,
+        # and bindings (_score/token_count -> columns).
+        from lucene_spark.search.expressions import compile_expression
+        s = _searcher(sp, sf)
+        top = s.search_df(TermQuery("vector"), k=50)
+        sql = compile_expression(
+            "sqrt(_score) + (token_count > 40 ? 0.25 : 0.0) "
+            "+ ln(1 + token_count) / 10 + min(_score, 2.0)",
+            {"_score": "score", "token_count": "token_count"})
+        res = s.rescore(top, sql, k=10)
+        return res.select(
+            "doc_id",
+            F.round(F.col("new_score").cast("double"), 3)
+            .alias("score_r"))
+    q["ft_expression"] = ft_expression
+
     def ft_term_vector(sp, sf):
         # TermVectors (core:index/TermVectors.java,
         # IndexReader.getTermVector): per-doc (term, freq, positions)
@@ -2382,6 +2404,22 @@ SELECT 'word', doc_id, round(s, 3) FROM (
 UNION ALL
 SELECT 'decoy', -1::BIGINT,
        (SELECT count(*)::DOUBLE FROM tf WHERE term = 'J520')
+"""
+
+    # Expressions: the compiled formula recomputed in SQL over the
+    # same top-50 cut (dl == token_count: the standard chain drops
+    # nothing on this corpus)
+    o["ft_expression"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+, top AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 50)
+, r AS (SELECT t.doc_id,
+        sqrt(t.s) + (CASE WHEN d.dl > 40 THEN 0.25 ELSE 0.0 END)
+        + ln(1 + d.dl) / 10 + least(t.s, 2.0) AS ns
+        FROM top t JOIN dl d USING (doc_id))
+SELECT doc_id, round(ns, 3) AS score_r FROM r
+ORDER BY ns DESC, doc_id LIMIT 10
 """
 
     # SpanPayloadCheckQuery: per-token payload matcher over the same
