@@ -862,6 +862,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b).unionByName(c)
     q["ft_intervals"] = ft_intervals
 
+    def ft_surround(sp, sf):
+        # surround query language (queryparser/surround/parser/
+        # QueryParser.jj): dW/dN distance operators parsed onto the
+        # intervals algebra, boolean AND/OR/NOT as doc-set joins,
+        # `*` truncation resolved against the term dictionary
+        from lucene_spark.search.surround import surround_search
+        s = _searcher(sp, sf)
+
+        def tag(op, df):
+            return df.select(F.lit(op).alias("op"), "doc_id")
+
+        return (tag("w3", surround_search(s, "3W(slow, fast)"))
+                .unionByName(tag("n2", surround_search(s, "2N(slow, fast)")))
+                .unionByName(tag("bool", surround_search(
+                    s, "OR(slow, fast) NOT data")))
+                .unionByName(tag("trunc", surround_search(s, "sca*")))
+                .unionByName(tag("nested", surround_search(
+                    s, "2W(OR(scan, sort), data)"))))
+    q["ft_surround"] = ft_surround
+
     def ft_field_term(sp, sf):
         # TermQuery on an untokenized keyword field (StringField analog):
         # lang maps to the indexed 'role' keyword field; every match
@@ -2503,6 +2523,32 @@ SELECT 'contained', doc_id, count(*)::INT, -1 FROM hits GROUP BY doc_id
 UNION ALL
 SELECT 'or_phrase', doc_id, count(*)::INT, min(q - a + 2)::INT
 FROM flt2 GROUP BY doc_id
+"""
+
+    # surround W/N = exists a position pair within the distance (ordered:
+    # 1 <= p2-p1 <= d; unordered: 1 <= |p2-p1| <= d); boolean level =
+    # doc-set algebra; truncation = prefix on the term dictionary
+    o["ft_surround"] = P + """
+, w3 AS (SELECT DISTINCT p1.doc_id FROM pos p1
+         WHERE p1.term = 'slow' AND EXISTS (
+           SELECT 1 FROM pos p2 WHERE p2.doc_id = p1.doc_id
+             AND p2.term = 'fast' AND p2.pos - p1.pos BETWEEN 1 AND 3))
+, n2 AS (SELECT DISTINCT p1.doc_id FROM pos p1
+         WHERE p1.term = 'slow' AND EXISTS (
+           SELECT 1 FROM pos p2 WHERE p2.doc_id = p1.doc_id
+             AND p2.term = 'fast' AND abs(p2.pos - p1.pos) BETWEEN 1 AND 2))
+, bl AS (SELECT DISTINCT doc_id FROM tf WHERE term IN ('slow', 'fast')
+         EXCEPT SELECT doc_id FROM tf WHERE term = 'data')
+, tr AS (SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sca%')
+, ne AS (SELECT DISTINCT p1.doc_id FROM pos p1
+         WHERE p1.term IN ('scan', 'sort') AND EXISTS (
+           SELECT 1 FROM pos p2 WHERE p2.doc_id = p1.doc_id
+             AND p2.term = 'data' AND p2.pos - p1.pos BETWEEN 1 AND 2))
+SELECT 'w3' AS op, doc_id FROM w3
+UNION ALL SELECT 'n2', doc_id FROM n2
+UNION ALL SELECT 'bool', doc_id FROM bl
+UNION ALL SELECT 'trunc', doc_id FROM tr
+UNION ALL SELECT 'nested', doc_id FROM ne
 """
 
     # keyword field: tf=1, omitted norms => length 1, per-field stats
