@@ -372,13 +372,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_term_dict_scan"] = ft_term_dict_scan
 
     def ft_range_filter(sp, sf):
-        # text term AND numeric range (IndexOrDocValuesQuery analog)
+        # 'range' — text term AND numeric range (IndexOrDocValuesQuery
+        # analog); 'multi' — MultiRangeQuery (sandbox/.../
+        # MultiRangeQuery.java): THREE ranges over n_chars with two
+        # deliberately overlapping — merged driver-side exactly like
+        # the reference rewrite (150-250 + 240-320 -> 150-320), one
+        # disjunctive predicate pushed to the scan
+        from lucene_spark.search.query import multi_range_predicate
         s = _searcher(sp, sf)
         docs = _docs(sp, sf).select("doc_id", "n_chars")
-        return (s.term_postings("hash")
+        base = (s.term_postings("hash")
                 .join(docs, "doc_id")
                 .filter(F.col("n_chars").between(200, 400))
-                .select("doc_id", "tf", "n_chars"))
+                .select(F.lit("range").alias("op"), "doc_id", "tf",
+                        "n_chars"))
+        pred = multi_range_predicate(
+            "n_chars", [(150, 250), (240, 320), (500, 600)])
+        assert pred == "(n_chars BETWEEN 150 AND 320 " \
+                       "OR n_chars BETWEEN 500 AND 600)"
+        multi = (s.term_postings("hash")
+                 .join(docs, "doc_id")
+                 .filter(F.expr(pred))
+                 .select(F.lit("multi").alias("op"), "doc_id", "tf",
+                         "n_chars"))
+        return base.unionByName(multi)
     q["ft_range_filter"] = ft_range_filter
 
     def ft_facet_lang(sp, sf):
@@ -969,8 +986,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                       F.lit(-1).alias("n_children"),
                       F.round(F.col("score").cast("double"), 3)
                       .alias("score_r")))
-        return bj.unionByName(tj)
+        # 'to_child' — ToChildBlockJoinQuery (join/.../
+        # ToChildBlockJoinQuery.java:47): the same parent rollup joined
+        # back DOWN — every turn of a matching conversation scored with
+        # its parent's ScoreMode.Max score, top-10 by (score desc,
+        # doc_id asc)
+        tc = (s.to_child_join_search(OrQuery(("scan", "merge")), k=10,
+                                     parent_score_mode="max")
+              .select(F.lit("to_child").alias("op"),
+                      F.col("doc_id").cast("string").alias("key"),
+                      F.lit(-1).alias("n_children"),
+                      F.round(F.col("score").cast("double"), 3)
+                      .alias("score_r")))
+        return bj.unionByName(tj).unionByName(tc)
     q["ft_block_join_topk"] = ft_block_join_topk
+
+    def ft_covering(sp, sf):
+        # CoveringQuery (sandbox/src/java/org/apache/lucene/sandbox/
+        # search/CoveringQuery.java): per-DOCUMENT minimum-number-match
+        # from a LongValuesSource — here 1 + (doc_id % 3), so a third
+        # of the corpus needs 1 of the 3 terms, a third needs 2, a
+        # third needs all 3; score = SUM of the matching sub-queries'
+        # BM25 scores (CoveringScorer.score, double accumulate)
+        s = _searcher(sp, sf)
+        res = s.covering_search(
+            [TermQuery("scan"), TermQuery("merge"), TermQuery("sort")],
+            "1 + (doc_id % 3)", k=15)
+        return res.select(
+            "doc_id", "n_matches",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_covering"] = ft_covering
 
     def pc_percolate(sp, sf):
         # Monitor/percolator, both registration surfaces in one entry:
@@ -1986,9 +2031,14 @@ SELECT 'ctx', term, w::BIGINT FROM (
 """
 
     o["ft_range_filter"] = P + """
-SELECT f.doc_id, f.tf::INT AS tf, d.n_chars
+SELECT 'range' AS op, f.doc_id, f.tf::INT AS tf, d.n_chars
 FROM tf f JOIN documents d USING (doc_id)
 WHERE f.term = 'hash' AND d.n_chars BETWEEN 200 AND 400
+UNION ALL
+SELECT 'multi', f.doc_id, f.tf::INT, d.n_chars
+FROM tf f JOIN documents d USING (doc_id)
+WHERE f.term = 'hash'
+  AND (d.n_chars BETWEEN 150 AND 320 OR d.n_chars BETWEEN 500 AND 600)
 """
 
     o["ft_facet_lang"] = P + """
@@ -2650,6 +2700,24 @@ FROM (SELECT * FROM par ORDER BY sc DESC, conv_id LIMIT 10)
 UNION ALL
 SELECT 'term_join', doc_id::VARCHAR, -1, round(sc, 3)
 FROM (SELECT * FROM tj ORDER BY sc DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'to_child', doc_id::VARCHAR, -1, round(sc, 3)
+FROM (SELECT d.doc_id, p.sc FROM documents d
+      JOIN (SELECT doc_id // 5 AS cid, max(s) AS sc
+            FROM m GROUP BY doc_id // 5) p ON d.doc_id // 5 = p.cid
+      ORDER BY p.sc DESC, d.doc_id LIMIT 10)
+"""
+
+    # CoveringQuery: count + score-sum per doc over the three terms,
+    # kept where the count reaches the per-doc minimum 1 + doc_id % 3
+    o["ft_covering"] = P + f"""
+, m AS (SELECT f.doc_id, count(*) AS nm, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term IN ('scan', 'merge', 'sort')
+        GROUP BY f.doc_id)
+SELECT doc_id, nm::INT AS n_matches, round(s, 3) AS score_r
+FROM m WHERE nm >= greatest(1 + doc_id % 3, 1)
+ORDER BY s DESC, doc_id LIMIT 15
 """
 
     o["pc_percolate"] = P + _phrase_cte("slow", "fast") + """

@@ -414,6 +414,57 @@ class MultiTermQuery:
         return []  # resolved at search time against the term dictionary
 
 
+def multi_range_predicate(column: str, ranges) -> str:
+    """MultiRangeQuery (sandbox/src/java/org/apache/lucene/sandbox/
+    search/MultiRangeQuery.java:169-239 + DocValuesMultiRangeQuery):
+    the union of [lower, upper] ranges over one numeric/doc-values
+    column as a single disjunctive predicate, with overlapping ranges
+    merged exactly like the reference's rewrite (sort by (lower,
+    upper); merge while next.lower <= current.upper — overlap, not
+    adjacency: mergeOverlappingRanges, line 219 `> 0` comparison).
+
+    ``ranges`` is a list of (lower, upper) inclusive bounds; None
+    leaves that side open (the reference's open-ended sentinel bytes).
+    Returns a SQL predicate string for the doc_filter surface — it
+    reaches the parquet scan as PushedFilters, the BKD-tree analog
+    (our IndexOrDocValuesQuery mapping), so one scan serves every
+    range with min/max row-group pruning."""
+    if not ranges:
+        raise ValueError("MultiRangeQuery requires at least one range")
+
+    def _lit(v):
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    # open bounds sort as -inf / +inf (the reference's sentinel bytes)
+    def _key(r):
+        lo, hi = r
+        return ((0,) if lo is None else (1, lo),
+                (1,) if hi is None else (0, hi))
+
+    norm = sorted(ranges, key=_key)
+    merged = [list(norm[0])]
+    for lo, hi in norm[1:]:
+        cur = merged[-1]
+        overlaps = (cur[1] is None or lo is None or lo <= cur[1])
+        if not overlaps:
+            merged.append([lo, hi])
+        elif cur[1] is not None and (hi is None or hi > cur[1]):
+            cur[1] = hi
+    parts = []
+    for lo, hi in merged:
+        if lo is None and hi is None:
+            return f"{column} IS NOT NULL"
+        if lo is None:
+            parts.append(f"{column} <= {_lit(hi)}")
+        elif hi is None:
+            parts.append(f"{column} >= {_lit(lo)}")
+        else:
+            parts.append(f"{column} BETWEEN {_lit(lo)} AND {_lit(hi)}")
+    return "(" + " OR ".join(parts) + ")"
+
+
 def from_dict(q: dict):
     """Build a query from the FIXTURES.md §2 JSON shape. Boolean and
     dismax clause lists accept nested dicts (sub-queries)."""

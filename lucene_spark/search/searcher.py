@@ -2163,25 +2163,116 @@ class IndexSearcher:
 
         Returns top-k (conv_id, score, n_children) by (score desc,
         conv_id asc)."""
+        per = self._parent_rollup(child_query, score_mode, doc_filter)
+        if score_mode == "none":
+            return per.orderBy(F.col("conv_id").asc()).limit(k)
+        return (per.orderBy(F.col("score").desc(), F.col("conv_id").asc())
+                .limit(k))
+
+    def _parent_rollup(self, child_query, score_mode: str,
+                       doc_filter: str | None) -> DataFrame:
+        """Per-conversation (conv_id, score, n_children) rollup of a
+        child query's exhaustive match stream — the BlockJoinScorer
+        child-score combination shared by both join directions. ONE
+        map-side-combined aggregate keyed on conv_id."""
         m = self.matches_df(child_query, doc_filter)
         ds = self._read_cached(self.docstore_paths) \
             .select("doc_id", "conv_id")
         joined = m.join(ds, "doc_id")
         if score_mode == "none":
-            per = (joined.groupBy("conv_id")
-                   .agg(F.count("*").alias("n_children"))
-                   .select("conv_id",
-                           F.lit(0.0).cast("float").alias("score"),
-                           F.col("n_children").cast("int")))
-            return per.orderBy(F.col("conv_id").asc()).limit(k)
+            return (joined.groupBy("conv_id")
+                    .agg(F.count("*").alias("n_children"))
+                    .select("conv_id",
+                            F.lit(0.0).cast("float").alias("score"),
+                            F.col("n_children").cast("int")))
         agg = {"max": F.max, "total": F.sum, "avg": F.avg,
                "min": F.min}[score_mode]
-        per = (joined.groupBy("conv_id")
-               .agg(agg(F.col("score").cast("double")).alias("_s"),
-                    F.count("*").alias("n_children"))
-               .select("conv_id", F.col("_s").cast("float").alias("score"),
-                       F.col("n_children").cast("int")))
-        return (per.orderBy(F.col("score").desc(), F.col("conv_id").asc())
+        return (joined.groupBy("conv_id")
+                .agg(agg(F.col("score").cast("double")).alias("_s"),
+                     F.count("*").alias("n_children"))
+                .select("conv_id", F.col("_s").cast("float").alias("score"),
+                        F.col("n_children").cast("int")))
+
+    TO_CHILD_SCHEMA = "doc_id bigint, conv_id string, score float"
+
+    def to_child_join_search(self, parent_query, k: int = 10,
+                             parent_score_mode: str = "max",
+                             doc_filter: str | None = None) -> DataFrame:
+        """ToChildBlockJoinQuery (join/src/java/org/apache/lucene/
+        search/join/ToChildBlockJoinQuery.java:47): joins in REVERSE —
+        the parent query's hits hand their score DOWN to every child
+        doc of the matching parent (ToChildBlockJoinScorer.score
+        returns parentScore; parents themselves are never emitted).
+
+        Parents here are conversations (the doc-block model:
+        conv-contiguous buckets ≙ IndexWriter.addDocuments blocks), so
+        the parent query is a child-level query rolled up to
+        conversation scores with ``parent_score_mode`` (the nested
+        ToChild(ToParent(q)) shape the reference tests exercise), and
+        the join down is one hash join from the conversation-count-
+        sized parent score table to the docstore on conv_id — AQE
+        turns it into a broadcast join when few parents match; the
+        child corpus never shuffles. ``doc_filter`` restricts the
+        PARENT query's evaluation (the reference's filter placement);
+        emitted children are every turn of a matching conversation.
+
+        Returns top-k (doc_id, conv_id, score) by (score desc, doc_id
+        asc); parent_score_mode='none' gives constant 0 scores ordered
+        by doc_id asc like the reference's ScoreMode.None."""
+        par = (self._parent_rollup(parent_query, parent_score_mode,
+                                   doc_filter)
+               .select("conv_id", "score"))
+        ds = self._read_cached(self.docstore_paths) \
+            .select("doc_id", "conv_id")
+        out = ds.join(par, "conv_id").select("doc_id", "conv_id", "score")
+        if parent_score_mode == "none":
+            return out.orderBy(F.col("doc_id").asc()).limit(k)
+        return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+                .limit(k))
+
+    def covering_search(self, queries: list, min_match_expr: str,
+                        k: int = 10,
+                        doc_filter: str | None = None) -> DataFrame:
+        """CoveringQuery (sandbox/src/java/org/apache/lucene/sandbox/
+        search/CoveringQuery.java): matches documents where at least
+        ``minimumNumberMatch(doc)`` of the sub-queries match — the
+        per-DOCUMENT minimum-should-match. ``min_match_expr`` is a SQL
+        expression over docstore metadata columns (the LongValuesSource
+        analog, e.g. a doc-values column name or any Catalyst long
+        expression). Reference semantics (CoveringScorer.java:129-140,
+        208-216): values below 1 are clamped to 1 (at least one clause
+        must match); documents with a NULL value never match; the score
+        is the SUM of the matching sub-queries' scores (double
+        accumulation, float cast — the SHOULD combination).
+
+        Plan shape: one exhaustive kernel match stream per sub-query,
+        unioned, then ONE map-side-combined aggregate keyed on doc_id
+        (count + score sum) joined to the docstore's metadata scan for
+        the per-doc minimum — no per-row Python, and the corpus scan
+        happens once per sub-query exactly like the reference's one
+        DISI per clause. Returns top-k (doc_id, n_matches, score) by
+        (score desc, doc_id asc)."""
+        if not queries:
+            raise ValueError("CoveringQuery requires at least one "
+                             "sub-query")
+        parts = [self.matches_df(q, doc_filter).select("doc_id", "score")
+                 for q in queries]
+        allm = parts[0]
+        for p in parts[1:]:
+            allm = allm.unionByName(p)
+        per = (allm.groupBy("doc_id")
+               .agg(F.count("*").alias("n_matches"),
+                    F.sum(F.col("score").cast("double")).alias("_s")))
+        mins = (self._read_cached(self.docstore_paths)
+                .select("doc_id",
+                        F.expr(min_match_expr).cast("long").alias("_mm")))
+        out = (per.join(mins, "doc_id")
+               .filter(F.col("_mm").isNotNull()
+                       & (F.col("n_matches")
+                          >= F.greatest(F.col("_mm"), F.lit(1))))
+               .select("doc_id", F.col("n_matches").cast("int"),
+                       F.col("_s").cast("float").alias("score")))
+        return (out.orderBy(F.col("score").desc(), F.col("doc_id").asc())
                 .limit(k))
 
     def join_search(self, from_query, from_field: str, to_field: str,
