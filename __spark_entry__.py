@@ -1001,6 +1001,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return bj.unionByName(tj).unionByName(tc)
     q["ft_block_join_topk"] = ft_block_join_topk
 
+    def ft_term_automaton(sp, sf):
+        # TermAutomatonQuery (sandbox/src/java/org/apache/lucene/
+        # sandbox/search/TermAutomatonQuery.java): the graph query
+        # "slow (merge join | join | * fast)" built state-by-state via
+        # the reference's createState/addTransition/addAnyTransition
+        # surface; freq = accepted (start, path) occurrences summed
+        # over the three enumerated paths (interior ANY matches any
+        # position, TermAutomatonScorer.countMatches), scored with the
+        # summed-idf stats over all four involved terms
+        from lucene_spark.search.query import TermAutomaton
+        s = _searcher(sp, sf)
+        a = TermAutomaton()
+        s1, s2, s3, s4 = (a.create_state() for _ in range(4))
+        a.add_transition(0, s1, "slow")
+        a.add_transition(s1, s2, "merge")
+        a.add_transition(s2, s3, "join")
+        a.add_transition(s1, s3, "join")
+        a.add_any_transition(s1, s4)
+        a.add_transition(s4, s3, "fast")
+        a.set_accept(s3)
+        res = s.search_df(a.finish(), k=10)
+        return res.select(
+            "doc_id",
+            F.round(F.col("score").cast("double"), 3).alias("score_r"))
+    q["ft_term_automaton"] = ft_term_automaton
+
     def ft_covering(sp, sf):
         # CoveringQuery (sandbox/src/java/org/apache/lucene/sandbox/
         # search/CoveringQuery.java): per-DOCUMENT minimum-number-match
@@ -2719,6 +2745,32 @@ FROM (SELECT d.doc_id, p.sc FROM documents d
       JOIN (SELECT doc_id // 5 AS cid, max(s) AS sc
             FROM m GROUP BY doc_id // 5) p ON d.doc_id // 5 = p.cid
       ORDER BY p.sc DESC, d.doc_id LIMIT 10)
+"""
+
+    # TermAutomatonQuery: freq = path-occurrence sum over the three
+    # enumerated paths (exact positional joins; the ANY slot is an
+    # unconstrained gap), idf summed over the four involved terms
+    o["ft_term_automaton"] = P + f"""
+, p1 AS (SELECT a.doc_id, count(*) AS c FROM pos a
+         JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         JOIN pos c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+         WHERE a.term = 'slow' AND b.term = 'merge' AND c.term = 'join'
+         GROUP BY a.doc_id)
+, p2 AS (SELECT a.doc_id, count(*) AS c FROM pos a
+         JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE a.term = 'slow' AND b.term = 'join' GROUP BY a.doc_id)
+, p3 AS (SELECT a.doc_id, count(*) AS c FROM pos a
+         JOIN pos b ON b.doc_id = a.doc_id AND b.pos = a.pos + 2
+         WHERE a.term = 'slow' AND b.term = 'fast' GROUP BY a.doc_id)
+, fr AS (SELECT doc_id, sum(c) AS freq FROM
+         (SELECT * FROM p1 UNION ALL SELECT * FROM p2
+          UNION ALL SELECT * FROM p3) GROUP BY doc_id)
+, w AS (SELECT sum(idf) AS widf FROM idf
+        WHERE term IN ('slow', 'merge', 'join', 'fast'))
+, m AS (SELECT f.doc_id,
+        {_score('f.freq', idf='(SELECT widf FROM w)')} AS s
+        FROM fr f JOIN qdl q USING (doc_id))
+SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
 """
 
     # CoveringQuery: count + score-sum per doc over the three terms,

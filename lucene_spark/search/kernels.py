@@ -697,6 +697,90 @@ def _union_tfs(chunks):
     return udocs, tfm
 
 
+def termauto_freqs(chunks_by_term: dict, paths):
+    """TermAutomatonQuery match counting (sandbox/src/java/org/apache/
+    lucene/sandbox/search/TermAutomatonScorer.java:215-340
+    countMatches): per doc, freq = the number of (start position,
+    accepted path) pairs — the determinized automaton tracks every
+    in-flight run as a separate state-multiset entry, so each accepted
+    path occurrence counts once, and occurrences of DIFFERENT paths at
+    the same start both count (e.g. [a, ANY, c] and [a, b, c] on
+    "a b c").
+
+    ``paths`` is the enumerated language of the (acyclic, determinized)
+    automaton: sequences of terms with None = the ANY transition.
+    Reference semantics (verified against countMatches' event loop):
+
+      * an occurrence's term slots sit on consecutive positions
+        (tokens transition state pos -> pos+1: the posLength=1 model
+        the scorer itself assumes, see its in-code comment);
+      * an interior ANY slot matches ANY position — including index
+        holes (stop-filtered positions): the scorer's advance loop
+        steps anyTermID per integer position between events, token or
+        not, and the state chain below a live run is always populated
+        so the loop's peter-out break can never strand it;
+      * paths may not START or END with ANY — the reference REJECTS
+        such automatons at finish() (IllegalStateException,
+        TestTermAutomatonQuery testInvalidLeadWithAny /
+        testInvalidTrailWithAny; the scorer never seeds a fresh run on
+        an ANY arc and never checks accept states in the ANY-advance
+        loop). Builders enforce this; the kernel skips them
+        defensively.
+
+    Fully vectorized: per-path shifted-position intersections — the
+    exact-phrase kernel's method with ANY slots contributing no
+    constraint. Returns (doc_ids, int64 freqs) with freqs > 0 only.
+    """
+    live = {t: c for t, c in chunks_by_term.items()
+            if c is not None and c.n_blocks()}
+    if not live:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    doc_parts = [c.decode_all()[0] for c in live.values()]
+    doc_parts = [d for d in doc_parts if d.size]
+    if not doc_parts:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    cand = np.unique(np.concatenate(doc_parts))
+
+    def _pos_global(c):
+        # _positions_for_docs contracts cand ⊆ chunk docs, so gather
+        # against the term's OWN docs and remap its local rank keys to
+        # global cand ranks (order-preserving: global rank increases
+        # with local rank)
+        tdocs = c.decode_all()[0]
+        pl = _positions_for_docs(c, tdocs)
+        if pl.size == 0:
+            return pl
+        g = np.searchsorted(cand, tdocs)
+        lr = (pl >> 32).astype(np.int64)
+        return pl + (g[lr] - lr) * POS_OFF
+
+    plists = {t: _pos_global(c) for t, c in live.items()}
+    freqs = np.zeros(cand.size, dtype=np.int64)
+    for path in paths:
+        if not path or path[0] is None or path[-1] is None:
+            continue  # lead/trail ANY: rejected at finish (docstring)
+        cur = None
+        dead = False
+        for j, s in enumerate(path):
+            if s is None:
+                continue
+            pl = plists.get(s)
+            if pl is None:
+                dead = True
+                break
+            shifted = pl - j
+            cur = shifted if cur is None else np.intersect1d(
+                cur, shifted, assume_unique=True)
+            if cur.size == 0:
+                break
+        if dead or cur is None or cur.size == 0:
+            continue
+        freqs += np.bincount((cur >> 32).astype(np.int64),
+                             minlength=cand.size)
+    hit = freqs > 0
+    return cand[hit], freqs[hit]
+
+
 def synonym_topk(chunks, scorer, norms_arr, base_doc, k, pruned=True):
     """SynonymQuery: all terms scored as ONE pseudo-term — per-doc tf is
     the Σ of member tfs, scored once with blended stats (df = max member
@@ -1233,6 +1317,24 @@ def eval_tree(node, get_chunk, norms_for, base_doc, universe=None):
             return _empty_hits()
         return udocs, sc.score(tfm.sum(axis=0),
                                norms_for(f)[udocs - base_doc])
+    if kind == "termauto":
+        # TermAutomatonQuery (sandbox/.../TermAutomatonScorer.java):
+        # freq = accepted (start, path) count over the enumerated
+        # automaton language; scored with the summed-idf multi-term
+        # stats like the reference's TermAutomatonWeight. Trees holding
+        # this node run exhaustively — the reference's own getMaxScore
+        # is Float.MAX_VALUE (no pruning), see TermAutomatonScorer:364.
+        # paths/terms are plain LISTS (of lists), not tuples: the
+        # generic tree walkers (node_has_matchall and friends) treat
+        # any tuple whose first element is a str as a plan node, and a
+        # path starting with the literal corpus term "matchall" must
+        # not be mistaken for one
+        _, f, paths, sc, terms = node
+        docs, freqs = termauto_freqs({t: get_chunk(f, t) for t in terms},
+                                     paths)
+        if docs.size == 0:
+            return _empty_hits()
+        return docs, sc.score(freqs, norms_for(f)[docs - base_doc])
     if kind == "combined":
         # CombinedFieldQuery: one pseudo-term over a synthetic combined
         # field (core:search/CombinedFieldQuery.java:412-443). freq =
@@ -1573,6 +1675,27 @@ def _node_window_bounds(node, chunks: dict, w_lo, bound_cache):
         out = np.where(cov, out, 0.0)
         return out, cov
     raise ValueError(f"unknown plan node {kind}")
+
+
+def node_has_termauto(node) -> bool:
+    """True if a compiled plan tree contains a "termauto" leaf — those
+    trees run exhaustively: the reference's TermAutomatonScorer
+    advertises getMaxScore = Float.MAX_VALUE (TermAutomatonScorer.java:
+    362-365), i.e. it opts out of dynamic pruning, and so do we."""
+    if not isinstance(node, tuple) or not node:
+        return False
+    if node[0] == "termauto":
+        return True
+    for el in node[1:]:
+        if isinstance(el, tuple) and el and isinstance(el[0], str):
+            if node_has_termauto(el):
+                return True
+        elif isinstance(el, list):
+            for c in el:
+                if (isinstance(c, tuple) and c and isinstance(c[0], str)
+                        and node_has_termauto(c)):
+                    return True
+    return False
 
 
 def node_has_matchall(node) -> bool:

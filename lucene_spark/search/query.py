@@ -414,6 +414,144 @@ class MultiTermQuery:
         return []  # resolved at search time against the term dictionary
 
 
+@dataclass(frozen=True)
+class TermAutomatonQuery:
+    """A graph query over term positions (sandbox/src/java/org/apache/
+    lucene/sandbox/search/TermAutomatonQuery.java): an automaton whose
+    transitions are terms (or ANY = any token), accepting documents
+    that contain a position path through it. ``paths`` is the
+    ENUMERATED LANGUAGE of the acyclic automaton after
+    determinization-equivalent dedup — a tuple of paths, each a tuple
+    of terms with None marking the ANY transition. Build through
+    :class:`TermAutomaton` or
+    :func:`term_automaton_from_token_stream`; scoring = freq of
+    accepted (start, path) occurrences under the summed-idf multi-term
+    stats (TermAutomatonWeight gathers every term's TermStatistics).
+
+    Subset note (documented deviation): cyclic automatons (buildable
+    in the reference via manual addTransition loops, unused by its
+    own TokenStreamToTermAutomatonQuery) are rejected at finish() —
+    token-stream automatons are DAGs by construction."""
+    paths: tuple
+    field: str = "text"
+    boost: float = 1.0
+
+
+class TermAutomaton:
+    """Builder mirroring the reference's createState / setAccept /
+    addTransition / addAnyTransition / finish surface
+    (TermAutomatonQuery.java:87-140). finish() validates acyclicity,
+    enumerates the accepted term/ANY sequences from state 0, dedupes
+    them (the determinized automaton accepts each SEQUENCE once even
+    when several NFA paths spell it), and caps the language size like
+    determinizeWorkLimit caps determinization effort."""
+
+    ANY = None
+
+    def __init__(self, field: str = "text"):
+        self.field = field
+        self._n = 1  # state 0 always exists (the start state)
+        self._accept: set[int] = set()
+        self._arcs: list[tuple[int, int, object]] = []
+
+    def create_state(self) -> int:
+        self._n += 1
+        return self._n - 1
+
+    def set_accept(self, state: int, accept: bool = True):
+        if accept:
+            self._accept.add(state)
+        else:
+            self._accept.discard(state)
+
+    def add_transition(self, src: int, dst: int, term: str):
+        self._arcs.append((src, dst, term))
+
+    def add_any_transition(self, src: int, dst: int):
+        self._arcs.append((src, dst, None))
+
+    def finish(self, max_paths: int = 1024,
+               boost: float = 1.0) -> TermAutomatonQuery:
+        by_src: dict[int, list] = {}
+        for s, d, t in self._arcs:
+            by_src.setdefault(s, []).append((d, t))
+        # acyclicity: DFS with an on-stack set
+        on_stack: set[int] = set()
+        done: set[int] = set()
+
+        def check(s):
+            if s in done:
+                return
+            if s in on_stack:
+                raise ValueError("cyclic term automaton (unsupported; "
+                                 "token-stream automatons are acyclic)")
+            on_stack.add(s)
+            for d, _t in by_src.get(s, ()):
+                check(d)
+            on_stack.discard(s)
+            done.add(s)
+
+        check(0)
+        seqs: list[tuple] = []
+        seen: set[tuple] = set()
+
+        def walk(s, prefix):
+            if len(seqs) > max_paths:
+                raise ValueError(f"term automaton language exceeds "
+                                 f"{max_paths} paths")
+            if s in self._accept and prefix and prefix not in seen:
+                seen.add(prefix)
+                seqs.append(prefix)
+            for d, t in by_src.get(s, ()):
+                walk(d, prefix + (t,))
+
+        walk(0, ())
+        if not seqs:
+            raise ValueError("term automaton accepts no non-empty path")
+        # the reference rejects automatons that lead or trail with ANY
+        # at finish() (TermAutomatonQuery.finish -> IllegalStateException;
+        # TestTermAutomatonQuery testInvalidLeadWithAny/-TrailWithAny):
+        # the scorer never seeds a run on an ANY arc and never checks
+        # accept states during the ANY advance, so such paths could
+        # never match anyway
+        for p in seqs:
+            if p[0] is None or p[-1] is None:
+                raise ValueError("term automaton path may not start or "
+                                 "end with an ANY transition")
+        return TermAutomatonQuery(tuple(seqs), self.field, boost)
+
+
+def term_automaton_from_token_stream(tokens, field: str = "text",
+                                     boost: float = 1.0,
+                                     max_paths: int = 1024
+                                     ) -> TermAutomatonQuery:
+    """TokenStreamToTermAutomatonQuery (sandbox/.../
+    TokenStreamToTermAutomatonQuery.java): tokens are (term, position)
+    or (term, position, position_length) triples — the token-graph
+    shape SynonymGraphFilter emits, where a multi-position token (e.g.
+    a contracted multi-word synonym) spans position_length slots.
+    Position HOLES (no token covering a position) become ANY
+    transitions, exactly like the reference maps posInc > 1 gaps."""
+    auto = TermAutomaton(field)
+    toks = [(t[0], int(t[1]), int(t[2]) if len(t) > 2 else 1)
+            for t in tokens]
+    if not toks:
+        raise ValueError("empty token stream")
+    max_end = max(p + pl for _, p, pl in toks)
+    states = {0: 0}
+    for i in range(1, max_end + 1):
+        states[i] = auto.create_state()
+    covered = set()
+    for term, p, pl in toks:
+        auto.add_transition(states[p], states[p + pl], term)
+        covered.add(p)
+    for p in range(max_end):
+        if p not in covered:
+            auto.add_any_transition(states[p], states[p + 1])
+    auto.set_accept(states[max_end])
+    return auto.finish(max_paths, boost)
+
+
 def multi_range_predicate(column: str, ranges) -> str:
     """MultiRangeQuery (sandbox/src/java/org/apache/lucene/sandbox/
     search/MultiRangeQuery.java:169-239 + DocValuesMultiRangeQuery):

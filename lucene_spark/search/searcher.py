@@ -33,14 +33,14 @@ from ..index.catalog import IndexCatalog, check_format, read_table
 from ..kernels.bm25 import BM25Scorer, sum_idf
 from .kernels import (DocSetChunk, MaskedChunk, TermChunk, boolean_topk,
                       constant_or_topk, dismax_topk, eval_tree,
-                      eval_tree_topk, node_has_matchall, pack_docset,
-                      phrase_freqs, score_bucket, topk_select)
+                      eval_tree_topk, node_has_matchall, node_has_termauto,
+                      pack_docset, phrase_freqs, score_bucket, topk_select)
 from .query import (AndQuery, BlendedTermQuery, BooleanQuery,
                     CombinedFieldQuery, CommonTermsQuery,
                     ComplexPhraseQuery, ConstantScoreQuery, DisMaxQuery,
                     FieldExistsQuery, MatchAllQuery, MultiPhraseQuery,
                     MultiTermQuery, OrQuery, PhraseQuery, PreAnalyzed,
-                    SynonymQuery, TermQuery, rewrite)
+                    SynonymQuery, TermAutomatonQuery, TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -54,7 +54,8 @@ def _needs_tree(query) -> bool:
     sub-query clauses, constant-score wrappers, dismax over queries."""
     if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery,
                           MultiPhraseQuery, CommonTermsQuery,
-                          BlendedTermQuery, ComplexPhraseQuery)):
+                          BlendedTermQuery, ComplexPhraseQuery,
+                          TermAutomatonQuery)):
         return True
     if isinstance(query, BooleanQuery):
         return query.nested
@@ -620,6 +621,14 @@ class IndexSearcher:
             return dataclasses.replace(
                 q, pairs_=tuple((f, analyze_term(t, chain(f)), b)
                                 for f, t, b in q.pairs))
+        if isinstance(q, TermAutomatonQuery):
+            an = chain(q.field)
+            if an == "standard":
+                return q
+            return dataclasses.replace(
+                q, paths=tuple(tuple(None if t is None
+                                     else analyze_term(t, an)
+                                     for t in p) for p in q.paths))
         if isinstance(q, MultiPhraseQuery):
             an = chain(q.field)
             if an == "standard":
@@ -699,6 +708,9 @@ class IndexSearcher:
             out.update((q.field, t) for t in q.terms)
         elif isinstance(q, BlendedTermQuery):
             out.update((f, t) for f, t, _b in q.pairs)
+        elif isinstance(q, TermAutomatonQuery):
+            out.update((q.field, t) for p in q.paths for t in p
+                       if t is not None)
         elif isinstance(q, DisMaxQuery):
             for c in q.terms_:
                 IndexSearcher._collect_pairs(c, out, q.field)
@@ -775,6 +787,27 @@ class IndexSearcher:
                 boost=boost_mult * q.boost,
                 ttf=sum(ts[t][1] for t in present))
             return ("synonym", q.field, present, sc)
+        if isinstance(q, TermAutomatonQuery):
+            # TermAutomatonWeight gathers TermStatistics for every
+            # distinct automaton term with df > 0 and builds ONE
+            # summed-idf scorer (TermAutomatonQuery.java
+            # TermAutomatonWeight ctor); paths whose term is corpus-
+            # absent can never match and are dropped driver-side (the
+            # reference's per-segment null enums do this lazily)
+            ts = stats.get(q.field, {})
+            terms = sorted({t for p in q.paths for t in p
+                            if t is not None})
+            present = [t for t in terms if t in ts]
+            if not present:
+                return None
+            paths = [list(p) for p in q.paths
+                     if all(t is None or t in ts for t in p)]
+            if not paths:
+                return None
+            dc, sttf = self._field_stats(q.field)
+            idfs = [BM25Scorer(ts[t][0], dc, sttf).idf for t in present]
+            sc = _PhraseScorer(idfs, dc, sttf, boost_mult * q.boost)
+            return ("termauto", q.field, paths, sc, present)
         if isinstance(q, AndQuery):
             kids = [C(TermQuery(t, q.field), stats, boost_mult * q.boost)
                     for t in q.terms]
@@ -987,6 +1020,10 @@ class IndexSearcher:
         # leaf, so those trees run exhaustively
         has_matchall = node_has_matchall(node)
         if has_matchall:
+            pruned = False
+        if node_has_termauto(node):
+            # the reference's TermAutomatonScorer opts out of dynamic
+            # pruning (getMaxScore = Float.MAX_VALUE) — so do we
             pruned = False
         if not present:
             if not has_matchall:
