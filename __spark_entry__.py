@@ -1345,6 +1345,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return TS.bpe_token_stats(_docs(sp, sf))
     q["text_bpe_budget"] = text_bpe_budget
 
+    def text_chunks(sp, sf):
+        # document chunking (the pre-training windowing stage): sliding
+        # 40-token windows with 10-token overlap over the shared
+        # normalized-token model, interior starts at stride 30 plus ONE
+        # end-aligned final window — pure Catalyst projection, zero
+        # shuffle (plan-asserted in tests/test_chunking.py); the
+        # original-text span variant is test-gated (UAX#29 spans are
+        # not SQL-expressible)
+        from lucene_spark.ops.chunking import chunk_documents
+        return chunk_documents(_docs(sp, sf), window=40, overlap=10)
+    q["text_chunks"] = text_chunks
+
     def text_gopher_filter(sp, sf):
         # composite Gopher quality verdict (Rae et al. 2021 A1.1): one
         # boolean per published rule + the conjunction; min_tokens
@@ -3277,6 +3289,26 @@ SELECT doc_id, len(ps)::INT AS n_pieces, length(text)::INT AS n_chars,
        round(length(text)::DOUBLE / greatest(len(ps), 1), 4)
        AS chars_per_piece
 FROM p
+"""
+
+    # document chunking: identical windowing rule (interior starts at
+    # stride while start + window < n, plus the end-aligned final
+    # start) over the identical token model
+    o["text_chunks"] = """
+WITH t AS (SELECT doc_id,
+                  regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
+           FROM documents),
+s AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+st AS (SELECT doc_id, toks, n,
+       CASE WHEN n = 0 THEN [] WHEN n <= 40 THEN [0]
+            ELSE list_append(range(0, n - 40, 30), n - 40) END AS starts
+       FROM s)
+SELECT doc_id, (list_position(starts, u.st) - 1)::INT AS chunk_idx,
+       u.st::INT AS start_tok,
+       least(40, n - u.st)::INT AS n_chunk_tokens,
+       array_to_string(toks[u.st + 1 : u.st + least(40, n - u.st)], ' ')
+       AS chunk_text
+FROM st, unnest(st.starts) AS u(st)
 """
 
     _G_RULES = r"""

@@ -15,6 +15,7 @@ Design rules:
   with broadcast for small sides.
 """
 
+from .chunking import chunk_documents, chunk_documents_spans
 from .decontaminate import decontaminate
 from .redact import redact
 from .dedup import (exact_duplicates, jaccard_pairs, minhash_pairs,
@@ -29,5 +30,6 @@ __all__ = [
     "jaccard_pairs", "simhash", "cosine_topk", "lsh_cosine_topk",
     "token_stats", "text_quality", "lang_id", "fingerprint",
     "decontaminate", "repetition_signals", "stratified_sample",
-    "sample_rates_table", "redact",
+    "sample_rates_table", "redact", "chunk_documents",
+    "chunk_documents_spans",
 ]
