@@ -399,12 +399,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["ft_range_filter"] = ft_range_filter
 
     def ft_facet_lang(sp, sf):
-        # facet counts over matching docs (facet module analog)
+        # 'exact' — facet counts over matching docs (facet module
+        # analog); 'sampled' — RandomSamplingFacetsCollector analog:
+        # counts over the deterministic md5-threshold sample of the
+        # 402-hit match stream at sample_size=64, amortized back by
+        # integer (n*total) div sample_size and capped at the value's
+        # true corpus count (amortizeFacetCounts)
+        from lucene_spark.ops.facets import sampled_counts
         s = _searcher(sp, sf)
         docs = _docs(sp, sf).select("doc_id", "lang")
-        return (s.term_postings("batch")
-                .join(docs, "doc_id")
-                .groupBy("lang").agg(F.count("*").alias("n_docs")))
+        m = s.term_postings("batch")
+        exact = (m.join(docs, "doc_id")
+                 .groupBy("lang").agg(F.count("*").alias("n_docs"))
+                 .select(F.lit("exact").alias("op"),
+                         F.col("lang"), "n_docs",
+                         F.col("n_docs").alias("n_amortized")))
+        samp = (sampled_counts(m.select("doc_id"), docs, "lang",
+                               sample_size=64, seed=3)
+                .select(F.lit("sampled").alias("op"),
+                        F.col("value").alias("lang"),
+                        F.col("n_sampled").alias("n_docs"),
+                        "n_amortized"))
+        return exact.unionByName(samp)
     q["ft_facet_lang"] = ft_facet_lang
 
     def ft_group_top_source(sp, sf):
@@ -2093,9 +2109,24 @@ WHERE f.term = 'hash'
 """
 
     o["ft_facet_lang"] = P + """
+, m AS (SELECT DISTINCT f.doc_id FROM tf f WHERE f.term = 'batch')
+, tot AS (SELECT count(*) AS n FROM m)
+, thr AS (SELECT printf('%08x',
+            floor(64.0 / (SELECT n FROM tot) * 4294967296)::BIGINT) AS h)
+, cap AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+, samp AS (SELECT d.lang, count(*) AS ns
+           FROM m JOIN documents d USING (doc_id)
+           WHERE substr(md5('3:' || m.doc_id::VARCHAR), 1, 8)
+                 < (SELECT h FROM thr)
+           GROUP BY d.lang)
+SELECT 'sampled' AS op, s.lang, s.ns::BIGINT AS n_docs,
+       least(s.ns * (SELECT n FROM tot) // 64, c.c)::BIGINT AS n_amortized
+FROM samp s JOIN cap c USING (lang)
+UNION ALL
+SELECT 'exact', lang, n_docs, n_docs FROM (
 SELECT d.lang, count(*)::BIGINT AS n_docs
 FROM tf f JOIN documents d USING (doc_id)
-WHERE f.term = 'batch' GROUP BY d.lang
+WHERE f.term = 'batch' GROUP BY d.lang)
 """
 
     o["ft_group_top_source"] = P + """

@@ -44,6 +44,54 @@ def taxonomy_counts(matches: DataFrame, docs: DataFrame, path_col: str,
     return out
 
 
+def sampled_counts(matches: DataFrame, docs: DataFrame, dim_col: str,
+                   sample_size: int, seed: int = 0,
+                   id_col: str = "doc_id") -> DataFrame:
+    """RandomSamplingFacetsCollector analog (facet/src/java/org/apache/
+    lucene/facet/RandomSamplingFacetsCollector.java:42): facet counts
+    over a SAMPLE of the match stream, amortized back to the full
+    population — the knob that makes faceting over a billion-hit match
+    stream cost a ``sample_size``-bounded aggregate.
+
+    Sampling is the md5-threshold Bernoulli filter from ops/sampling
+    (deterministic in (seed, doc_id), partition-independent, pushed
+    down to the match stream) at rate = sample_size / total_hits; the
+    reference draws a per-segment binomial with an XORShift stream
+    seeded likewise. When total_hits <= sample_size no sampling
+    happens (the reference's constructor fast path).
+
+    Amortization mirrors amortizeFacetCounts: corrected = floor(
+    sampled / rate), capped at the dimension value's TRUE doc count
+    over the full match stream's corpus column (the reference caps at
+    reader.docFreq(dim path)); counts over an unsampled stream pass
+    through unchanged. Returns (value, n_sampled, n_amortized)."""
+    from .sampling import rate_threshold
+    j = (matches.select(id_col)
+         .join(docs.select(id_col, F.col(dim_col).alias("value")), id_col))
+    total = j.count()
+    cap = docs.groupBy(F.col(dim_col).alias("value")) \
+        .agg(F.count("*").alias("_cap"))
+    if total <= sample_size:
+        ex = j.groupBy("value").agg(F.count("*").alias("n_sampled"))
+        return ex.select("value", "n_sampled",
+                         F.col("n_sampled").alias("n_amortized"))
+    rate = sample_size / total
+    thr = rate_threshold(rate)
+    key = F.substring(
+        F.md5(F.concat_ws(":", F.lit(str(seed)),
+                          F.col(id_col).cast("string"))), 1, 8)
+    samp = (j.filter(key < F.lit(thr))
+            .groupBy("value").agg(F.count("*").alias("n_sampled")))
+    # amortize with INTEGER arithmetic (floor(n/rate) =
+    # (n*total) div sample_size) — engine-exact where a float 1/rate
+    # multiply could round differently, and overflow-safe past 2^53
+    return (samp.join(cap, "value")
+            .select("value", "n_sampled",
+                    F.least(F.expr(f"n_sampled * {int(total)}L DIV "
+                                   f"{int(sample_size)}L"),
+                            F.col("_cap")).alias("n_amortized")))
+
+
 def drill_down(matches: DataFrame, docs: DataFrame, path_col: str,
                prefix: str, id_col: str = "doc_id") -> DataFrame:
     """DrillDownQuery analog: restrict the match stream to docs whose

@@ -152,3 +152,41 @@ def test_dynamic_range_counts(spark):
     # empty match stream -> zero rows (reference returns no ranges)
     empty = dynamic_range_counts(docs.limit(0), docs, "val", 3)
     assert empty.count() == 0
+
+
+def test_sampled_counts_brute_and_properties(spark):
+    """RandomSamplingFacetsCollector analog: the sample is the exact
+    md5-threshold subset (deterministic, partition-independent), the
+    amortized count is integer (n*total) div sample_size capped at the
+    value's true corpus count, and an unsampled stream (total <=
+    sample_size) passes counts through unchanged."""
+    import hashlib
+    n = 400
+    docs = spark.createDataFrame(
+        [(i, f"v{i % 5}") for i in range(n)], "doc_id bigint, dim string")
+    matches = spark.createDataFrame(
+        [(i,) for i in range(0, n, 2)], "doc_id bigint")  # 200 hits
+    got = {r["value"]: (r["n_sampled"], r["n_amortized"])
+           for r in FC.sampled_counts(matches, docs, "dim",
+                                      sample_size=50, seed=9).collect()}
+    # brute replication
+    rate = 50 / 200
+    thr = format(int(rate * 16 ** 8), "08x")
+    samp = [i for i in range(0, n, 2)
+            if hashlib.md5(f"9:{i}".encode()).hexdigest()[:8] < thr]
+    want: dict = {}
+    cap: dict = {}
+    for i in range(n):
+        cap[f"v{i % 5}"] = cap.get(f"v{i % 5}", 0) + 1
+    for i in samp:
+        want[f"v{i % 5}"] = want.get(f"v{i % 5}", 0) + 1
+    assert got == {v: (c, min(c * 200 // 50, cap[v]))
+                   for v, c in want.items()}
+    # no-sampling fast path: counts pass through
+    small = spark.createDataFrame([(i,) for i in range(0, 40, 2)],
+                                  "doc_id bigint")
+    exact = {r["value"]: (r["n_sampled"], r["n_amortized"])
+             for r in FC.sampled_counts(small, docs, "dim",
+                                        sample_size=50, seed=9).collect()}
+    assert all(ns == na for ns, na in exact.values())
+    assert sum(ns for ns, _ in exact.values()) == 20
