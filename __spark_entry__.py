@@ -1043,6 +1043,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.round(F.col("score").cast("double"), 3).alias("score_r"))
     q["ft_term_automaton"] = ft_term_automaton
 
+    def ft_word_break(sp, sf):
+        # WordBreakSpellChecker (suggest/.../WordBreakSpellChecker
+        # .java): 'break' splits the compound "vectorbatch" against
+        # the term dictionary (one batched substring lookup, bisect
+        # recursion); 'combine' fuses adjacent query terms ("vec tor"
+        # -> "vector", runs up to max_changes+1 terms, not_in_index
+        # gate = at least one member absent)
+        s = _searcher(sp, sf)
+        br = (s.word_break_suggest("vectorbatch", n=5)
+              .select(F.lit("break").alias("op"), "suggestion",
+                      "n_changes", "freq"))
+        cb = (s.word_combine_suggest(["vec", "tor", "batch"], n=5,
+                                     max_changes=2)
+              .select(F.lit("combine").alias("op"), "suggestion",
+                      "n_changes", "freq"))
+        return br.unionByName(cb)
+    q["ft_word_break"] = ft_word_break
+
     def ft_covering(sp, sf):
         # CoveringQuery (sandbox/src/java/org/apache/lucene/sandbox/
         # search/CoveringQuery.java): per-DOCUMENT minimum-number-match
@@ -2814,6 +2832,27 @@ FROM (SELECT d.doc_id, p.sc FROM documents d
         {_score('f.freq', idf='(SELECT widf FROM w)')} AS s
         FROM fr f JOIN qdl q USING (doc_id))
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10
+"""
+
+    # WordBreakSpellChecker: bisects of the literal compound with both
+    # halves in the dictionary; combinations from the enumerated runs
+    o["ft_word_break"] = P + """
+, sp AS (SELECT i, substr('vectorbatch', 1, i) AS l,
+                substr('vectorbatch', i + 1) AS r
+         FROM range(1, 11) t(i))
+, br AS (SELECT s.l || ' ' || s.r AS suggestion, 1 AS n_changes,
+                greatest(dl.df, dr.df)::BIGINT AS freq
+         FROM sp s JOIN tdict dl ON dl.term = s.l
+                   JOIN tdict dr ON dr.term = s.r)
+SELECT 'break' AS op, suggestion, n_changes, freq
+FROM (SELECT * FROM br ORDER BY n_changes, freq DESC, suggestion LIMIT 5)
+UNION ALL
+SELECT 'combine', suggestion, n_changes, freq FROM (
+  SELECT c.s AS suggestion, c.ch AS n_changes, d.df::BIGINT AS freq
+  FROM (VALUES ('vector', 1), ('torbatch', 1), ('vectorbatch', 2))
+       c(s, ch)
+  JOIN tdict d ON d.term = c.s
+  ORDER BY n_changes, freq DESC, suggestion LIMIT 5)
 """
 
     # CoveringQuery: count + score-sum per doc over the three terms,

@@ -1660,6 +1660,106 @@ class IndexSearcher:
                 .orderBy(F.col("weight").desc(), F.col("term").asc())
                 .limit(n))
 
+    WORD_BREAK_SCHEMA = "suggestion string, n_changes int, freq bigint"
+
+    def word_break_suggest(self, word: str, n: int = 5,
+                           max_changes: int = 1,
+                           min_break_length: int = 1, min_freq: int = 1,
+                           field: str | None = None,
+                           mode: str = "not_in_index") -> DataFrame:
+        """WordBreakSpellChecker.suggestWordBreaks (suggest/src/java/
+        org/apache/lucene/search/spell/WordBreakSpellChecker.java:74,
+        250-330): break one (likely misspelled-compound) word into
+        dictionary words. Every candidate substring — O(len²), a few
+        hundred strings — is fetched in ONE batched term-dictionary
+        lookup (the Spark-shaped replacement for the reference's
+        per-substring TermsEnum seeks), then the reference's
+        breadth-first bisect recursion runs driver-side over the freq
+        map: phase 1 records bisects whose halves both reach the
+        frequency floor; phase 2 recurses on the right side of valid
+        left splits while the break budget (maxChanges) lasts.
+
+        mode: 'not_in_index' (suggest only when the word has df 0, the
+        reference default) | 'more_popular' (parts must reach the
+        word's own df) | 'always'. Returns top-``n``
+        (suggestion = space-joined parts, n_changes, freq = max part
+        df) by (n_changes asc, freq desc, suggestion asc) — the
+        NUM_CHANGES_THEN_MAX_FREQUENCY sort."""
+        f = field or self.field
+        empty = self.spark.createDataFrame([], self.WORD_BREAK_SCHEMA)
+        orig = self.term_stats([word], f).get(word, (0,))[0]
+        if mode == "not_in_index" and orig > 0:
+            return empty
+        floor = max(orig, 1) if mode == "more_popular" else min_freq
+        mbl = max(min_break_length, 1)
+        L = len(word)
+        if L < 2 * mbl:
+            return empty
+        subs = sorted({word[i:j] for i in range(L)
+                       for j in range(i + 1, L + 1)
+                       if j - i >= mbl and j - i < L})
+        stats = self.term_stats(subs, f)
+        df_of = {t: stats.get(t, (0,))[0] for t in subs}
+        results: list = []
+
+        def rec(rest: str, parts: list, breaks: int):
+            if len(rest) < 2 * mbl:
+                return
+            valid_left = []
+            for i in range(mbl, len(rest) - mbl + 1):
+                left, right = rest[:i], rest[i:]
+                if df_of.get(left, 0) >= floor:
+                    valid_left.append(i)
+                    if df_of.get(right, 0) >= floor:
+                        results.append(parts + [left, right])
+            if breaks + 1 > max_changes:
+                return
+            for i in valid_left:
+                rec(rest[i:], parts + [rest[:i]], breaks + 1)
+
+        rec(word, [], 1)
+        rows = [(" ".join(p), len(p) - 1,
+                 max(df_of.get(x, 0) for x in p)) for p in results]
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return self.spark.createDataFrame(rows[:n],
+                                          self.WORD_BREAK_SCHEMA)
+
+    def word_combine_suggest(self, terms: list, n: int = 5,
+                             max_changes: int = 1, min_freq: int = 1,
+                             field: str | None = None,
+                             mode: str = "not_in_index") -> DataFrame:
+        """WordBreakSpellChecker.suggestWordCombinations (:148-238):
+        combine runs of adjacent query terms into one dictionary word
+        ("vec tor" -> "vector"). Runs span at most max_changes + 1
+        terms; all run concatenations AND the original terms resolve
+        through one batched dictionary lookup. mode gates per the
+        reference: 'not_in_index' needs at least one run member with
+        df 0; 'more_popular' needs the combination's df to reach the
+        run's max member df; combined df must reach min_freq. Returns
+        top-``n`` (suggestion, n_changes = run length - 1, freq =
+        combined df) by (n_changes asc, freq desc, suggestion asc)."""
+        f = field or self.field
+        runs = []
+        for i in range(len(terms) - 1):
+            for j in range(i + 1, min(len(terms), i + 1 + max_changes)):
+                runs.append((i, j, "".join(terms[i:j + 1])))
+        lookup = sorted({w for _i, _j, w in runs} | set(terms))
+        stats = self.term_stats(lookup, f)
+        df_of = {t: stats.get(t, (0,))[0] for t in lookup}
+        rows = []
+        for i, j, w in runs:
+            member = [df_of[t] for t in terms[i:j + 1]]
+            cdf = df_of[w]
+            if mode == "not_in_index" and min(member) > 0:
+                continue
+            if mode == "more_popular" and cdf < max(member):
+                continue
+            if cdf >= min_freq:
+                rows.append((w, j - i, cdf))
+        rows.sort(key=lambda r: (r[1], -r[2], r[0]))
+        return self.spark.createDataFrame(rows[:n],
+                                          self.WORD_BREAK_SCHEMA)
+
     def spell_suggest(self, term: str, n: int = 5, max_edits: int = 2,
                       field: str | None = None, min_prefix: int = 1,
                       min_query_length: int = 4,
