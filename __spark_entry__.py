@@ -450,6 +450,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "grp_rank")
     q["ft_grouped_topk"] = ft_grouped_topk
 
+    def ft_group_collectors(sp, sf):
+        # the grouping module's remaining collectors over ONE match
+        # stream each: 'all' = AllGroupsCollector (every distinct group
+        # + doc count); 'heads' = AllGroupHeadsCollector (per-group
+        # most-relevant doc, score desc / doc order tie); 'distinct' =
+        # DistinctValuesCollector (distinct role values within the top-3
+        # first-pass groups); 'gfacet' = TermGroupFacetCollector (facet
+        # counts where each GROUP counts once per value)
+        s = _searcher(sp, sf)
+        q0 = TermQuery("vector")
+        allg = (s.all_groups(q0, "tool")
+                .select(F.lit("all").alias("op"),
+                        F.col("grp").alias("k"),
+                        F.col("n_docs").cast("bigint").alias("v")))
+        heads = (s.group_heads(q0, "tool")
+                 .select(F.lit("heads").alias("op"),
+                         F.col("grp").alias("k"),
+                         F.col("doc_id").cast("bigint").alias("v")))
+        dv = (s.distinct_values(q0, "tool", "role", k_groups=3)
+              .select(F.lit("distinct").alias("op"),
+                      F.col("grp").alias("k"),
+                      F.col("n_distinct").cast("bigint").alias("v")))
+        gf = (s.group_facets(q0, "tool", "role", n=5)
+              .select(F.lit("gfacet").alias("op"),
+                      F.col("fv").alias("k"),
+                      F.col("n_groups").cast("bigint").alias("v")))
+        return (allg.unionByName(heads).unionByName(dv)
+                .unionByName(gf))
+    q["ft_group_collectors"] = ft_group_collectors
+
+    def ft_dv_stats(sp, sf):
+        # DocValuesStatsCollector: single-pass numeric stats over a
+        # doc-values column for the matching docs; every 7th doc's
+        # value is NULLed to exercise the missing counter
+        s = _searcher(sp, sf)
+        md = _docs(sp, sf).select(
+            "doc_id",
+            F.when(F.col("doc_id") % 7 != 0,
+                   F.col("n_chars")).alias("nc"))
+        st = s.docvalues_stats(TermQuery("vector"), "nc", metadata=md)
+        return st.select(
+            "count", "missing", "vmin", "vmax", "vsum",
+            F.round("mean", 6).alias("mean_r"),
+            F.round("variance", 3).alias("var_r"),
+            F.round("stdev", 3).alias("stdev_r"))
+    q["ft_dv_stats"] = ft_dv_stats
+
     def ft_highlight(sp, sf):
         # unified-highlighter analog: first match offset in stored text
         s = _searcher(sp, sf)
@@ -476,6 +523,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                .select(F.lit("osa").alias("op"), "doc_id", "score_r"))
         return sub.unionByName(osa)
     q["ft_fuzzy"] = ft_fuzzy
+
+    def ft_fuzzy_like_this(sp, sf):
+        # FuzzyLikeThisQuery (sandbox/queries/FuzzyLikeThisQuery.java):
+        # fuzz each query term against the dictionary, score variants
+        # boost^2 x ClassicSimilarity idf (source df, or the INTEGER
+        # average of variant dfs when the source is corpus-absent),
+        # keep the global top-N, rewrite to TermQuerys with ARTIFICIAL
+        # df = ttf = 1 boosted by the variant score (:261-277).
+        # Query "port batch vectr": 'port' hits TWO variants (part,
+        # sort — equal boost, term-order tie), 'batch' is an exact
+        # dictionary hit (boost 1, source-df idf), 'vectr' is absent
+        # (avg-df idf path). Ops: 'flt' = the default rewrite; 'cut' =
+        # maxNumTerms=3 global cut (drops the tied loser 'sort');
+        # 'itf' = ignoreTF — constant-score leaves at the variant score
+        s = _searcher(sp, sf)
+
+        def run(tag, **kw):
+            fq = s.fuzzy_like_this("port batch vectr", max_edits=1,
+                                   **kw)
+            return (s.search_df(fq, k=10)
+                    .select(F.lit(tag).alias("op"), "doc_id",
+                            F.round(F.col("score").cast("double"),
+                                    3).alias("score_r")))
+        return (run("flt")
+                .unionByName(run("cut", max_num_terms=3))
+                .unionByName(run("itf", ignore_tf=True)))
+    q["ft_fuzzy_like_this"] = ft_fuzzy_like_this
     q["ft_constant_set"] = lambda sp, sf: _topk_df(
         sp, sf, MultiTermQuery("set", ("vector", "stream", "window"),
                                rewrite="constant_score"), 100000)
@@ -2185,6 +2259,54 @@ SELECT 'osa', doc_id, round(s, 3)
 FROM (SELECT * FROM mosa ORDER BY s DESC, doc_id LIMIT 10)
 """
 
+    # FuzzyLikeThisQuery: variant score = boost^2 x Classic idf where
+    # boost = 1 - ed/min(len) (1.0 on an exact dictionary hit), idf
+    # uses the SOURCE term's df or the integer-average of variant dfs
+    # when the source is corpus-absent; leaves score BM25 with
+    # ARTIFICIAL df = 1 (or constant vscore when ignoreTF)
+    o["ft_fuzzy_like_this"] = P + f"""
+, qt(src) AS (VALUES ('port'), ('batch'), ('vectr'))
+, cand AS (SELECT q.src, d.term, d.df,
+        CASE WHEN d.term = q.src THEN 1.0
+             ELSE 1.0 - damerau_levenshtein(d.term, q.src)::DOUBLE
+                        / least(length(q.src), length(d.term)) END AS boost
+    FROM qt q JOIN tdict d ON damerau_levenshtein(d.term, q.src) <= 1)
+, grp AS (SELECT src,
+        coalesce(max(CASE WHEN term = src THEN df END), 0) AS df_src,
+        floor(sum(df) / count(*)) AS avg_df
+    FROM cand GROUP BY src)
+, vs AS (SELECT c.src, c.term, c.boost * c.boost *
+        (ln(((SELECT n FROM st) + 1)
+            / ((CASE WHEN g.df_src > 0 THEN g.df_src
+                     ELSE g.avg_df END) + 1)) + 1.0) AS vscore
+    FROM (SELECT * FROM cand
+          QUALIFY row_number() OVER (PARTITION BY src
+                                     ORDER BY boost DESC, term) <= 50) c
+    JOIN grp g USING (src))
+, sel AS (SELECT * FROM vs ORDER BY vscore DESC, src, term LIMIT 50)
+, sel3 AS (SELECT * FROM vs ORDER BY vscore DESC, src, term LIMIT 3)
+, i1 AS (SELECT ln(1 + ((SELECT n FROM st) - 1 + 0.5) / 1.5) AS idf)
+, mflt AS (SELECT f.doc_id,
+        sum(v.vscore * {_score('f.tf', idf='(SELECT idf FROM i1)')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN sel v ON v.term = f.term
+        GROUP BY f.doc_id)
+, mcut AS (SELECT f.doc_id,
+        sum(v.vscore * {_score('f.tf', idf='(SELECT idf FROM i1)')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id)
+        JOIN sel3 v ON v.term = f.term
+        GROUP BY f.doc_id)
+, mitf AS (SELECT f.doc_id, sum(v.vscore) AS s
+        FROM tf f JOIN sel v ON v.term = f.term GROUP BY f.doc_id)
+SELECT 'flt' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM mflt ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'cut', doc_id, round(s, 3)
+FROM (SELECT * FROM mcut ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'itf', doc_id, round(s, 3)
+FROM (SELECT * FROM mitf ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
     o["ft_regexp"] = P + f"""
 , mc AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
@@ -2459,6 +2581,50 @@ FROM top50 t JOIN dl d USING (doc_id)
 SELECT r.grp, round(r.gs, 3) AS gs_r, r.doc_id,
        round(r.s, 3) AS score_r, r.grp_rank
 FROM r JOIN heads USING (grp) WHERE grp_rank <= 2
+"""
+
+    # grouping collectors: all groups / group heads / distinct values
+    # (top-3 first-pass groups) / grouped facet counts
+    o["ft_group_collectors"] = P + f"""
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'vector')
+, g AS (SELECT m.doc_id, m.s, d.source AS grp, d.lang AS fv
+        FROM m JOIN documents d USING (doc_id))
+, ag AS (SELECT grp, count(*) AS v FROM g GROUP BY grp)
+, hd AS (SELECT grp, doc_id FROM (
+          SELECT grp, doc_id,
+                 row_number() OVER (PARTITION BY grp
+                                    ORDER BY s DESC, doc_id) AS rn
+          FROM g) WHERE rn = 1)
+, top3 AS (SELECT grp FROM (SELECT grp, max(s) AS gs FROM g GROUP BY grp)
+           ORDER BY gs DESC, grp LIMIT 3)
+, dv AS (SELECT grp, count(DISTINCT fv) AS v FROM g
+         WHERE grp IN (SELECT grp FROM top3) GROUP BY grp)
+, gf AS (SELECT fv, count(*) AS v
+         FROM (SELECT DISTINCT grp, fv FROM g) GROUP BY fv
+         ORDER BY v DESC, fv LIMIT 5)
+SELECT 'all' AS op, grp AS k, v FROM ag
+UNION ALL SELECT 'heads', grp, doc_id FROM hd
+UNION ALL SELECT 'distinct', grp, v FROM dv
+UNION ALL SELECT 'gfacet', fv, v FROM gf
+"""
+
+    # DocValuesStatsCollector: count/missing/min/max/sum/mean +
+    # POPULATION variance (DocValuesStats.variance divides by count)
+    o["ft_dv_stats"] = P + """
+, m AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+, j AS (SELECT m.doc_id,
+        CASE WHEN d.doc_id % 7 <> 0 THEN d.n_chars END AS v
+        FROM m JOIN documents d USING (doc_id))
+SELECT count(v)::BIGINT AS "count",
+       (count(*) - count(v))::BIGINT AS missing,
+       min(v)::BIGINT AS vmin, max(v)::BIGINT AS vmax,
+       sum(v)::BIGINT AS vsum,
+       round(avg(v), 6) AS mean_r,
+       round(var_pop(v), 3) AS var_r,
+       round(sqrt(var_pop(v)), 3) AS stdev_r
+FROM j
 """
 
     o["ft_feature_boost"] = P + f"""

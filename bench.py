@@ -188,7 +188,21 @@ def main():
                      raw, window=5, min_count=2).count()),
                 ("op_perplexity",
                  # CCNet LM quality: train on half, score all
-                 lambda: _ppl_count(raw))):
+                 lambda: _ppl_count(raw)),
+                ("op_pq",
+                 # product-quantized ANN: train + encode + ADC scan +
+                 # exact re-rank (additive r05 key, method unchanged)
+                 lambda: __import__(
+                     "lucene_spark.ops.pq", fromlist=["pq_topk"])
+                 .pq_topk(emb, qs, k=10, n_candidates=100, m=8,
+                          ks=256).count()),
+                ("op_chunk",
+                 # pre-training windowing: Catalyst-only token chunks
+                 # (additive r05 key, method unchanged)
+                 lambda: __import__(
+                     "lucene_spark.ops.chunking",
+                     fromlist=["chunk_documents"])
+                 .chunk_documents(raw, window=40, overlap=10).count())):
             reps = []
             for i in range(4):
                 t0 = time.time()

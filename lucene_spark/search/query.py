@@ -228,6 +228,26 @@ class CombinedFieldQuery:
 
 
 @dataclass(frozen=True)
+class StatsTermQuery:
+    """A TermQuery whose term STATISTICS are overridden — the
+    reference's artificial-TermStates mechanism
+    (sandbox/.../FuzzyLikeThisQuery.java newTermQuery:261-277 registers
+    a TermStates with df = ttf = 1 so every fuzzy variant scores with
+    identical neutral stats and the ranking comes from the boost).
+    ``df``/``ttf`` feed the similarity in place of the dictionary's
+    values; the postings themselves are the real ones."""
+    term: str
+    field: str = "text"
+    df: int = 1
+    ttf: int = 1
+    boost: float = 1.0
+
+    @property
+    def terms(self):
+        return (self.term,)
+
+
+@dataclass(frozen=True)
 class PreAnalyzed:
     """Marks a query whose leaf terms are already INDEX terms (e.g.
     built from the term dictionary, like more_like_this output) — the

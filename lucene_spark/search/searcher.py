@@ -40,7 +40,8 @@ from .query import (AndQuery, BlendedTermQuery, BooleanQuery,
                     ComplexPhraseQuery, ConstantScoreQuery, DisMaxQuery,
                     FieldExistsQuery, MatchAllQuery, MultiPhraseQuery,
                     MultiTermQuery, OrQuery, PhraseQuery, PreAnalyzed,
-                    SynonymQuery, TermAutomatonQuery, TermQuery, rewrite)
+                    StatsTermQuery, SynonymQuery, TermAutomatonQuery,
+                    TermQuery, rewrite)
 
 RESULT_SCHEMA = "doc_id bigint, score float"
 POSTING_SCHEMA = "doc_id bigint, tf int"
@@ -55,7 +56,7 @@ def _needs_tree(query) -> bool:
     if isinstance(query, (ConstantScoreQuery, CombinedFieldQuery,
                           MultiPhraseQuery, CommonTermsQuery,
                           BlendedTermQuery, ComplexPhraseQuery,
-                          TermAutomatonQuery)):
+                          TermAutomatonQuery, StatsTermQuery)):
         return True
     if isinstance(query, BooleanQuery):
         return query.nested
@@ -711,6 +712,8 @@ class IndexSearcher:
         elif isinstance(q, TermAutomatonQuery):
             out.update((q.field, t) for p in q.paths for t in p
                        if t is not None)
+        elif isinstance(q, StatsTermQuery):
+            out.add((q.field, q.term))
         elif isinstance(q, DisMaxQuery):
             for c in q.terms_:
                 IndexSearcher._collect_pairs(c, out, q.field)
@@ -745,6 +748,18 @@ class IndexSearcher:
             sc = self._sim_for(q.field)(ts[q.term][0], dc, sttf,
                                         boost=boost_mult * q.boost,
                                         ttf=ts[q.term][1])
+            return ("term", q.field, q.term, sc)
+        if isinstance(q, StatsTermQuery):
+            # overridden term stats (FuzzyLikeThisQuery.newTermQuery's
+            # artificial TermStates): similarity sees q.df/q.ttf, the
+            # postings are the dictionary's
+            ts = stats.get(q.field, {})
+            if q.term not in ts:
+                return None
+            dc, sttf = self._field_stats(q.field)
+            sc = self._sim_for(q.field)(q.df, dc, sttf,
+                                        boost=boost_mult * q.boost,
+                                        ttf=q.ttf)
             return ("term", q.field, q.term, sc)
         if isinstance(q, PhraseQuery):
             ts = stats.get(q.field, {})
@@ -1659,6 +1674,84 @@ class IndexSearcher:
                 .select("term", F.col("ttf").alias("weight"))
                 .orderBy(F.col("weight").desc(), F.col("term").asc())
                 .limit(n))
+
+    def fuzzy_like_this(self, query_text: str, field: str | None = None,
+                        max_edits: int = 1, prefix_length: int = 0,
+                        max_num_terms: int = 50,
+                        max_variants_per_term: int = 50,
+                        ignore_tf: bool = False):
+        """FuzzyLikeThisQuery (sandbox/src/java/org/apache/lucene/
+        sandbox/queries/FuzzyLikeThisQuery.java): fuzz each analyzed
+        query term against the dictionary and rank docs by the best
+        variants. Reference semantics, step for step (addTerms:
+        variant boost = 1 for an exact match else 1 - ed/min codepoint
+        length, the FuzzyTermsEnum boost; variant score = boost² ×
+        ClassicSimilarity.idf(df, numDocs) with df = the SOURCE term's
+        df, or the INTEGER average of variant dfs when the source is
+        corpus-absent; per-term top max_variants_per_term, global top
+        max_num_terms; rewrite: SHOULD-groups per source term whose
+        leaves are TermQuerys with ARTIFICIAL df = ttf = 1 boosted by
+        the variant score — :261-277 — or constant-score when
+        ignoreTF).
+
+        The variant expansion is ONE pushed-down OSA dictionary scan
+        per distinct query term (expand_terms' fuzzy path — the
+        length-banded executor scan standing in for FuzzyTermsEnum's
+        automaton walk); prefix_length filters like the enum's prefix.
+        Returns a PreAnalyzed query for search_df/count/matches_df."""
+        import math
+
+        from ..kernels.osa import osa_distance
+        from ..kernels.tokenizer import analyze_one
+
+        f = field or self.field
+        toks = analyze_one(query_text, self._field_chain(f))
+        dc, _ = self._field_stats(f)
+        scored: list = []
+        for qt in dict.fromkeys(toks):
+            cands = self.expand_terms(MultiTermQuery(
+                "fuzzy", qt, f, max_edits=max_edits, transpositions=True))
+            if prefix_length:
+                cands = [c for c in cands
+                         if c.startswith(qt[:prefix_length])]
+            if not cands:
+                continue
+            st = self.term_stats(sorted(set(cands) | {qt}), f)
+            df_src = st.get(qt, (0,))[0]
+            rows = []
+            tot_vdf = 0
+            for v in cands:
+                ed = osa_distance(qt, v)
+                boost = (1.0 if ed == 0
+                         else 1.0 - ed / min(len(qt), len(v)))
+                rows.append((v, boost))
+                tot_vdf += st.get(v, (0,))[0]
+            df_used = df_src if df_src > 0 else tot_vdf // len(rows)
+            idf = math.log((dc + 1) / (df_used + 1)) + 1.0
+            rows.sort(key=lambda r: (-r[1], r[0]))
+            for v, boost in rows[:max_variants_per_term]:
+                scored.append((boost * boost * idf, qt, v))
+        scored.sort(key=lambda r: (-r[0], r[1], r[2]))
+        by_src: dict = {}
+        for sc_, qt, v in scored[:max_num_terms]:
+            by_src.setdefault(qt, []).append((v, sc_))
+
+        def leaf(v, sc_):
+            if ignore_tf:
+                return ConstantScoreQuery(TermQuery(v, f), f, boost=sc_)
+            return StatsTermQuery(v, f, df=1, ttf=1, boost=sc_)
+
+        clauses = []
+        for qt in dict.fromkeys(toks):
+            vs = by_src.get(qt)
+            if not vs:
+                continue
+            if len(vs) == 1:
+                clauses.append(leaf(*vs[0]))
+            else:
+                clauses.append(BooleanQuery(
+                    should=tuple(leaf(v, s) for v, s in vs), field=f))
+        return PreAnalyzed(BooleanQuery(should=tuple(clauses), field=f))
 
     WORD_BREAK_SCHEMA = "suggestion string, n_changes int, freq bigint"
 
@@ -2584,6 +2677,134 @@ class IndexSearcher:
                 .orderBy(F.col("group_score").desc(),
                          F.col("grp").asc_nulls_last(),
                          F.col("grp_rank").asc()))
+
+    def _grouped_matches(self, query, group_field: str,
+                         doc_filter: str | None = None) -> DataFrame:
+        """(doc_id, score, grp) — one match stream joined to the
+        group's doc-values column (shared by the grouping collectors)."""
+        m = self.matches_df(query, doc_filter)
+        ds = (self._read_cached(self.docstore_paths)
+              .select("doc_id", F.col(group_field).alias("grp")))
+        return m.join(ds, "doc_id")
+
+    def all_groups(self, query, group_field: str,
+                   doc_filter: str | None = None) -> DataFrame:
+        """AllGroupsCollector (grouping/.../AllGroupsCollector.java):
+        every distinct group value among the matching docs — the
+        reference's getGroups()/getGroupCount() surface, with the doc
+        count per group carried alongside (a documented extension: the
+        map-side-combined aggregate produces it for free). NULL group
+        values form their own group like the reference's null head.
+        One scan, one partial-agg shuffle on the group key."""
+        return (self._grouped_matches(query, group_field)
+                .groupBy("grp").agg(F.count("*").alias("n_docs")))
+
+    def group_heads(self, query, group_field: str,
+                    by: str | None = None, desc: bool = True,
+                    metadata: DataFrame | None = None) -> DataFrame:
+        """AllGroupHeadsCollector (grouping/.../
+        AllGroupHeadsCollector.java): the single most-competitive doc
+        per group — Sort.RELEVANCE by default (score desc, doc order
+        tie like the reference's 'compare, else keep earlier doc'), or
+        a doc-values field sort when ``by`` names a metadata column.
+        Returns (grp, doc_id, score): the retrieveGroupHeads bitset
+        plus each head's score. ONE per-group window cut — the shuffle
+        partitions on the group key, no driver-side head map."""
+        from pyspark.sql.window import Window
+        j = self._grouped_matches(query, group_field)
+        if by is not None:
+            md = (metadata if metadata is not None
+                  else self._read_cached(self.docstore_paths))
+            j = j.join(md.select("doc_id", by), "doc_id", "left")
+            key = F.col(by).desc() if desc else F.col(by).asc()
+        else:
+            key = F.col("score").desc()
+        w = Window.partitionBy("grp").orderBy(key, F.col("doc_id").asc())
+        return (j.withColumn("_r", F.row_number().over(w))
+                .filter(F.col("_r") == 1)
+                .select("grp", "doc_id", "score"))
+
+    def distinct_values(self, query, group_field: str, count_field: str,
+                        k_groups: int = 10) -> DataFrame:
+        """DistinctValuesCollector (grouping/.../
+        DistinctValuesCollector.java): for the top ``k_groups`` groups
+        of the first pass (group sort = relevance of the group head,
+        ties group asc — FirstPassGroupingCollector), the DISTINCT
+        values of ``count_field`` within each group. Returns
+        (grp, values sorted-array, has_null, n_distinct): like the
+        reference's TermDistinctValuesCollector, a doc WITHOUT a value
+        contributes null to the group's uniqueValues (counted in
+        n_distinct, surfaced as has_null; the array itself holds the
+        non-null values). The first-pass cut is a broadcast semi-join
+        against the same match stream — one postings scan total."""
+        j = self._grouped_matches(query, group_field)
+        ds = (self._read_cached(self.docstore_paths)
+              .select("doc_id", F.col(count_field).alias("cv")))
+        j = j.join(ds, "doc_id")
+        heads = (j.groupBy("grp").agg(F.max("score").alias("gs"))
+                 .orderBy(F.col("gs").desc(), F.col("grp").asc_nulls_last())
+                 .limit(k_groups).select(F.col("grp").alias("_hgrp")))
+        heads = F.broadcast(heads)
+        return (j.join(heads, j["grp"].eqNullSafe(heads["_hgrp"]), "inner")
+                .groupBy("grp")
+                .agg(F.sort_array(F.collect_set("cv")).alias("values"),
+                     F.max(F.col("cv").isNull()).alias("has_null"),
+                     (F.count_distinct("cv")
+                      + F.max(F.col("cv").isNull().cast("long"))
+                      ).alias("n_distinct")))
+
+    def group_facets(self, query, group_field: str, facet_field: str,
+                     n: int = 10) -> DataFrame:
+        """TermGroupFacetCollector (grouping/.../
+        GroupFacetCollector.java): facet counts where each GROUP
+        contributes at most once per facet value — the count of
+        distinct groups containing the value among matching docs.
+        Returns the top ``n`` (facet_value, n_groups) by (count desc,
+        value asc). Docs WITHOUT a facet value are excluded from the
+        rows like the reference (they feed getTotalMissingCount, not a
+        facet entry). Distinct (group, facet) pairs reduce map-side
+        before the facet aggregate — two partial-agg exchanges, no
+        per-group state on the driver."""
+        ds = (self._read_cached(self.docstore_paths)
+              .select("doc_id", F.col(facet_field).alias("fv")))
+        pairs = (self._grouped_matches(query, group_field)
+                 .join(ds, "doc_id")
+                 .filter(F.col("fv").isNotNull())
+                 .select("grp", "fv").distinct())
+        return (pairs.groupBy("fv")
+                .agg(F.count("*").alias("n_groups"))
+                .orderBy(F.col("n_groups").desc(), F.col("fv").asc())
+                .limit(n))
+
+    DV_STATS_SCHEMA = ("count bigint, missing bigint, vmin bigint, "
+                       "vmax bigint, vsum bigint, mean double, "
+                       "variance double, stdev double")
+
+    def docvalues_stats(self, query, field: str,
+                        metadata: DataFrame | None = None) -> DataFrame:
+        """DocValuesStatsCollector (misc/.../DocValuesStatsCollector.java
+        + DocValuesStats.java): single-pass numeric stats over a
+        doc-values field for the matching docs — count (docs WITH a
+        value), missing, min, max, sum, mean, POPULATION variance
+        (DocValuesStats.variance() divides by count) and stdev.
+        min/max/sum/mean are NULL at count 0 (the reference leaves them
+        'undefined'). One match stream + one map-side-combined global
+        aggregate; Welford's online update commutes with Spark's
+        partial aggregation, so var_pop is the same quantity."""
+        md = (metadata if metadata is not None
+              else self._read_cached(self.docstore_paths))
+        j = (self.matches_df(query).select("doc_id")
+             .join(md.select("doc_id", F.col(field).alias("v")), "doc_id",
+                   "left"))
+        return j.agg(
+            F.count("v").alias("count"),
+            (F.count("*") - F.count("v")).alias("missing"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+            F.sum("v").alias("vsum"),
+            F.avg("v").alias("mean"),
+            F.coalesce(F.var_pop("v"), F.lit(0.0)).alias("variance"),
+            F.coalesce(F.sqrt(F.var_pop("v")), F.lit(0.0)).alias("stdev"))
 
     def more_like_this(self, doc_id: int, max_terms: int = 10,
                        min_tf: int = 1, min_df: int = 2):
