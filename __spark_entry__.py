@@ -1465,6 +1465,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return chunk_documents(_docs(sp, sf), window=40, overlap=10)
     q["text_chunks"] = text_chunks
 
+    def text_pack(sp, sf):
+        # sequence packing (GPT-style concat-and-chunk): documents
+        # concatenated in doc order within 4 deterministic shards, cut
+        # into 200-token samples; one row per (doc, sample) slice
+        # assignment. Window cumsum partitions on the shard key (shards
+        # pack in parallel — the 100 TB shape), span explode via
+        # sequence(), no token-level explode
+        from lucene_spark.ops.packing import pack_sequences
+        return pack_sequences(_docs(sp, sf), budget=200, n_shards=4)
+    q["text_pack"] = text_pack
+
     def text_gopher_filter(sp, sf):
         # composite Gopher quality verdict (Rae et al. 2021 A1.1): one
         # boolean per published rule + the conjunction; min_tokens
@@ -3530,6 +3541,30 @@ FROM p
     # document chunking: identical windowing rule (interior starts at
     # stride while start + window < n, plus the end-aligned final
     # start) over the identical token model
+    # sequence packing: shard cumsum offsets -> sample span explode ->
+    # closed-form slice arithmetic (budget 200, 4 shards)
+    o["text_pack"] = """
+WITH t AS (SELECT doc_id,
+                  len(regexp_extract_all(lower(text), '[0-9a-z]+')) AS n
+           FROM documents),
+d AS (SELECT doc_id, doc_id % 4 AS shard, n FROM t WHERE n > 0),
+c AS (SELECT *, sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING)::BIGINT AS e
+      FROM d),
+s AS (SELECT *, e - n AS st FROM c),
+x AS (SELECT shard, doc_id, st, e,
+             unnest(generate_series(st // 200, (e - 1) // 200))
+               AS sample_id
+      FROM s)
+SELECT shard, sample_id, doc_id,
+       greatest(sample_id * 200, st) - st AS doc_tok_start,
+       least((sample_id + 1) * 200, e) - st AS doc_tok_end,
+       greatest(sample_id * 200, st) - sample_id * 200 AS sample_off,
+       least((sample_id + 1) * 200, e)
+         - greatest(sample_id * 200, st) AS n_toks
+FROM x
+"""
+
     o["text_chunks"] = """
 WITH t AS (SELECT doc_id,
                   regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
