@@ -1691,6 +1691,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("cls", F.round("score", 3).alias("score_r"))
     q["cls_knn"] = cls_knn
 
+    def cls_knn_fuzzy(sp, sf):
+        # KNearestFuzzyClassifier (classification/.../
+        # KNearestFuzzyClassifier.java + utils/NearestFuzzyQuery.java):
+        # free-text input fuzzy-expanded against the dictionary
+        # (artificial df = ttf = 1 leaves; prefix 1 keeps 'part' but
+        # drops 'sort' as a 'port' variant), class-exists filter,
+        # top-10 neighbors, the same rank-weighted vote as cls_knn
+        from lucene_spark.ops.classify import knn_fuzzy_classify
+        s = _searcher(sp, sf)
+        out = knn_fuzzy_classify(s, "port batch vectr", k=10,
+                                 class_field="role", max_edits=1,
+                                 prefix_length=1)
+        return out.select("cls", F.round("score", 3).alias("score_r"))
+    q["cls_knn_fuzzy"] = cls_knn_fuzzy
+
     def ft_free_text(sp, sf):
         # FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
         # bigram stupid-backoff LM over the corpus. Ops: 'pfx' =
@@ -3824,6 +3839,48 @@ WHERE rn = 1
 , m AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         WHERE f.term IN (SELECT term FROM ranked)
+        GROUP BY f.doc_id)
+, topk AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
+, mx AS (SELECT max(s) AS mx FROM topk)
+, votes AS (SELECT d.lang AS cls,
+            sum(t.s / (SELECT mx FROM mx)) AS sboost, count(*) AS cnt
+            FROM topk t JOIN documents d USING (doc_id) GROUP BY d.lang)
+, tot AS (SELECT sum(cnt) AS sumdoc FROM votes)
+SELECT cls, round(sboost / (CASE WHEN (SELECT sumdoc FROM tot) >= 10
+                            THEN 10.0
+                            ELSE (SELECT sumdoc FROM tot) END), 3)
+       AS score_r
+FROM votes
+"""
+
+    # KNearestFuzzyClassifier: NearestFuzzyQuery variant selection
+    # (prefix-1 filter, per-term cap 50, NO global cut) -> artificial
+    # df=1 BM25 leaves -> top-10 -> the shared rank-weighted vote
+    o["cls_knn_fuzzy"] = P + f"""
+, qt(src) AS (VALUES ('port'), ('batch'), ('vectr'))
+, cand AS (SELECT q.src, d.term, d.df,
+        CASE WHEN d.term = q.src THEN 1.0
+             ELSE 1.0 - damerau_levenshtein(d.term, q.src)::DOUBLE
+                        / least(length(q.src), length(d.term)) END AS boost
+    FROM qt q JOIN tdict d
+      ON damerau_levenshtein(d.term, q.src) <= 1
+     AND substr(d.term, 1, 1) = substr(q.src, 1, 1))
+, grp AS (SELECT src,
+        coalesce(max(CASE WHEN term = src THEN df END), 0) AS df_src,
+        floor(sum(df) / count(*)) AS avg_df
+    FROM cand GROUP BY src)
+, vs AS (SELECT c.src, c.term, c.boost * c.boost *
+        (ln(((SELECT n FROM st) + 1)
+            / ((CASE WHEN g.df_src > 0 THEN g.df_src
+                     ELSE g.avg_df END) + 1)) + 1.0) AS vscore
+    FROM (SELECT * FROM cand
+          QUALIFY row_number() OVER (PARTITION BY src
+                                     ORDER BY boost DESC, term) <= 50) c
+    JOIN grp g USING (src))
+, i1 AS (SELECT ln(1 + ((SELECT n FROM st) - 1 + 0.5) / 1.5) AS idf)
+, m AS (SELECT f.doc_id,
+        sum(v.vscore * {_score('f.tf', idf='(SELECT idf FROM i1)')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN vs v ON v.term = f.term
         GROUP BY f.doc_id)
 , topk AS (SELECT doc_id, s FROM m ORDER BY s DESC, doc_id LIMIT 10)
 , mx AS (SELECT max(s) AS mx FROM topk)

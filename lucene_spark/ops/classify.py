@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["naive_bayes_classify", "knn_classify"]
+__all__ = ["naive_bayes_classify", "knn_classify", "knn_fuzzy_classify"]
 
 
 # ---------------------------------------------------------------------------
@@ -225,6 +225,14 @@ def knn_classify(searcher, doc_id: int, k: int = 10,
                                 min_df=min_df)
     top = searcher.search_df(q, k=k,
                              doc_filter=f"{class_field} is not null")
+    return _vote_topk(searcher, top, class_field, k)
+
+
+def _vote_topk(searcher, top: DataFrame, class_field: str,
+               k: int) -> DataFrame:
+    """The shared rank-weighted class vote both KNN classifiers use
+    (KNearestNeighborClassifier.java:191-240 ==
+    KNearestFuzzyClassifier.java buildListFromTopDocs)."""
     ds = (searcher._read_cached(searcher.docstore_paths)
           .select("doc_id", F.col(class_field).alias("cls")))
     j = top.join(ds, "doc_id").select(
@@ -243,3 +251,28 @@ def knn_classify(searcher, doc_id: int, k: int = 10,
                     .otherwise(F.col("sumdoc").cast("double")))
                    .alias("score")))
     return out.orderBy(F.col("score").desc(), F.col("cls").asc())
+
+
+def knn_fuzzy_classify(searcher, text: str, k: int = 10,
+                       class_field: str = "role", max_edits: int = 1,
+                       prefix_length: int = 2,
+                       max_variants_per_term: int = 50) -> DataFrame:
+    """k-nearest-neighbor classification of FREE TEXT via fuzzy term
+    expansion (KNearestFuzzyClassifier.java + utils/
+    NearestFuzzyQuery.java): the query is the fuzzy-like-this rewrite
+    of the input — per analyzed term, dictionary variants within
+    max_edits sharing the source term's prefix, variant score =
+    boost^2 x Classic idf with the source-df / avg-df fallback,
+    artificial df = ttf = 1 leaves (NearestFuzzyQuery.newTermQuery's
+    TermStates trick, identical to FuzzyLikeThisQuery's) — MUST'd with
+    a class-field-exists clause (:141-143, the doc_filter here), then
+    the same top-k rank-weighted vote as the plain KNN classifier.
+    NearestFuzzyQuery has NO global maxNumTerms cut (only the per-term
+    MAX_VARIANTS_PER_TERM = 50), hence the unbounded max_num_terms."""
+    q = searcher.fuzzy_like_this(
+        text, max_edits=max_edits, prefix_length=prefix_length,
+        max_num_terms=1 << 30,
+        max_variants_per_term=max_variants_per_term)
+    top = searcher.search_df(q, k=k,
+                             doc_filter=f"{class_field} is not null")
+    return _vote_topk(searcher, top, class_field, k)

@@ -134,3 +134,43 @@ def test_knn_vote_formula(spark, corpus):
     rows = knn_classify(s, doc_id, k=k, max_terms=5, min_df=2).collect()
     keys = [(-r["score"], r["cls"]) for r in rows]
     assert keys == sorted(keys)
+
+
+def test_knn_fuzzy_vote_formula(spark, corpus):
+    """KNearestFuzzyClassifier: same vote as plain KNN, but the top-k
+    comes from the NearestFuzzyQuery rewrite (fuzzy_like_this with
+    prefix filter and no global term cut)."""
+    from collections import Counter, defaultdict
+    from lucene_spark.ops.classify import knn_fuzzy_classify
+    s, docs = corpus
+    text = "w00000a w000012"
+    k = 10
+    q = s.fuzzy_like_this(text, max_edits=1, prefix_length=2,
+                          max_num_terms=1 << 30)
+    top = s.search_df(q, k=k, doc_filter="role is not null").collect()
+    assert top, "fixture must produce fuzzy matches"
+    cls_of = {d: r for d, _, r, _ in docs}
+    mx = max(r["score"] for r in top)
+    sboost, cnt = defaultdict(float), Counter()
+    for r in top:
+        c = cls_of[r["doc_id"]]
+        sboost[c] += float(r["score"]) / mx
+        cnt[c] += 1
+    sumdoc = sum(cnt.values())
+    expect = {c: sboost[c] / (k if sumdoc >= k else sumdoc)
+              for c in sboost}
+    got = {r["cls"]: r["score"]
+           for r in knn_fuzzy_classify(s, text, k=k,
+                                       prefix_length=2).collect()}
+    assert set(got) == set(expect)
+    for c in expect:
+        assert got[c] == pytest.approx(expect[c], rel=1e-5), c
+
+
+def test_knn_fuzzy_prefix_prunes_variants(spark, corpus):
+    """prefix_length is honored: a long prefix that matches no
+    dictionary term yields no classes."""
+    from lucene_spark.ops.classify import knn_fuzzy_classify
+    s, _ = corpus
+    out = knn_fuzzy_classify(s, "zzzzzz", k=5, prefix_length=3)
+    assert out.collect() == []
