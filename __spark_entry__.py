@@ -1706,6 +1706,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("cls", F.round("score", 3).alias("score_r"))
     q["cls_knn_fuzzy"] = cls_knn_fuzzy
 
+    def cls_bm25_nb(sp, sf):
+        # BM25NBClassifier (classification/.../BM25NBClassifier.java):
+        # per class, log(top-1 BM25 of the class term) + sum over input
+        # tokens of log(class-constant + best in-class word BM25),
+        # softmax-normalized (normClassificationResults log-sum-exp)
+        from lucene_spark.ops.classify import bm25_nb_classify
+        s = _searcher(sp, sf)
+        out = bm25_nb_classify(s, "vector batch window slow",
+                               class_field="role")
+        return out.select("cls", F.round("score", 5).alias("score_r"))
+    q["cls_bm25_nb"] = cls_bm25_nb
+
     def ft_free_text(sp, sf):
         # FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
         # bigram stupid-backoff LM over the corpus. Ops: 'pfx' =
@@ -3893,6 +3905,33 @@ SELECT cls, round(sboost / (CASE WHEN (SELECT sumdoc FROM tot) >= 10
                             ELSE (SELECT sumdoc FROM tot) END), 3)
        AS score_r
 FROM votes
+"""
+
+    # BM25NBClassifier: keyword class field scores a class CONSTANT
+    # idf/2.2 (tf=1, norm code 1, avgdl(role)=1), so the reference's
+    # per-(class, word) top-1 search decomposes into
+    # s_c + max in-class word BM25; softmax over class log scores
+    o["cls_bm25_nb"] = P + f"""
+, cls AS (SELECT lang AS c, count(*)::DOUBLE AS dfc FROM documents
+          WHERE lang IS NOT NULL GROUP BY lang)
+, scf AS (SELECT c, ln(1 + ((SELECT n FROM st) - dfc + 0.5)
+                       / (dfc + 0.5)) / 2.2 AS sc FROM cls)
+, w(word) AS (VALUES ('vector'), ('batch'), ('window'), ('slow'))
+, ms AS (SELECT d.lang AS c, f.term AS word, max({_score('f.tf')}) AS mw
+         FROM tf f JOIN qdl q USING (doc_id)
+         JOIN idf i ON i.term = f.term
+         JOIN documents d ON d.doc_id = f.doc_id
+         WHERE f.term IN ('vector', 'batch', 'window', 'slow')
+         GROUP BY d.lang, f.term)
+, lik AS (SELECT s.c, ln(s.sc) + sum(ln(s.sc + coalesce(m.mw, 0))) AS lg
+          FROM scf s CROSS JOIN w
+          LEFT JOIN ms m ON m.c = s.c AND m.word = w.word
+          GROUP BY s.c, s.sc)
+, mxa AS (SELECT max(lg) AS a FROM lik)
+, z AS (SELECT (SELECT a FROM mxa)
+              + ln(sum(exp(lg - (SELECT a FROM mxa)))) AS loga FROM lik)
+SELECT c AS cls, round(exp(lg - (SELECT loga FROM z)), 5) AS score_r
+FROM lik
 """
 
     # FreeTextSuggester: bigram stupid backoff (ALPHA=0.4). Per model

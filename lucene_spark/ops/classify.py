@@ -1,8 +1,8 @@
 """Index-backed text classification (the reference's classification
 module, classification/src/java/org/apache/lucene/classification/).
 
-Two classifiers, both re-expressed as Catalyst plans over the engine's
-index tables instead of per-term IndexSearcher.count() loops:
+Four classifiers, re-expressed as Catalyst plans over the engine's
+index tables instead of per-term IndexSearcher.count()/search() loops:
 
 - ``naive_bayes_classify`` — SimpleNaiveBayesClassifier.java: add-one-
   smoothed multinomial NB whose "training set" IS the index. Where the
@@ -14,6 +14,14 @@ index tables instead of per-term IndexSearcher.count() loops:
 
 - ``knn_classify`` — KNearestNeighborClassifier.java: MoreLikeThis
   top-k retrieval + rank-weighted class voting over the k neighbors.
+
+- ``knn_fuzzy_classify`` — KNearestFuzzyClassifier.java: the same vote
+  over a NearestFuzzyQuery (= fuzzy-like-this rewrite) of free text.
+
+- ``bm25_nb_classify`` — BM25NBClassifier.java: naive bayes whose
+  likelihoods are BM25 top-1 scores; the reference's per-(class, word)
+  search() loop decomposes into one match-stream union + per-class max
+  because the keyword class clause scores a class constant.
 
 Scale shape (100 TB lens): NB's heavy stage is the postings scan, which
 is directory-pruned on (field, term_h) exactly like a TermQuery seek;
@@ -31,7 +39,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-__all__ = ["naive_bayes_classify", "knn_classify", "knn_fuzzy_classify"]
+__all__ = ["naive_bayes_classify", "knn_classify", "knn_fuzzy_classify",
+           "bm25_nb_classify"]
 
 
 # ---------------------------------------------------------------------------
@@ -276,3 +285,67 @@ def knn_fuzzy_classify(searcher, text: str, k: int = 10,
     top = searcher.search_df(q, k=k,
                              doc_filter=f"{class_field} is not null")
     return _vote_topk(searcher, top, class_field, k)
+
+
+def bm25_nb_classify(searcher, text: str,
+                     class_field: str = "role") -> DataFrame:
+    """Naive Bayes over BM25 scores (BM25NBClassifier.java): for each
+    class term c in the class field's dictionary,
+
+        score(c) = log(prior) + sum over INPUT TOKENS w (duplicates
+                   included, calculateLogLikelihood:197-203) of
+                   log(P(w|c))
+
+    where prior = the top-1 score of MUST TermQuery(class=c) (:222-231,
+    log 0 when classless) and P(w|c) = the top-1 score of MUST class +
+    SHOULD word (:205-220, 1 when hitless). The class field is a
+    keyword field (tf = 1, norms omitted -> norm code 1), so the MUST
+    clause scores a CONSTANT s_c for every doc of the class — the
+    reference's top-1 therefore decomposes exactly into
+    s_c + max(score of w within class c, or 0), computed here as ONE
+    match-stream union over the distinct input words joined to the
+    doc->class column with a map-side-combined (class, word) max —
+    no per-(word, class) search() loop. The final softmax is the
+    reference's normClassificationResults log-sum-exp (:147-173).
+    Returns (cls, score) with scores summing to 1, score desc."""
+    from ..kernels.tokenizer import analyze_one
+    from ..search.query import MultiTermQuery, TermQuery
+
+    toks = analyze_one(text, searcher._field_chain(searcher.field))
+    classes = sorted(searcher.expand_terms(
+        MultiTermQuery("wildcard", "*", class_field)))
+    spark = searcher.spark
+    if not classes or not toks:
+        return spark.createDataFrame([], "cls string, score double")
+    st = searcher.term_stats(classes, class_field)
+    dc_f, sttf_f = searcher._field_stats(class_field)
+    sim = searcher._sim_for(class_field)
+    s_c = {c: float(sim(st[c][0], dc_f, sttf_f)
+                    .score(np.array([1.0], dtype=np.float32),
+                           np.array([1], dtype=np.int64))[0])
+           for c in classes}
+
+    words = list(dict.fromkeys(toks))
+    allm = None
+    for w in words:
+        mw = (searcher.matches_df(TermQuery(w))
+              .select("doc_id", "score", F.lit(w).alias("w")))
+        allm = mw if allm is None else allm.unionByName(mw)
+    ds = (searcher._read_cached(searcher.docstore_paths)
+          .select("doc_id", F.col(class_field).alias("cls")))
+    cells = (allm.join(ds, "doc_id")
+             .groupBy("cls", "w")
+             .agg(F.max("score").cast("double").alias("mw")).collect())
+    mx = {(r["cls"], r["w"]): float(r["mw"]) for r in cells}
+
+    logs = {}
+    for c in classes:
+        ll = math.log(s_c[c])
+        for w in toks:  # duplicates contribute per occurrence
+            ll += math.log(s_c[c] + mx.get((c, w), 0.0))
+        logs[c] = ll
+    a = max(logs.values())
+    z = a + math.log(sum(math.exp(v - a) for v in logs.values()))
+    out = [(c, math.exp(logs[c] - z)) for c in classes]
+    return (spark.createDataFrame(out, "cls string, score double")
+            .orderBy(F.col("score").desc(), F.col("cls").asc()))

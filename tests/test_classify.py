@@ -174,3 +174,55 @@ def test_knn_fuzzy_prefix_prunes_variants(spark, corpus):
     s, _ = corpus
     out = knn_fuzzy_classify(s, "zzzzzz", k=5, prefix_length=3)
     assert out.collect() == []
+
+
+@pytest.fixture(scope="module")
+def kw_searcher(spark, tmp_path_factory):
+    """Index with keyword class fields (the BM25NB classifier needs the
+    class field indexed, like the reference's StrField)."""
+    from lucene_spark.fixtures.transcripts import transcripts_df
+    from lucene_spark.index import build_index
+    out = str(tmp_path_factory.mktemp("bm25nb") / "idx")
+    src = transcripts_df(spark, n_convs=60, seed=7, partitions=4)
+    build_index(spark, src, out, num_buckets=4,
+                keyword_fields=("role", "tool"))
+    return IndexSearcher(spark, out)
+
+
+def test_bm25_nb_matches_reference_decomposition(spark, kw_searcher):
+    """BM25NBClassifier: recompute per-class scores from the engine's
+    own primitives — per-class constant keyword score + per-word
+    in-class best BM25 — and compare with the softmax output."""
+    from lucene_spark.ops.classify import bm25_nb_classify
+    from lucene_spark.search.query import TermQuery
+    s = kw_searcher
+    text = "w000002 w000005 w000002"  # duplicate token counts twice
+    toks = text.split()
+    rows = (s._read_cached(s.docstore_paths)
+            .select("doc_id", "role").collect())
+    cls_of = {int(r["doc_id"]): r["role"] for r in rows}
+    classes = sorted({c for c in cls_of.values() if c is not None})
+    # class constant: top-1 of a class-field-only search
+    s_c = {c: s.search(TermQuery(c, field="role"), k=1)[0][1]
+           for c in classes}
+    best = {}
+    for w in set(toks):
+        for d, sc in s.search(TermQuery(w), k=10 ** 6):
+            c = cls_of[d]
+            best[(c, w)] = max(best.get((c, w), 0.0), sc)
+    logs = {}
+    for c in classes:
+        ll = math.log(s_c[c])
+        for w in toks:
+            ll += math.log(s_c[c] + best.get((c, w), 0.0))
+        logs[c] = ll
+    a = max(logs.values())
+    z = a + math.log(sum(math.exp(v - a) for v in logs.values()))
+    expect = {c: math.exp(logs[c] - z) for c in classes}
+    got = {r["cls"]: r["score"]
+           for r in bm25_nb_classify(s, text, class_field="role")
+           .collect()}
+    assert set(got) == set(expect)
+    for c in expect:
+        assert got[c] == pytest.approx(expect[c], rel=1e-6), c
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
