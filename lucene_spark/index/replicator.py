@@ -13,6 +13,13 @@ Capability analog of the reference's replicator module
   published state flips atomically from the previous revision to the
   complete new one, never exposing a partial copy.
 
+Sibling surface: ``streaming/replicator.py replicate(src, dst)`` is the
+one-shot DIR-granular pull over the same pin -> diff -> copy ->
+publish-last protocol (staging-dir rename, crashed-pull sweep). This
+module is the publisher/client split at FILE granularity: incremental
+(relpath, size) diffs survive partial directory copies, and the bulk
+copy distributes over the cluster.
+
 Spark-first shape: a revision here is a commit manifest
 (``segments_N.json``) plus the immutable parquet files under its table
 directories. Because the catalog never mutates a published directory in

@@ -26,6 +26,11 @@ the durable part; the byte movement is ``shutil`` locally and would be
 an object-store / DistCp bulk copy in production. Incremental NRT
 appends add NEW directories per generation, so steady-state replication
 cost is O(new segments), never O(index).
+
+Sibling surface: ``index/replicator.py`` exposes the same protocol as a
+LocalReplicator/ReplicationClient publisher-client split at FILE
+granularity — (relpath, size) diffs that survive partial directory
+copies, per-file atomic rename, and a Spark-distributed bulk copy.
 """
 
 from __future__ import annotations
