@@ -1718,6 +1718,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("cls", F.round("score", 5).alias("score_r"))
     q["cls_bm25_nb"] = cls_bm25_nb
 
+    def cls_perceptron(sp, sf):
+        # BooleanPerceptronClassifier (classification/.../
+        # BooleanPerceptronClassifier.java): integer term weights init
+        # to ttf, bias = avg doc length, one sequential pass over the
+        # classed docs in doc order, mistake -> +-tf clamped at 0
+        # (n_parts=1 = the reference rule exactly; fresh-weight reads,
+        # the stale-FST batch being an FST artifact)
+        from lucene_spark.ops.perceptron import train_boolean_perceptron
+        s = _searcher(sp, sf)
+        w, _ = train_boolean_perceptron(s, "role = 'en'",
+                                        n_parts=1, epochs=1)
+        return w.select("term",
+                        F.col("weight").cast("bigint").alias("weight"))
+    q["cls_perceptron"] = cls_perceptron
+
     def ft_free_text(sp, sf):
         # FreeTextSuggester (suggest/analyzing/FreeTextSuggester.java):
         # bigram stupid-backoff LM over the corpus. Ops: 'pfx' =
@@ -3932,6 +3947,52 @@ FROM votes
               + ln(sum(exp(lg - (SELECT a FROM mxa)))) AS loga FROM lik)
 SELECT c AS cls, round(exp(lg - (SELECT loga FROM z)), 5) AS score_r
 FROM lik
+"""
+
+    # BooleanPerceptronClassifier: the sequential training loop as a
+    # RECURSIVE CTE carrying the integer weight vector — one step per
+    # doc in doc order; mistake -> +-tf per term, clamped at 0
+    o["cls_perceptron"] = """
+WITH RECURSIVE
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[0-9a-z]+') AS toks
+        FROM documents),
+pos AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+tfr AS (SELECT doc_id, term, count(*)::BIGINT AS tf
+        FROM pos GROUP BY doc_id, term),
+vocab AS (SELECT term, sum(tf)::BIGINT AS ttf,
+                 row_number() OVER (ORDER BY term) AS vi
+          FROM tfr GROUP BY term),
+nv AS (SELECT count(*)::INT AS n FROM vocab),
+sparse AS (SELECT f.doc_id, list(v.vi ORDER BY v.vi) AS vis,
+                  list(f.tf ORDER BY v.vi) AS tfs
+           FROM tfr f JOIN vocab v USING (term) GROUP BY f.doc_id),
+docs AS (
+  SELECT s.doc_id, row_number() OVER (ORDER BY s.doc_id) AS rn,
+         (d.lang = 'en') AS correct,
+         list_transform(range(1, nv.n + 1),
+           i -> coalesce(s.tfs[list_position(s.vis, i)], 0)) AS tfv
+  FROM sparse s JOIN documents d USING (doc_id) CROSS JOIN nv
+),
+stats AS (SELECT (SELECT sum(ttf) FROM vocab)::DOUBLE
+               / (SELECT count(*) FROM docs) AS bias),
+steps AS (
+  SELECT 0::BIGINT AS i, (SELECT list(ttf ORDER BY vi) FROM vocab) AS w
+  UNION ALL
+  SELECT s.i + 1,
+    CASE WHEN (d.correct AND q.dot <  (SELECT bias FROM stats))
+           OR (NOT d.correct AND q.dot >= (SELECT bias FROM stats))
+    THEN list_transform(range(1, len(s.w) + 1),
+           j -> greatest(0, s.w[j]
+                + (CASE WHEN d.correct THEN 1 ELSE -1 END) * d.tfv[j]))
+    ELSE s.w END
+  FROM steps s
+  JOIN docs d ON d.rn = s.i + 1
+  CROSS JOIN LATERAL (
+    SELECT list_dot_product(s.w::DOUBLE[], d.tfv::DOUBLE[]) AS dot) q
+),
+final AS (SELECT w FROM steps WHERE i = (SELECT count(*) FROM docs))
+SELECT v.term, f.w[v.vi]::BIGINT AS weight
+FROM vocab v, final f ORDER BY v.term
 """
 
     # FreeTextSuggester: bigram stupid backoff (ALPHA=0.4). Per model
