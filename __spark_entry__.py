@@ -1476,6 +1476,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return pack_sequences(_docs(sp, sf), budget=200, n_shards=4)
     q["text_pack"] = text_pack
 
+    def text_c4_filter(sp, sf):
+        # C4 cleaning rules (Raffel et al. 2020 §2.2): line-level
+        # terminal-punctuation / min-words / no-javascript retention +
+        # page-level min-sentences / lorem-ipsum / curly-brace drops.
+        # The corpus has no punctuation, so sentence structure is
+        # synthesized DETERMINISTICALLY: '.\n' breaks at every ' the ',
+        # a terminal period on doc_id%7, a javascript line on %53, a
+        # lorem-ipsum line on %31, a curly-brace line on %43 —
+        # identical string ops on both engines
+        from lucene_spark.ops.c4 import c4_clean
+        synth = _docs(sp, sf).select(
+            "doc_id",
+            F.concat(
+                F.regexp_replace("text", " the ", ".\n"),
+                F.when(F.col("doc_id") % 7 == 0, F.lit("."))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 53 == 0,
+                       F.lit("\nthis javascript line ends badly."))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 31 == 0,
+                       F.lit("\nlorem ipsum dolor."))
+                .otherwise(F.lit("")),
+                F.when(F.col("doc_id") % 43 == 0,
+                       F.lit("\nvar x = { a };"))
+                .otherwise(F.lit(""))).alias("text"))
+        out = c4_clean(synth, min_words=3, min_sentences=2)
+        return out.select("doc_id", "n_lines", "n_kept", "has_lorem",
+                          "has_brace", "keep",
+                          F.md5("clean_text").alias("clean_md5"))
+    q["text_c4_filter"] = text_c4_filter
+
     def text_gopher_filter(sp, sf):
         # composite Gopher quality verdict (Rae et al. 2021 A1.1): one
         # boolean per published rule + the conjunction; min_tokens
@@ -3583,6 +3614,37 @@ FROM p
     # document chunking: identical windowing rule (interior starts at
     # stride while start + window < n, plus the end-aligned final
     # start) over the identical token model
+    # C4 cleaning: same deterministic synthesis, line filter via
+    # list_filter lambda, page verdicts, md5 of the re-joined lines
+    o["text_c4_filter"] = r"""
+WITH synth AS (SELECT doc_id,
+    replace(text, ' the ', '.' || chr(10))
+    || CASE WHEN doc_id % 7 = 0 THEN '.' ELSE '' END
+    || CASE WHEN doc_id % 53 = 0
+            THEN chr(10) || 'this javascript line ends badly.'
+            ELSE '' END
+    || CASE WHEN doc_id % 31 = 0
+            THEN chr(10) || 'lorem ipsum dolor.' ELSE '' END
+    || CASE WHEN doc_id % 43 = 0
+            THEN chr(10) || 'var x = { a };' ELSE '' END AS text
+  FROM documents),
+l AS (SELECT doc_id, text, string_split(text, chr(10)) AS lines
+      FROM synth),
+k AS (SELECT doc_id, text, lines,
+        list_filter(lines,
+          x -> regexp_matches(x, '[.!?]["'']?\s*$')
+               AND len(regexp_split_to_array(trim(x), '\s+')) >= 3
+               AND NOT contains(lower(x), 'javascript')) AS kept
+      FROM l)
+SELECT doc_id, len(lines) AS n_lines, len(kept) AS n_kept,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       (len(kept) >= 2 AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS keep,
+       md5(coalesce(array_to_string(kept, chr(10)), '')) AS clean_md5
+FROM k
+"""
+
     # sequence packing: shard cumsum offsets -> sample span explode ->
     # closed-form slice arithmetic (budget 200, 4 shards)
     o["text_pack"] = """
