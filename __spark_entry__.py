@@ -1507,6 +1507,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                           F.md5("clean_text").alias("clean_md5"))
     q["text_c4_filter"] = text_c4_filter
 
+    def text_sample_unimax(sp, sf):
+        # UniMax budget allocation (Chung et al. 2023): waterfill a
+        # 15k-token budget over languages ascending by availability,
+        # each capped at 2 epochs; rate feeds stratified_sample
+        from lucene_spark.ops.sampling import unimax_allocation
+        a = unimax_allocation(_docs(sp, sf), "lang", budget=15000,
+                              max_epochs=2.0)
+        return a.select("stratum", "available",
+                        F.round("allocated", 4).alias("alloc_r"),
+                        F.round("epochs", 6).alias("epochs_r"),
+                        F.round("rate", 6).alias("rate_r"))
+    q["text_sample_unimax"] = text_sample_unimax
+
     def text_gopher_filter(sp, sf):
         # composite Gopher quality verdict (Rae et al. 2021 A1.1): one
         # boolean per published rule + the conjunction; min_tokens
@@ -3614,6 +3627,37 @@ FROM p
     # document chunking: identical windowing rule (interior starts at
     # stride while start + window < n, plus the end-aligned final
     # start) over the identical token model
+    # UniMax waterfill as a linear recursion over strata ascending by
+    # availability, carrying the remaining budget
+    o["text_sample_unimax"] = """
+WITH RECURSIVE
+tok AS (SELECT len(regexp_extract_all(lower(text), '[0-9a-z]+'))::DOUBLE
+               AS w, lang
+        FROM documents),
+cnt AS (SELECT lang AS stratum, sum(w) AS available
+        FROM tok GROUP BY lang),
+ord AS (SELECT stratum, available,
+               row_number() OVER (ORDER BY available, stratum) AS rn,
+               count(*) OVER () AS k
+        FROM cnt),
+wf AS (
+  SELECT 0::BIGINT AS rn, 15000.0::DOUBLE AS remaining,
+         CAST(NULL AS VARCHAR) AS stratum, 0.0::DOUBLE AS available,
+         0.0::DOUBLE AS allocated
+  UNION ALL
+  SELECT o.rn,
+         w.remaining - least(2.0 * o.available,
+                             w.remaining / (o.k - o.rn + 1)),
+         o.stratum, o.available,
+         least(2.0 * o.available, w.remaining / (o.k - o.rn + 1))
+  FROM wf w JOIN ord o ON o.rn = w.rn + 1
+)
+SELECT stratum, available, round(allocated, 4) AS alloc_r,
+       round(allocated / available, 6) AS epochs_r,
+       round(least(1.0, allocated / available), 6) AS rate_r
+FROM wf WHERE rn > 0
+"""
+
     # C4 cleaning: same deterministic synthesis, line filter via
     # list_filter lambda, page verdicts, md5 of the re-joined lines
     o["text_c4_filter"] = r"""

@@ -23,7 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["rate_threshold", "stratified_sample", "sample_rates_table"]
+__all__ = ["rate_threshold", "stratified_sample", "sample_rates_table",
+           "unimax_allocation"]
 
 _HEX_SPAN = 16 ** 8
 
@@ -79,3 +80,51 @@ def sample_rates_table(df: DataFrame, stratum_col: str,
                     F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
                     F.round(F.coalesce("n_sampled", F.lit(0))
                             / F.col("n_total"), 4).alias("realized_rate")))
+
+
+def unimax_allocation(df: DataFrame, stratum_col: str, budget: float,
+                      max_epochs: float = 1.0,
+                      weight_col: str | None = None,
+                      text_col: str = "text") -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, "UniMax: Fairer and
+    More Effective Language Sampling for Large-Scale Multilingual
+    Pretraining"): split a total token ``budget`` across strata
+    (languages) as uniformly as possible, capping each stratum at
+    ``max_epochs`` passes over its available tokens — the waterfill:
+    walk strata by available tokens ASCENDING (ties: stratum asc) and
+    give each min(max_epochs * available, remaining / strata_left).
+
+    Available tokens per stratum come from ``weight_col`` if given,
+    else from counting analyzer-equivalent tokens of ``text_col``.
+    The count is a map-side-combined distributed aggregate; the
+    waterfill itself runs driver-side over the strata table (languages
+    are enum-small — the same scale the paper allocates over).
+
+    Returns (stratum, available, allocated, epochs, rate): ``rate`` =
+    min(1, allocated / available) is the per-stratum Bernoulli rate to
+    feed :func:`stratified_sample` for single-pass construction;
+    ``epochs`` > 1 means the training loader repeats the stratum."""
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    from .dedup import tokens_expr
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.size(tokens_expr(text_col)).cast("double"))
+    counts = (df.select(F.col(stratum_col).alias("stratum"),
+                        w.alias("w"))
+              .groupBy("stratum").agg(F.sum("w").alias("available"))
+              .collect())
+    rows = sorted(((float(r["available"]), r["stratum"])
+                   for r in counts), key=lambda t: (t[0], str(t[1])))
+    remaining = float(budget)
+    out = []
+    for i, (avail, stratum) in enumerate(rows):
+        alloc = min(max_epochs * avail, remaining / (len(rows) - i))
+        remaining -= alloc
+        out.append((stratum, avail, alloc, alloc / avail if avail else 0.0,
+                    min(1.0, alloc / avail) if avail else 0.0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "stratum string, available double, allocated double, "
+             "epochs double, rate double")
