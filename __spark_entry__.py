@@ -580,6 +580,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 .unionByName(auto))
     q["ft_regexp"] = ft_regexp
 
+    def ft_xml_query(sp, sf):
+        # XML query syntax (queryparser/xml/CoreParser.java): the
+        # element vocabulary built into engine query trees. Ops:
+        # 'bool' = BooleanQuery/Clause occurs + mnm; 'terms' =
+        # analyzed TermsQuery with mnm; 'dismax' =
+        # DisjunctionMaxQuery tieBreaker; 'range' = PointRangeQuery
+        # filter clause folded into the doc_filter pushdown; 'user' =
+        # UserQuery classic-parser passthrough
+        from lucene_spark.search.xmlquery import parse_xml_query
+        s = _searcher(sp, sf)
+        xmls = {
+            "bool": """<BooleanQuery fieldName="text"
+                        minimumNumberShouldMatch="1">
+              <Clause occurs="must"><TermQuery>scan</TermQuery></Clause>
+              <Clause occurs="should"><TermQuery>sort</TermQuery></Clause>
+              <Clause occurs="should"><TermQuery>merge</TermQuery></Clause>
+              <Clause occurs="mustNot"><TermQuery>dup</TermQuery></Clause>
+            </BooleanQuery>""",
+            "terms": '<TermsQuery fieldName="text" '
+                     'minimumNumberShouldMatch="2">scan sort merge'
+                     '</TermsQuery>',
+            "dismax": """<DisjunctionMaxQuery fieldName="text"
+                          tieBreaker="0.3">
+              <TermQuery>vector</TermQuery>
+              <TermQuery>batch</TermQuery>
+            </DisjunctionMaxQuery>""",
+            "range": """<BooleanQuery fieldName="text">
+              <Clause occurs="must"><TermQuery>vector</TermQuery></Clause>
+              <Clause occurs="filter"><PointRangeQuery
+                fieldName="token_count" lowerTerm="30"
+                upperTerm="70"/></Clause>
+            </BooleanQuery>""",
+            "user": '<UserQuery>merge AND (scan OR sort)</UserQuery>',
+        }
+        out = None
+        for op, x in xmls.items():
+            p = parse_xml_query(x, searcher=s)
+            d = (s.search_df(p.query, k=10, doc_filter=p.doc_filter)
+                 .select(F.lit(op).alias("op"), "doc_id",
+                         F.round(F.col("score").cast("double"), 3)
+                         .alias("score_r")))
+            out = d if out is None else out.unionByName(d)
+        return out
+    q["ft_xml_query"] = ft_xml_query
+
     def ft_sort_by_field(sp, sf):
         # TopFieldCollector + field-sort searchAfter paging
         # (core:search/TopFieldCollector.java create(sort, n, after)):
@@ -2678,6 +2723,65 @@ FROM top50 t JOIN dl d USING (doc_id)
 SELECT r.grp, round(r.gs, 3) AS gs_r, r.doc_id,
        round(r.s, 3) AS score_r, r.grp_rank
 FROM r JOIN heads USING (grp) WHERE grp_rank <= 2
+"""
+
+    # XML query syntax: each op mirrors its element's engine semantics
+    o["ft_xml_query"] = P + f"""
+, shd AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s_sh
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          WHERE f.term IN ('sort', 'merge') GROUP BY f.doc_id)
+, mb AS (SELECT f.doc_id, ({_score('f.tf')} + shd.s_sh) AS s
+        FROM tf f JOIN qdl q USING (doc_id)
+        JOIN idf i ON i.term = f.term
+        JOIN shd ON shd.doc_id = f.doc_id
+        WHERE f.term = 'scan'
+          AND NOT EXISTS (SELECT 1 FROM tf x
+                          WHERE x.doc_id = f.doc_id AND x.term = 'dup'))
+, mt AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+        FROM tf f JOIN qdl q USING (doc_id)
+        JOIN idf i ON i.term = f.term
+        WHERE f.term IN ('scan', 'sort', 'merge')
+        GROUP BY f.doc_id HAVING count(*) >= 2)
+, dv AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id)
+        JOIN idf i ON i.term = f.term WHERE f.term = 'vector')
+, db AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id)
+        JOIN idf i ON i.term = f.term WHERE f.term = 'batch')
+, dm AS (SELECT doc_id,
+        greatest(coalesce(v.s, 0), coalesce(b.s, 0))
+        + 0.3 * (coalesce(v.s, 0) + coalesce(b.s, 0)
+                 - greatest(coalesce(v.s, 0), coalesce(b.s, 0))) AS s
+        FROM dv v FULL JOIN db b USING (doc_id))
+, mr AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id)
+        JOIN idf i ON i.term = f.term
+        JOIN dl d ON d.doc_id = f.doc_id
+        WHERE f.term = 'vector' AND d.dl BETWEEN 30 AND 70)
+, orc AS (SELECT f.doc_id, sum({_score('f.tf')}) AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          WHERE f.term IN ('scan', 'sort') GROUP BY f.doc_id)
+, mu AS (SELECT f.doc_id, {_score('f.tf')} + o2.s AS s
+          FROM tf f JOIN qdl q USING (doc_id)
+          JOIN idf i ON i.term = f.term
+          JOIN orc o2 ON o2.doc_id = f.doc_id
+          WHERE f.term = 'merge')
+SELECT 'bool' AS op, doc_id, round(s, 3) AS score_r
+FROM (SELECT * FROM mb ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'terms', doc_id, round(s, 3)
+FROM (SELECT * FROM mt ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'dismax', doc_id, round(s, 3)
+FROM (SELECT * FROM dm ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'range', doc_id, round(s, 3)
+FROM (SELECT * FROM mr ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'user', doc_id, round(s, 3)
+FROM (SELECT * FROM mu ORDER BY s DESC, doc_id LIMIT 10)
 """
 
     # grouping collectors: all groups / group heads / distinct values
