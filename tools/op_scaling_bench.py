@@ -71,6 +71,30 @@ spark.stop()
 """
 
 
+
+_LEVEL_PACK = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+cpus = int(sys.argv[1]); src = sys.argv[2]
+spark = (SparkSession.builder.master(f"local[{{cpus}}]")
+         .config("spark.sql.shuffle.partitions", "32")
+         .config("spark.driver.memory", "48g")
+         .config("spark.ui.enabled", "false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+from lucene_spark.ops.packing import pack_sequences
+d = spark.read.parquet(src)
+walls, n = [], -1
+for _ in range(3):
+    t0 = time.time()
+    n = pack_sequences(d, budget=256, n_shards=64).count()
+    walls.append(round(time.time() - t0, 3))
+    spark.catalog.clearCache()
+print("RESULT " + json.dumps({{"cpus": cpus, "walls": walls,
+                               "sec": min(walls[1:]), "spans": n}}))
+spark.stop()
+"""
+
 def _run(code: str, *args) -> dict | int | str:
     with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
         f.write(code.format(repo=REPO))
@@ -91,20 +115,29 @@ def main() -> None:
     ap.add_argument("--convs", type=int, default=45000)
     ap.add_argument("--n", type=int, default=2)
     ap.add_argument("--write", action="store_true")
+    ap.add_argument("--op", choices=["substring", "pack"],
+                    default="substring")
     a = ap.parse_args()
     work = os.path.join(REPO, ".idxcache", f"opscale_{a.convs}")
     src = os.path.join(work, "docs.parquet")
     os.makedirs(work, exist_ok=True)
     meta = _run(_PREP, a.convs, src)
-    low = _run(_LEVEL, a.n, src)
-    high = _run(_LEVEL, a.n * 4, src)
+    lvl = _LEVEL_PACK if a.op == "pack" else _LEVEL
+    low = _run(lvl, a.n, src)
+    high = _run(lvl, a.n * 4, src)
     assert low["spans"] == high["spans"], "parallelism changed the result"
     ratio = round(low["sec"] / high["sec"], 3)
     eff = round(ratio / 4.0, 3)
+    jobs = {
+        "substring": ("exact substring dedup (duplicate_substring_spans "
+                      "window=8): tokenize+explode -> count shuffle -> "
+                      "hash join -> per-doc window merge"),
+        "pack": ("sequence packing (pack_sequences budget=256, 64 "
+                 "shards): per-shard window cumsum -> span explode -> "
+                 "slice arithmetic"),
+    }
     entry = {
-        "job": ("exact substring dedup (duplicate_substring_spans "
-                "window=8): tokenize+explode -> count shuffle -> hash "
-                "join -> per-doc window merge"),
+        "job": jobs[a.op],
         "input": meta,
         "levels": {"low": f"local[{a.n}]", "high": f"local[{a.n * 4}]",
                    "core_ratio": 4.0},
