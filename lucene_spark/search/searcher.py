@@ -2020,7 +2020,28 @@ class IndexSearcher:
         analog (core:search/TermQuery.java explain path): per-term tf,
         norm code, decoded length, idf, weight and sub-score, plus the
         combined score. Debug API (several tiny jobs; not a hot path)."""
-        query = self._analyze_query(query)
+        analyzed = self._analyze_query(query)
+        if (_needs_tree(analyzed)
+                or (isinstance(analyzed, BooleanQuery)
+                    and analyzed.nested)):
+            # tree shapes (nested booleans, boosted/artificial-stats
+            # leaves, const/dismax/combined wrappers): the flat
+            # per-term sum below does NOT decompose their score — take
+            # the exact score from the engine's own match stream and
+            # keep the per-term table as isolated contributions
+            # (Weight.explain's sub-details), marked as such
+            m = (self.matches_df(query)
+                 .filter(F.col("doc_id") == doc_id).collect())
+            out = self._explain_flat(analyzed, doc_id)
+            out["matches"] = bool(m)
+            out["score"] = float(m[0]["score"]) if m else 0.0
+            out["method"] = ("tree: score from the tree kernels; "
+                             "per-term entries are isolated "
+                             "flat-term contributions")
+            return out
+        return self._explain_flat(analyzed, doc_id)
+
+    def _explain_flat(self, query, doc_id: int) -> dict:
         terms = query.terms
         field = getattr(query, "field", self.field)
         tstats = self.term_stats(terms, field)

@@ -157,3 +157,16 @@ def test_artificial_df_ratio(searcher, corpus):
     ratio = idf_one / idf_real
     for d in base:
         assert art[d] == pytest.approx(base[d] * ratio, rel=1e-5)
+
+
+def test_explain_agrees_with_search_on_tree_queries(searcher):
+    """Tree-shaped queries (boosted/artificial-stats leaves) explain
+    with the engine's exact score, not the flat per-term sum."""
+    q = searcher.fuzzy_like_this("w00000a", max_edits=1)
+    top = searcher.search(q, k=1)
+    assert top
+    doc, score = top[0]
+    ex = searcher.explain(q, doc)
+    assert ex["matches"]
+    assert ex["score"] == pytest.approx(score, rel=1e-5)
+    assert "method" in ex  # marked as tree-decomposed
