@@ -2021,25 +2021,28 @@ class IndexSearcher:
         norm code, decoded length, idf, weight and sub-score, plus the
         combined score. Debug API (several tiny jobs; not a hot path)."""
         analyzed = self._analyze_query(query)
-        if (_needs_tree(analyzed)
-                or (isinstance(analyzed, BooleanQuery)
-                    and analyzed.nested)):
-            # tree shapes (nested booleans, boosted/artificial-stats
-            # leaves, const/dismax/combined wrappers): the flat
-            # per-term sum below does NOT decompose their score — take
-            # the exact score from the engine's own match stream and
-            # keep the per-term table as isolated contributions
-            # (Weight.explain's sub-details), marked as such
-            m = (self.matches_df(query)
-                 .filter(F.col("doc_id") == doc_id).collect())
-            out = self._explain_flat(analyzed, doc_id)
-            out["matches"] = bool(m)
-            out["score"] = float(m[0]["score"]) if m else 0.0
-            out["method"] = ("tree: score from the tree kernels; "
+        out = self._explain_flat(analyzed, doc_id)
+        if "reason" in out:
+            return out
+        # the TOTAL always comes from the engine's own match stream —
+        # Explanation.getValue() == scorer.score() for every shape.
+        # For term/and/or sums the flat decomposition below equals it;
+        # for phrase/synonym freq scoring, msm/must_not booleans, and
+        # tree shapes (nested booleans, boosted or artificial-stats
+        # leaves, const/dismax/combined wrappers) it does not, so those
+        # keep the per-term table as isolated contributions and carry a
+        # method marker.
+        m = (self.matches_df(query)
+             .filter(F.col("doc_id") == doc_id).collect())
+        flat_total = out["score"]
+        out["matches"] = bool(m)
+        out["score"] = float(m[0]["score"]) if m else 0.0
+        if abs(out["score"] - flat_total) > 1e-3 * max(
+                1.0, abs(out["score"])):
+            out["method"] = ("engine: score from the match kernels; "
                              "per-term entries are isolated "
                              "flat-term contributions")
-            return out
-        return self._explain_flat(analyzed, doc_id)
+        return out
 
     def _explain_flat(self, query, doc_id: int) -> dict:
         terms = query.terms
