@@ -39,51 +39,6 @@ __all__ = ["export_simpletext", "read_simpletext_postings",
            "verify_simpletext"]
 
 
-def _decode_postings(searcher, terms: list, field: str) -> dict:
-    """{term: [(doc_id, tf), ...]} for a term set in ONE Spark job
-    (batched chunk decode with live-doc masking, the term_postings
-    kernel over the whole set)."""
-    import numpy as np
-    import pandas as pd
-    from pyspark.sql import functions as F  # noqa: F401
-    from ..search.kernels import DocSetChunk, MaskedChunk, TermChunk
-
-    chunks = (searcher._postings_for(terms, field)
-              .select("term", "bucket_id", "blocks"))
-    has_live = searcher.livedocs_path is not None
-    if has_live:
-        live = searcher._live_proj("bucket_id", "base_doc",
-                                   "num_docs", "live")
-        chunks = chunks.join(live, "bucket_id", "left")
-
-    def run(batches):
-        for pdf in batches:
-            ts, ds, fs = [], [], []
-            for row in pdf.itertuples(index=False):
-                ch = TermChunk(row.blocks, [0.0] * len(row.blocks))
-                if has_live and getattr(row, "live", None) is not None:
-                    ch = MaskedChunk(ch, DocSetChunk(
-                        bytes(row.live), int(row.base_doc),
-                        int(row.num_docs)))
-                docs, tfs = ch.decode_all()
-                ts.append(np.full(docs.size, row.term, dtype=object))
-                ds.append(docs)
-                fs.append(tfs)
-            if ds:
-                yield pd.DataFrame(
-                    {"term": np.concatenate(ts),
-                     "doc_id": np.concatenate(ds).astype(np.int64),
-                     "tf": np.concatenate(fs).astype(np.int64)})
-
-    rows = chunks.mapInPandas(
-        run, schema="term string, doc_id bigint, tf bigint").collect()
-    out: dict = {}
-    for r in rows:
-        out.setdefault(r["term"], []).append(
-            (int(r["doc_id"]), int(r["tf"])))
-    return out
-
-
 def export_simpletext(searcher, out_dir: str, field: str = "text",
                       max_terms: int | None = None) -> dict:
     """Dump the index's postings / norms / stats / stored fields for
@@ -94,15 +49,17 @@ def export_simpletext(searcher, out_dir: str, field: str = "text",
     counts = {}
 
     ts = (searcher._termstats_df(F.col("field") == field)
-          .select("term", "df", "ttf").orderBy("term"))
-    terms = ts.collect()
+          .select("term").orderBy("term"))
     if max_terms is not None:
-        terms = terms[:max_terms]
+        ts = ts.limit(max_terms)  # cut inside the scan, not the driver
+    term_list = [t["term"] for t in ts.collect()]
 
     # ONE decode job for the whole exported term set (not a job per
-    # term): the same batched chunk decode the classifiers use
-    term_list = [t["term"] for t in terms]
-    by_term = _decode_postings(searcher, term_list, field)
+    # term): the searcher's batched multi-term decode
+    by_term: dict = {}
+    for r in searcher.terms_postings(term_list, field).collect():
+        by_term.setdefault(r["term"], []).append(
+            (int(r["doc_id"]), int(r["tf"])))
     n = 0
     with open(os.path.join(out_dir, "postings.txt"), "w") as fh:
         fh.write(f"field {field}\n")

@@ -64,35 +64,8 @@ def _word_class_hits(searcher, words: list, text_field: str,
     scan pruned to the vocabulary, one block decode, one join to the
     doc -> class map, one aggregate. Deleted docs are masked exactly
     like term_postings."""
-    from ..search.searcher import POSTING_SCHEMA  # noqa: F401
-    from ..search.kernels import DocSetChunk, MaskedChunk, TermChunk
-
-    chunks = (searcher._postings_for(words, text_field)
-              .select("term", "bucket_id", "blocks"))
-    has_live = searcher.livedocs_path is not None
-    if has_live:
-        live = searcher._live_proj("bucket_id", "base_doc",
-                                   "num_docs", "live")
-        chunks = chunks.join(live, "bucket_id", "left")
-
-    def run(batches):
-        for pdf in batches:
-            ts, ds = [], []
-            for row in pdf.itertuples(index=False):
-                ch = TermChunk(row.blocks, [0.0] * len(row.blocks))
-                if has_live and getattr(row, "live", None) is not None:
-                    ch = MaskedChunk(ch, DocSetChunk(
-                        bytes(row.live), int(row.base_doc),
-                        int(row.num_docs)))
-                docs, _ = ch.decode_all()
-                ts.append(np.full(docs.size, row.term, dtype=object))
-                ds.append(docs)
-            if ds:
-                yield pd.DataFrame(
-                    {"term": np.concatenate(ts),
-                     "doc_id": np.concatenate(ds).astype(np.int64)})
-
-    pairs = chunks.mapInPandas(run, schema="term string, doc_id bigint")
+    pairs = searcher.terms_postings(words, text_field) \
+        .select("term", "doc_id")
     cls = (searcher._read_cached(searcher.docstore_paths)
            .filter(F.col(class_field).isNotNull())
            .select("doc_id", F.col(class_field).alias("cls")))
@@ -309,7 +282,8 @@ def bm25_nb_classify(searcher, text: str,
     reference's normClassificationResults log-sum-exp (:147-173).
     Returns (cls, score) with scores summing to 1, score desc."""
     from ..kernels.tokenizer import analyze_one
-    from ..search.query import MultiTermQuery, TermQuery
+    from ..search.query import (MultiTermQuery, PreAnalyzed,
+                                TermQuery)
 
     toks = analyze_one(text, searcher._field_chain(searcher.field))
     classes = sorted(searcher.expand_terms(
@@ -328,7 +302,10 @@ def bm25_nb_classify(searcher, text: str,
     words = list(dict.fromkeys(toks))
     allm = None
     for w in words:
-        mw = (searcher.matches_df(TermQuery(w))
+        # toks are already INDEX terms (analyzed above): PreAnalyzed
+        # stops the searcher re-stemming them on analyzed fields
+        mw = (searcher.matches_df(
+                  PreAnalyzed(TermQuery(w, searcher.field)))
               .select("doc_id", "score", F.lit(w).alias("w")))
         allm = mw if allm is None else allm.unionByName(mw)
     ds = (searcher._read_cached(searcher.docstore_paths)

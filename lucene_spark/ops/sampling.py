@@ -111,8 +111,9 @@ def unimax_allocation(df: DataFrame, stratum_col: str, budget: float,
     from .dedup import tokens_expr
     w = (F.col(weight_col).cast("double") if weight_col
          else F.size(tokens_expr(text_col)).cast("double"))
-    counts = (df.select(F.col(stratum_col).alias("stratum"),
-                        w.alias("w"))
+    counts = (df.select(F.col(stratum_col).cast("string")
+                        .alias("stratum"),
+                        F.coalesce(w, F.lit(0.0)).alias("w"))
               .groupBy("stratum").agg(F.sum("w").alias("available"))
               .collect())
     rows = sorted(((float(r["available"]), r["stratum"])

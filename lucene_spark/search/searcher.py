@@ -570,10 +570,40 @@ class IndexSearcher:
         analyzed; PreAnalyzed unwraps without rewriting (stems are not
         idempotent, so double analysis would corrupt them)."""
         if isinstance(q, PreAnalyzed):
-            return q.query
+            return self._strip_pre(q.query)
         if not self._needs_analysis:
-            return q
+            return self._strip_pre(q)
         return self._an_node(q, self.field)
+
+    def _strip_pre(self, q):
+        """Remove NESTED PreAnalyzed markers (their subtrees are
+        already index terms; the marker itself is not a scorable node).
+        Rebuilds only along paths that actually contain one."""
+        import dataclasses
+        if isinstance(q, PreAnalyzed):
+            return self._strip_pre(q.query)
+        if isinstance(q, BooleanQuery):
+            fx = lambda cs: tuple(self._strip_pre(c) if not
+                                  isinstance(c, str) else c for c in cs)
+            new = (fx(q.must), fx(q.should), fx(q.must_not),
+                   fx(q.filter_))
+            if new != (q.must, q.should, q.must_not, q.filter_):
+                return dataclasses.replace(
+                    q, must=new[0], should=new[1], must_not=new[2],
+                    filter_=new[3])
+            return q
+        if isinstance(q, DisMaxQuery):
+            new = tuple(self._strip_pre(c) if not isinstance(c, str)
+                        else c for c in q.terms_)
+            if new != q.terms_:
+                return dataclasses.replace(q, terms_=new)
+            return q
+        if isinstance(q, ConstantScoreQuery):
+            inner = self._strip_pre(q.query)
+            if inner is not q.query:
+                return dataclasses.replace(q, query=inner)
+            return q
+        return q
 
     def _field_chain(self, field: str) -> str:
         """Analyzer chain name of one field (keyword fields are never
@@ -598,6 +628,10 @@ class IndexSearcher:
     def _an_node(self, q, parent_field: str):
         import dataclasses
         from ..kernels.tokenizer import analyze_term
+
+        if isinstance(q, PreAnalyzed):
+            # node-level opt-out: the subtree already holds index terms
+            return self._strip_pre(q.query)
 
         def chain(fld):
             if fld in self.keyword_fields:
@@ -2207,6 +2241,44 @@ class IndexSearcher:
 
         return chunks_df.mapInPandas(run, schema=POSTING_SCHEMA)
 
+    def terms_postings(self, terms: list,
+                       field: str = "text") -> DataFrame:
+        """Batched multi-term decode -> (term, doc_id, tf): ONE
+        pushed-down chunk scan + Arrow block decode for the whole term
+        set, live docs masked — term_postings generalized so callers
+        (classifiers, the SimpleText export) never loop jobs per term.
+        ``terms`` are INDEX terms (a dictionary-level API, like the
+        MTQ pattern convention — no analysis applied)."""
+        chunks_df = (self._postings_for(list(terms), field)
+                     .select("term", "bucket_id", "blocks"))
+        has_live = self.livedocs_path is not None
+        if has_live:
+            live_df = self._live_proj("bucket_id", "base_doc",
+                                      "num_docs", "live")
+            chunks_df = chunks_df.join(live_df, "bucket_id", "left")
+
+        def run(batches):
+            for pdf in batches:
+                ts, ds, fs = [], [], []
+                for row in pdf.itertuples(index=False):
+                    ch = TermChunk(row.blocks, [0.0] * len(row.blocks))
+                    if has_live and getattr(row, "live", None) is not None:
+                        ch = MaskedChunk(ch, DocSetChunk(
+                            bytes(row.live), int(row.base_doc),
+                            int(row.num_docs)))
+                    docs, tfs = ch.decode_all()
+                    ts.append(np.full(docs.size, row.term, dtype=object))
+                    ds.append(docs)
+                    fs.append(tfs)
+                if ds:
+                    yield pd.DataFrame(
+                        {"term": np.concatenate(ts),
+                         "doc_id": np.concatenate(ds).astype(np.int64),
+                         "tf": np.concatenate(fs).astype(np.int64)})
+
+        return chunks_df.mapInPandas(
+            run, schema="term string, doc_id bigint, tf bigint")
+
     def term_vectors(self, doc_ids, field: str = "text") -> DataFrame:
         """Per-document term vectors -> (doc_id, term, freq, positions):
         the per-doc mini inverted index of IndexReader.getTermVector
@@ -2720,12 +2792,13 @@ class IndexSearcher:
         map-side-combined aggregate produces it for free). NULL group
         values form their own group like the reference's null head.
         One scan, one partial-agg shuffle on the group key."""
-        return (self._grouped_matches(query, group_field)
+        return (self._grouped_matches(query, group_field, doc_filter)
                 .groupBy("grp").agg(F.count("*").alias("n_docs")))
 
     def group_heads(self, query, group_field: str,
                     by: str | None = None, desc: bool = True,
-                    metadata: DataFrame | None = None) -> DataFrame:
+                    metadata: DataFrame | None = None,
+                    doc_filter: str | None = None) -> DataFrame:
         """AllGroupHeadsCollector (grouping/.../
         AllGroupHeadsCollector.java): the single most-competitive doc
         per group — Sort.RELEVANCE by default (score desc, doc order
@@ -2735,7 +2808,7 @@ class IndexSearcher:
         plus each head's score. ONE per-group window cut — the shuffle
         partitions on the group key, no driver-side head map."""
         from pyspark.sql.window import Window
-        j = self._grouped_matches(query, group_field)
+        j = self._grouped_matches(query, group_field, doc_filter)
         if by is not None:
             md = (metadata if metadata is not None
                   else self._read_cached(self.docstore_paths))
@@ -2749,7 +2822,8 @@ class IndexSearcher:
                 .select("grp", "doc_id", "score"))
 
     def distinct_values(self, query, group_field: str, count_field: str,
-                        k_groups: int = 10) -> DataFrame:
+                        k_groups: int = 10,
+                        doc_filter: str | None = None) -> DataFrame:
         """DistinctValuesCollector (grouping/.../
         DistinctValuesCollector.java): for the top ``k_groups`` groups
         of the first pass (group sort = relevance of the group head,
@@ -2761,7 +2835,7 @@ class IndexSearcher:
         n_distinct, surfaced as has_null; the array itself holds the
         non-null values). The first-pass cut is a broadcast semi-join
         against the same match stream — one postings scan total."""
-        j = self._grouped_matches(query, group_field)
+        j = self._grouped_matches(query, group_field, doc_filter)
         ds = (self._read_cached(self.docstore_paths)
               .select("doc_id", F.col(count_field).alias("cv")))
         j = j.join(ds, "doc_id")
@@ -2778,7 +2852,8 @@ class IndexSearcher:
                       ).alias("n_distinct")))
 
     def group_facets(self, query, group_field: str, facet_field: str,
-                     n: int = 10) -> DataFrame:
+                     n: int = 10,
+                     doc_filter: str | None = None) -> DataFrame:
         """TermGroupFacetCollector (grouping/.../
         GroupFacetCollector.java): facet counts where each GROUP
         contributes at most once per facet value — the count of
@@ -2791,7 +2866,7 @@ class IndexSearcher:
         per-group state on the driver."""
         ds = (self._read_cached(self.docstore_paths)
               .select("doc_id", F.col(facet_field).alias("fv")))
-        pairs = (self._grouped_matches(query, group_field)
+        pairs = (self._grouped_matches(query, group_field, doc_filter)
                  .join(ds, "doc_id")
                  .filter(F.col("fv").isNotNull())
                  .select("grp", "fv").distinct())

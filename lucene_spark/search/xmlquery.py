@@ -36,8 +36,8 @@ import xml.etree.ElementTree as ET
 from dataclasses import dataclass, replace
 
 from .query import (BooleanQuery, ConstantScoreQuery, DisMaxQuery,
-                    MatchAllQuery, MultiTermQuery, TermQuery,
-                    parse_query)
+                    MatchAllQuery, MultiTermQuery, PreAnalyzed,
+                    TermQuery, parse_query)
 
 __all__ = ["parse_xml_query", "XmlParsed", "XmlParserError"]
 
@@ -91,14 +91,19 @@ def _point_range_filter(e, inherited) -> str:
 def _build(e, field, searcher):
     tag = e.tag
     if tag == "TermQuery":
+        # TermQueryBuilder uses the element text VERBATIM (no
+        # analysis); PreAnalyzed stops the searcher re-stemming it
         f = _field(e, field)
-        return _boost(e, TermQuery((e.text or "").strip(), f))
+        return PreAnalyzed(_boost(e, TermQuery((e.text or "").strip(),
+                                               f)))
     if tag == "TermsQuery":
         f = _field(e, field)
         toks = _analyze(searcher, f, (e.text or "").strip())
         mnm = int(e.get("minimumNumberShouldMatch", 0))
-        return _boost(e, BooleanQuery(should=tuple(toks), field=f,
-                                      min_should_match=mnm))
+        # analyzed ONCE here (TermsQueryBuilder analyzes at parse);
+        # PreAnalyzed prevents a second pass at query time
+        return PreAnalyzed(_boost(e, BooleanQuery(
+            should=tuple(toks), field=f, min_should_match=mnm)))
     if tag == "MatchAllDocsQuery":
         return MatchAllQuery()
     if tag == "BooleanQuery":
@@ -131,9 +136,10 @@ def _build(e, field, searcher):
         kids = list(e)
         if not kids:
             raise XmlParserError("ConstantScoreQuery with no child")
-        return ConstantScoreQuery(_build(kids[0], field, searcher),
-                                  _field(e, field) or "text",
-                                  boost=float(e.get("boost", 1.0)))
+        return ConstantScoreQuery(
+            _build(kids[0], _field(e, field), searcher),
+            _field(e, field) or "text",
+            boost=float(e.get("boost", 1.0)))
     if tag == "UserQuery":
         return _boost(e, parse_query((e.text or "").strip(),
                                      field=field or "text"))
@@ -193,5 +199,10 @@ def parse_xml_query(xml: str, field: str = "text",
                 filters.append(
                     _point_range_filter(kids[0], _field(root, field)))
                 root.remove(c)
+    if (root.tag == "BooleanQuery" and filters
+            and not any(c.tag == "Clause" for c in root)):
+        # every clause was a folded PointRangeQuery: the query is the
+        # range itself (reference: a filter-only boolean still matches)
+        return XmlParsed(MatchAllQuery(), " and ".join(filters))
     q = _build(root, field, searcher)
     return XmlParsed(q, " and ".join(filters) or None)

@@ -128,3 +128,18 @@ def test_docvalues_stats(spark, searcher, small_index):
     assert row.mean == pytest.approx(mean, rel=1e-9)
     assert row.variance == pytest.approx(var, rel=1e-9)
     assert row.stdev == pytest.approx(math.sqrt(var), rel=1e-9)
+
+
+def test_all_groups_honors_doc_filter(searcher, brute):
+    flt = "tool is not null"
+    got = {(r.grp, int(r.n_docs))
+           for r in searcher.all_groups(Q, "role",
+                                        doc_filter=flt).collect()}
+    want = {}
+    for _, _, role, tool in brute:
+        if tool is not None:
+            want[role] = want.get(role, 0) + 1
+    assert got == set(want.items())
+    # and it differs from the unfiltered counts (fixture has NULL tools)
+    assert got != {(r.grp, int(r.n_docs))
+                   for r in searcher.all_groups(Q, "role").collect()}

@@ -48,3 +48,14 @@ def test_unimax_validation(spark):
         unimax_allocation(df, "lang", budget=0)
     with pytest.raises(ValueError):
         unimax_allocation(df, "lang", budget=10, max_epochs=0)
+
+
+def test_unimax_null_texts_and_nonstring_strata(spark):
+    from lucene_spark.ops.sampling import unimax_allocation
+    rows = [(0, 1, None), (1, 1, None), (2, 2, "w w w w")]
+    df = spark.createDataFrame(rows, "doc_id long, lang int, text string")
+    a = {r["stratum"]: r for r in
+         unimax_allocation(df, "lang", budget=3).collect()}
+    # all-NULL stratum -> available 0, allocated 0; int strata stringify
+    assert a["1"]["available"] == 0.0 and a["1"]["allocated"] == 0.0
+    assert a["2"]["allocated"] == pytest.approx(3.0)

@@ -7,9 +7,14 @@ import pytest
 from lucene_spark.search import IndexSearcher
 from lucene_spark.search.query import (BooleanQuery, ConstantScoreQuery,
                                        DisMaxQuery, MatchAllQuery,
-                                       MultiTermQuery, TermQuery)
+                                       MultiTermQuery, PreAnalyzed,
+                                       TermQuery)
 from lucene_spark.search.xmlquery import (XmlParserError,
                                           parse_xml_query)
+
+
+def _unwrap(q):
+    return q.query if isinstance(q, PreAnalyzed) else q
 
 
 def test_term_and_inheritance():
@@ -21,8 +26,9 @@ def test_term_and_inheritance():
         '</BooleanQuery>')
     q = p.query
     assert isinstance(q, BooleanQuery) and q.field == "body"
-    assert q.must[0] == TermQuery("alpha", "body")
-    assert q.should[0] == TermQuery("beta", "title")
+    # TermQuery leaves are VERBATIM (PreAnalyzed, like the reference)
+    assert _unwrap(q.must[0]) == TermQuery("alpha", "body")
+    assert _unwrap(q.should[0]) == TermQuery("beta", "title")
     assert p.doc_filter is None
 
 
@@ -39,8 +45,8 @@ def test_occurs_validation_and_mnm():
 
 
 def test_boost_attributes():
-    q = parse_xml_query('<TermQuery fieldName="text" boost="2.5">x'
-                        '</TermQuery>').query
+    q = _unwrap(parse_xml_query(
+        '<TermQuery fieldName="text" boost="2.5">x</TermQuery>').query)
     assert q.boost == pytest.approx(2.5)
     q2 = parse_xml_query(
         '<DisjunctionMaxQuery fieldName="text" tieBreaker="0.4" '
@@ -83,10 +89,11 @@ def test_point_range_folds_to_doc_filter():
 
 def test_terms_query_analyzed(spark, small_index):
     s = IndexSearcher(spark, small_index)
-    q = parse_xml_query(
+    q = _unwrap(parse_xml_query(
         '<TermsQuery fieldName="text" minimumNumberShouldMatch="1">'
-        'W000001 w000002</TermsQuery>', searcher=s).query
-    # mixed case lowercased by the standard chain
+        'W000001 w000002</TermsQuery>', searcher=s).query)
+    # mixed case lowercased by the standard chain; analyzed ONCE at
+    # parse time (PreAnalyzed wrapper)
     assert tuple(q.should) == ("w000001", "w000002")
 
 
@@ -127,3 +134,43 @@ def test_malformed_and_unknown():
         parse_xml_query("<TermQuery>unclosed")
     with pytest.raises(XmlParserError):
         parse_xml_query("<NoSuchQuery>x</NoSuchQuery>")
+
+
+def test_filter_only_boolean_matches_range(spark, small_index):
+    """A boolean whose only clauses are folded PointRangeQuerys must
+    match every doc in the range (reference: a filter-only boolean
+    still iterates), not an empty boolean."""
+    s = IndexSearcher(spark, small_index)
+    p = parse_xml_query(
+        '<BooleanQuery><Clause occurs="filter"><PointRangeQuery '
+        'fieldName="token_count" lowerTerm="5"/></Clause>'
+        '</BooleanQuery>')
+    assert isinstance(p.query, MatchAllQuery)
+    assert p.doc_filter == "token_count >= 5"
+    n = s.search_df(p.query, k=10 ** 6,
+                    doc_filter=p.doc_filter).count()
+    want = (s._read_cached(s.docstore_paths)
+            .filter("token_count >= 5").count())
+    assert n == want > 0
+
+
+def test_constant_score_field_inheritance():
+    q = parse_xml_query(
+        '<ConstantScoreQuery fieldName="title">'
+        '<TermQuery>x</TermQuery></ConstantScoreQuery>').query
+    assert _unwrap(q.query).field == "title"
+
+
+def test_flt_nested_in_boolean(spark, small_index):
+    """A FuzzyLikeThisQuery clause (PreAnalyzed) nests inside a
+    BooleanQuery and still searches (nested PreAnalyzed stripping)."""
+    from lucene_spark.fixtures.transcripts import term_string
+    s = IndexSearcher(spark, small_index)
+    xml = ('<BooleanQuery fieldName="text">'
+           '<Clause occurs="should"><FuzzyLikeThisQuery>'
+           '<Field fieldName="text">w00000a</Field>'
+           '</FuzzyLikeThisQuery></Clause>'
+           '<Clause occurs="should"><TermQuery>'
+           + term_string(2) + '</TermQuery></Clause></BooleanQuery>')
+    p = parse_xml_query(xml, searcher=s)
+    assert s.search_df(p.query, k=5).count() > 0
