@@ -202,7 +202,20 @@ def main():
                  lambda: __import__(
                      "lucene_spark.ops.chunking",
                      fromlist=["chunk_documents"])
-                 .chunk_documents(raw, window=40, overlap=10).count())):
+                 .chunk_documents(raw, window=40, overlap=10).count()),
+                ("op_pack",
+                 # sequence packing: per-shard cumsum + span explode
+                 # (additive r05 key, method unchanged)
+                 lambda: __import__(
+                     "lucene_spark.ops.packing",
+                     fromlist=["pack_sequences"])
+                 .pack_sequences(raw, budget=256, n_shards=32).count()),
+                ("op_c4",
+                 # C4 cleaning rules: pure-Catalyst projection
+                 # (additive r05 key, method unchanged)
+                 lambda: __import__(
+                     "lucene_spark.ops.c4", fromlist=["c4_clean"])
+                 .c4_clean(raw).filter("keep").count())):
             reps = []
             for i in range(4):
                 t0 = time.time()
