@@ -122,17 +122,82 @@ class MemoryIndex:
     def matches(self, query) -> bool:
         return self._eval(query) is not None
 
+    _NO_MATCH = "\x00<no-match>"  # expands-to-nothing MTQ sentinel
+
+    def _rewrite_mtq(self, q):
+        """Replace MultiTermQuery nodes with their expansion against
+        THIS document's token set — the engine's _expand_mtq_tree
+        shape (OrQuery / ConstantScoreQuery(Or)), with the single doc
+        as the term dictionary (exactly what the reference MemoryIndex
+        rewrites against). An MTQ matching none of the doc's terms
+        becomes a never-present sentinel term (matches nothing)."""
+        import dataclasses
+        from ..ops.percolate import _mtq_match
+        from ..search.query import (BooleanQuery, ConstantScoreQuery,
+                                    DisMaxQuery, MultiTermQuery,
+                                    OrQuery, TermQuery)
+        if isinstance(q, MultiTermQuery):
+            terms = sorted(set(self._tokens.get(q.field, [])))
+            matched = tuple(t for t in terms if _mtq_match(q, [t]))
+            if not matched:
+                return TermQuery(self._NO_MATCH, q.field)
+            if q.rewrite == "scoring_boolean":
+                return OrQuery(matched, q.field, boost=q.boost)
+            return ConstantScoreQuery(OrQuery(matched, q.field),
+                                      q.field, q.boost)
+        if isinstance(q, BooleanQuery):
+            fx = lambda cs: tuple(c if isinstance(c, str)
+                                  else self._rewrite_mtq(c) for c in cs)
+            return dataclasses.replace(
+                q, must=fx(q.must), should=fx(q.should),
+                must_not=fx(q.must_not), filter_=fx(q.filter_))
+        if isinstance(q, DisMaxQuery):
+            return dataclasses.replace(
+                q, terms_=tuple(c if isinstance(c, str)
+                                else self._rewrite_mtq(c)
+                                for c in q.terms_))
+        if isinstance(q, ConstantScoreQuery):
+            return dataclasses.replace(
+                q, query=self._rewrite_mtq(q.query))
+        return q
+
+    def _has_special(self, q) -> bool:
+        """Nodes the single-field brute oracle does not evaluate
+        (MatchAll / FieldExists) — routed through the recursive
+        combiner instead."""
+        from ..search.query import (BooleanQuery, ConstantScoreQuery,
+                                    DisMaxQuery, FieldExistsQuery,
+                                    MatchAllQuery)
+        if isinstance(q, (MatchAllQuery, FieldExistsQuery)):
+            return True
+        if isinstance(q, BooleanQuery):
+            return any(not isinstance(c, str) and self._has_special(c)
+                       for c in q.must + q.should + q.must_not
+                       + q.filter_)
+        if isinstance(q, DisMaxQuery):
+            return any(not isinstance(c, str) and self._has_special(c)
+                       for c in q.terms_)
+        if isinstance(q, ConstantScoreQuery):
+            return self._has_special(q.query)
+        return False
+
     def _eval(self, q):
         """-> np.float32 score, or None when the doc does not match."""
         from ..search.query import (BooleanQuery, ConstantScoreQuery,
                                     DisMaxQuery, FieldExistsQuery,
-                                    MatchAllQuery, TermQuery)
+                                    MatchAllQuery, MultiTermQuery,
+                                    TermQuery)
         if isinstance(q, MatchAllQuery):
             return np.float32(q.boost)
         if isinstance(q, FieldExistsQuery):
             return (np.float32(q.boost)
                     if self._tokens.get(q.field) else None)
+        q = self._rewrite_mtq(q)
         fields = self._fields_of(q)
+        if len(fields) <= 1 and self._has_special(q):
+            # MatchAll/FieldExists inside a tree: the combiner below
+            # handles them; the brute oracle would raise
+            fields = fields | {None}
         if len(fields) <= 1:
             field = next(iter(fields)) if fields else "text"
             ora = self._oracle(field)
@@ -166,18 +231,20 @@ class MemoryIndex:
             def as_q(c):
                 return TermQuery(c, q.field) if isinstance(c, str) else c
             tot = np.float64(0.0)
+            must_scores = []
             for c in q.must:
                 s = self._eval(as_q(c))
                 if s is None:
                     return None
+                must_scores.append(s)
             for c in q.filter_:
                 if self._eval(as_q(c)) is None:
                     return None
             for c in q.must_not:
                 if self._eval(as_q(c)) is not None:
                     return None
-            for c in q.must:
-                tot += np.float64(self._eval(as_q(c)))
+            for s in must_scores:
+                tot += np.float64(s)
             n_should = 0
             for c in q.should:
                 s = self._eval(as_q(c))
@@ -189,6 +256,10 @@ class MemoryIndex:
                 return None
             if q.min_should_match > len(q.should):
                 return None
+            if q.boost != 1.0:
+                # same boost discipline as the engine's tree nodes
+                return np.float32(np.float32(q.boost)
+                                  * np.float32(tot))
             return np.float32(tot)
         raise ValueError(
             f"cross-field combination not supported for {type(q).__name__}")

@@ -304,6 +304,11 @@ def _repeat_frag(nfa: _Nfa, inner, spec: str) -> tuple[int, int]:
         hi = int(hi_s) if hi_s else None
     else:
         lo = hi = int(body)
+    if hi is not None and hi < lo:
+        # min > max is the EMPTY language (Operations.repeat in the
+        # reference returns the empty automaton; Java regex throws) —
+        # a fresh start with an unreachable accept matches nothing
+        return nfa.new(), nfa.new()
     start = cur = nfa.new()
     for _ in range(lo):
         f = once()
@@ -465,10 +470,18 @@ class CompiledDfa:
         self.accept = np.asarray(acc, dtype=bool)
 
     def accepts(self, terms: list[str]) -> np.ndarray:
-        """One uint32 matrix + max_len vectorized steps for the batch."""
+        """One uint32 matrix + max_len vectorized steps for the batch.
+        NULL terms (None) never match — a null dictionary row must not
+        fail the whole executor batch."""
         n = len(terms)
         if n == 0:
             return np.zeros(0, dtype=bool)
+        if any(t is None for t in terms):
+            mask = np.array([t is not None for t in terms])
+            out = np.zeros(n, dtype=bool)
+            out[mask] = self.accepts([t for t in terms
+                                      if t is not None])
+            return out
         lens = np.fromiter((len(t) for t in terms), dtype=np.int64,
                            count=n)
         L = int(lens.max()) if n else 0

@@ -46,8 +46,11 @@ __all__ = ["corpus_centroid", "binary_quantize", "binary_topk"]
 def corpus_centroid(vectors: DataFrame, vec_col: str = "embedding") -> np.ndarray:
     """Mean of the L2-NORMALIZED corpus (the reference normalizes for
     COSINE then centers; one distributed agg, no driver-side data)."""
+    # zero-vector guard (the same nrm == 0 -> 1 convention as
+    # binary_quantize): an all-zero embedding contributes zeros to the
+    # centroid instead of NULLs (or DIVIDE_BY_ZERO under ANSI mode)
     norm = F.expr(f"transform({vec_col}, x -> cast(x as double) / "
-                  f"{_norm_sql(vec_col)})")
+                  f"greatest({_norm_sql(vec_col)}, 1e-300))")
     row = (vectors.select(F.posexplode(norm).alias("j", "x"))
            .groupBy("j").agg(F.avg("x").alias("m"))
            .orderBy("j").collect())

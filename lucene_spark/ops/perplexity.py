@@ -62,14 +62,24 @@ def _positions(docs: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def train_trigram_lm(ref_docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id"):
     """-> (uni, bi, tri, total_tokens): count tables
-    uni(w, c1), bi(ctx1, w, c2), tri(ctx2, w, c3)."""
+    uni(w, c1), bi(ctx1, w, c2), tri(ctx2, w, c3). The count tables
+    come back PERSISTED (vocabulary-sized, reused per scoring join) —
+    unpersist them when done with the model; the much larger positions
+    projection is released before returning."""
     p = _positions(ref_docs, text_col, id_col).persist()
-    uni = p.groupBy("w").agg(F.count("*").alias("c1"))
-    bi = (p.filter(F.col("ctx1").isNotNull())
-          .groupBy("ctx1", "w").agg(F.count("*").alias("c2")))
-    tri = (p.filter(F.col("ctx2").isNotNull())
-           .groupBy("ctx2", "w").agg(F.count("*").alias("c3")))
-    total = p.count()
+    try:
+        uni = p.groupBy("w").agg(F.count("*").alias("c1")).persist()
+        bi = (p.filter(F.col("ctx1").isNotNull())
+              .groupBy("ctx1", "w").agg(F.count("*").alias("c2"))
+              .persist())
+        tri = (p.filter(F.col("ctx2").isNotNull())
+               .groupBy("ctx2", "w").agg(F.count("*").alias("c3"))
+               .persist())
+        total = p.count()
+        # materialize the counts while p is still cached, then drop it
+        uni.count(), bi.count(), tri.count()
+    finally:
+        p.unpersist()
     return uni, bi, tri, float(total)
 
 

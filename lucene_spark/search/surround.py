@@ -200,7 +200,9 @@ class _P:
                 raise SurroundParseError("expected ')'")
             return self._boost(q)
         if k == "quoted":
-            return self._boost(self._term(v[1:-1]))
+            # a QUOTED token is a LITERAL SrndTermQuery (the reference
+            # grammar): * and ? inside quotes are plain characters
+            return self._boost(STerm(v[1:-1]))
         if k != "word":
             raise SurroundParseError(f"unexpected token {v!r}")
         up = v.upper()
@@ -270,19 +272,22 @@ def _positional(q) -> bool:
     return False
 
 
-def _to_intervals(q, expand):
+def _to_intervals(q, expand, max_expansions: int = 1024):
     from .intervals import MaxGaps, Or, Ordered, Prefix, Term, Unordered
     if isinstance(q, STerm):
         return Term(q.text)
     if isinstance(q, SPrefix):
-        return Prefix(q.prefix)
+        # forward the caller's cap — the intervals default (128) would
+        # silently under-expand relative to truncation queries
+        return Prefix(q.prefix, max_expansions=max_expansions)
     if isinstance(q, STrunc):
         terms = expand(q.pattern)
         if not terms:
             return None  # matches nothing
         return Or(tuple(Term(t) for t in terms))
     if isinstance(q, SOr):
-        subs = [_to_intervals(c, expand) for c in q.ops]
+        subs = [_to_intervals(c, expand, max_expansions)
+                for c in q.ops]
         subs = [s for s in subs if s is not None]
         if not subs:
             return None
@@ -294,7 +299,7 @@ def _to_intervals(q, expand):
                 raise SurroundParseError(
                     "AND / NOT not allowed inside a distance operator "
                     "(DistanceSubQuery.distanceSubQueryNotAllowed)")
-            s = _to_intervals(c, expand)
+            s = _to_intervals(c, expand, max_expansions)
             if s is None:
                 return None
             subs.append(s)
@@ -329,7 +334,7 @@ def surround_search(searcher, query: str, field: str = "text",
 
     def run(q):
         if _positional(q):
-            src = _to_intervals(q, expand)
+            src = _to_intervals(q, expand, max_expansions)
             if src is None:
                 return empty()
             return searcher.interval_search(src, field=field) \

@@ -203,3 +203,17 @@ def test_percolate_dfa_fallback():
     assert doc_match(q2, toks, set(toks)) is True    # "fast" = fas+t
     q3 = MultiTermQuery("regexp", "(~(sor|fas))t")
     assert doc_match(q3, toks, set(toks)) is False
+
+
+def test_repeat_min_greater_than_max_is_empty_language():
+    """{n,m} with n > m matches NOTHING (Operations.repeat(min > max)
+    yields the empty automaton; Java regex throws)."""
+    from lucene_spark.kernels.automaton import match_terms
+    assert list(match_terms("a{3,2}", ["aaa", "aa", ""])) == \
+        [False, False, False]
+
+
+def test_null_terms_never_match():
+    from lucene_spark.kernels.automaton import match_terms
+    assert list(match_terms("a+", ["aa", None, ""])) == \
+        [True, False, False]

@@ -144,3 +144,33 @@ def test_matches_agrees_with_percolator_doc_match():
     mi = MemoryIndex().add_field("text", TEXT)
     for q in shapes:
         assert mi.matches(q) == doc_match(q, toks, tset), q
+
+
+def test_matchall_and_mtq_shapes_score_not_crash():
+    """Shapes outside the brute oracle's vocabulary — negation
+    (MatchAll arm), prefix/fuzzy MTQs — must score, not raise
+    (review r05: TypeError escaped the oracle delegation)."""
+    from lucene_spark.index.memory import MemoryIndex
+    from lucene_spark.search.query import (BooleanQuery, MatchAllQuery,
+                                           MultiTermQuery, TermQuery)
+    from lucene_spark.search.simple_parser import parse_simple
+    mi = MemoryIndex.from_document({"text": "hello world"})
+    assert mi.search(parse_simple("-foo")) == 1.0       # negation
+    assert mi.search(MultiTermQuery("prefix", "hel", "text")) > 0
+    assert mi.search(MultiTermQuery("fuzzy", "helo", "text")) > 0
+    assert mi.search(MultiTermQuery("prefix", "zzz", "text")) == 0.0
+    assert mi.search(BooleanQuery(
+        must=(TermQuery("hello", "text"),),
+        should=(MatchAllQuery(),))) > 0
+
+
+def test_cross_field_boolean_boost_applies():
+    from lucene_spark.index.memory import MemoryIndex
+    from lucene_spark.search.query import BooleanQuery, TermQuery
+    mi = MemoryIndex.from_document({"text": "hello", "f2": "world"})
+    q1 = BooleanQuery(must=(TermQuery("hello", "text"),
+                            TermQuery("world", "f2")))
+    q2 = BooleanQuery(must=(TermQuery("hello", "text"),
+                            TermQuery("world", "f2")), boost=2.0)
+    import pytest as _pt
+    assert mi.search(q2) == _pt.approx(2 * mi.search(q1), rel=1e-6)

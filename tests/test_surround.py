@@ -145,3 +145,12 @@ def test_truncation(searcher_and_tokens):
         want = {d for d, ts in toks.items()
                 if any(rx.match(t) for t in ts)}
         assert got == want
+
+
+def test_quoted_wildcards_are_literal():
+    """A QUOTED token is a literal SrndTermQuery: * and ? inside
+    quotes are plain characters, never truncation operators."""
+    from lucene_spark.search.surround import parse_surround, STerm
+    assert parse_surround('"abc*"') == STerm("abc*")
+    assert parse_surround('"ab*"') == STerm("ab*")  # no length guard
+    assert parse_surround('"a?c"') == STerm("a?c")
