@@ -766,6 +766,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return a.unionByName(b)
     q["ft_shingle_edge"] = ft_shingle_edge
 
+    def ft_substring(sp, sf):
+        # Trigram-accelerated substring grep (search/substring.py over
+        # the 'ngram' chain, kernels/ngram.py = NGramTokenFilter(3, 3,
+        # preserveOriginal)) — the reference's WildcardQuery('*pat*')
+        # surface without its full dictionary scan:
+        # 'long'  — pattern > 3 chars ("ustome" inside "customer"):
+        #   PhraseQuery over the pattern's trigrams prunes, candidates
+        #   verify against stored text with the engine tokenizer
+        # 'short' — pattern <= 3 ("qu"): wildcard over the TRIGRAM
+        #   dictionary + TermInSet match is exact, no verify pass
+        # 'neg'   — absent pattern: zero rows (false-positive gate)
+        from lucene_spark.search.substring import substring_search
+        s = _searcher_stem(sp, sf, "ngram")
+        parts = [substring_search(s, pat)
+                 .select(F.lit(op).alias("op"), "doc_id")
+                 for op, pat in (("long", "ustome"), ("short", "qu"),
+                                 ("neg", "zzqxv"))]
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.orderBy("op", "doc_id")
+    q["ft_substring"] = ft_substring
+
+    def ft_high_freq(sp, sf):
+        # HighFreqTerms diagnostic (misc/.../HighFreqTerms.java): top
+        # terms of the text field by docFreq ('df' op) and by
+        # totalTermFreq ('ttf' op) — one pushed-down termstats scan +
+        # TakeOrderedAndProject per op, ties broken term asc
+        s = _searcher(sp, sf)
+        a = (s.high_freq_terms(15, by="df")
+             .select(F.lit("df").alias("op"), "term",
+                     F.col("df").alias("v")))
+        b = (s.high_freq_terms(15, by="ttf")
+             .select(F.lit("ttf").alias("op"), "term",
+                     F.col("ttf").alias("v")))
+        return a.unionByName(b).orderBy("op", F.col("v").desc(), "term")
+    q["ft_high_freq"] = ft_high_freq
+
     def ft_search_after(sp, sf):
         # deep paging: page 2 of the 'vector' ranking via searchAfter
         s = _searcher(sp, sf)
@@ -2673,6 +2711,34 @@ SELECT 'edge', doc_id, score_r FROM (
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         WHERE f.term = 'vect')
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    # substring grep: ground truth is the tokenizer-level containment
+    # predicate itself — docs where ANY token of the standard stream
+    # contains the pattern (the trigram index/phrase/verify machinery
+    # must reproduce it exactly, including zero rows for 'neg')
+    o["ft_substring"] = P + """
+SELECT op, doc_id FROM (
+  SELECT 'long' AS op, doc_id FROM tok
+  WHERE len(list_filter(toks, x -> contains(x, 'ustome'))) > 0
+  UNION ALL
+  SELECT 'short', doc_id FROM tok
+  WHERE len(list_filter(toks, x -> contains(x, 'qu'))) > 0
+  UNION ALL
+  SELECT 'neg', doc_id FROM tok
+  WHERE len(list_filter(toks, x -> contains(x, 'zzqxv'))) > 0
+) ORDER BY op, doc_id
+"""
+
+    # HighFreqTerms: df/ttf recomputed from the raw token stream
+    o["ft_high_freq"] = P + """
+SELECT op, term, v FROM (
+  SELECT 'df' AS op, term, df::BIGINT AS v,
+         row_number() OVER (ORDER BY df DESC, term) AS rn FROM tdict
+  UNION ALL
+  SELECT 'ttf', term, ttf::BIGINT,
+         row_number() OVER (ORDER BY ttf DESC, term) FROM tdict
+) WHERE rn <= 15 ORDER BY op, v DESC, term
 """
 
     o["ft_search_after"] = P + f"""

@@ -343,7 +343,7 @@ def tokenize_one(text: str) -> list:
 
 ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
              "french", "portuguese", "spanish", "italian", "wdgf",
-             "shingle", "edge", "payload", "html", "phonetic",
+             "shingle", "edge", "ngram", "payload", "html", "phonetic",
              "metaphone")
 
 
@@ -386,6 +386,11 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         # each token — the search-as-you-type field (kernels/shingle.py)
         from .shingle import edge_series
         return edge_series(texts.fillna(""))
+    if analyzer == "ngram":
+        # NGramTokenFilter(3, 3, preserveOriginal): the trigram
+        # substring-search field (kernels/ngram.py)
+        from .ngram import ngram_series
+        return ngram_series(texts.fillna(""))
     if analyzer == "payload":
         # WhitespaceTokenizer + LowerCase + DelimitedPayloadTokenFilter:
         # terms are the pre-'|' parts; payloads re-derive at query time
@@ -471,6 +476,9 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "edge":
         from .shingle import edge_one
         return edge_one(text)
+    if analyzer == "ngram":
+        from .ngram import ngram_one
+        return ngram_one(text)
     if analyzer == "payload":
         from .payload import payload_analyze_one
         return payload_analyze_one(text)

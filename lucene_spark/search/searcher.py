@@ -2966,3 +2966,23 @@ class IndexSearcher:
         (broadcast the tiny top-k side, not the corpus)."""
         ds = self._read_cached(self.docstore_paths)
         return ds.join(F.broadcast(topk_df), "doc_id", "inner")
+
+    def high_freq_terms(self, n: int = 20, field: str | None = None,
+                        by: str = "df") -> DataFrame:
+        """Top-n terms of one field ordered by document frequency or
+        total term frequency — the HighFreqTerms diagnostic tool
+        (misc/src/java/org/apache/lucene/misc/HighFreqTerms.java:37-71:
+        getHighFreqTerms orders by docFreq, or by totalTermFreq with
+        -t, via a TermStatsQueue over every TermsEnum). Here the term
+        dictionary IS a table, so the whole tool is one pushed-down
+        termstats scan + TakeOrderedAndProject: (term, df, ttf) desc
+        by ``by``, ties term asc. Multi-generation NRT dictionaries
+        aggregate per (field, term) first like every termstats read."""
+        if by not in ("df", "ttf"):
+            raise ValueError(f"by must be 'df' or 'ttf', got {by!r}")
+        field = field or self.field
+        return (self._termstats_df(F.col("field") == field)
+                .select("term", F.col("df").cast("long").alias("df"),
+                        F.col("ttf").cast("long").alias("ttf"))
+                .orderBy(F.col(by).desc(), F.col("term"))
+                .limit(n))
