@@ -134,7 +134,7 @@ def _searcher_stem(spark: SparkSession, sf_dir: str,
     'english' = the full EnglishAnalyzer (possessive strip + stop set
     + Porter stem). Corpus terms are stored analyzed, query terms go
     through the same chain at search time."""
-    key = (_FORMAT_VERSION + f"_{chain}_"
+    key = (_FORMAT_VERSION + "_" + re.sub(r"\W+", "_", chain) + "_"
            + re.sub(r"\W+", "_", os.path.abspath(sf_dir)))
     out = os.path.join(_CACHE_ROOT, key)
     if not IndexCatalog(out).has_table("postings"):
@@ -803,6 +803,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                      F.col("ttf").alias("v")))
         return a.unionByName(b).orderBy("op", F.col("v").desc(), "term")
     q["ft_high_freq"] = ft_high_freq
+
+    def ft_stem_override(sp, sf):
+        # KeywordMarkerFilter + StemmerOverrideFilter as a chain spec
+        # (kernels/tokenizer.py parse_chain_spec; analysis/common/
+        # .../miscellaneous/SetKeywordMarkerFilter.java,
+        # StemmerOverrideFilter.java) on the porter chain:
+        #   porter?protected=query&override=merge:combine
+        # Stats parity with the standard prelude: porter is injective
+        # on this corpus vocabulary (ft_stemmed_topk's verified
+        # premise), the override target 'combine' collides with no
+        # corpus stem, the protected 'query' stays its own class, and
+        # porter never drops tokens — so every chain term is a 1:1
+        # rename and BM25 scores equal standard-index scoring.
+        # 'override'  — query 'merge' analyzes to the override term
+        #               'combine' and ranks exactly like 'merge'
+        # 'protected' — query 'query' stays surface-form
+        # 'prot_miss' — query 'queries' stems to 'queri', which is a
+        #               DIFFERENT class than the protected 'query':
+        #               zero rows (on the plain porter index of
+        #               ft_stemmed_topk the same query DOES match) —
+        #               protection observably changes behavior
+        spec = "porter?protected=query&override=merge:combine"
+        s = _searcher_stem(sp, sf, spec)
+        parts = []
+        for op, term in (("override", "merge"), ("protected", "query"),
+                         ("prot_miss", "queries")):
+            parts.append(
+                s.search_df(TermQuery(term), k=10)
+                .select(F.lit(op).alias("op"), "doc_id",
+                        F.round(F.col("score").cast("double"), 3)
+                        .alias("score_r")))
+        out = parts[0]
+        for p_ in parts[1:]:
+            out = out.unionByName(p_)
+        return out.orderBy("op", F.col("score_r").desc(), "doc_id")
+    q["ft_stem_override"] = ft_stem_override
 
     def ft_search_after(sp, sf):
         # deep paging: page 2 of the 'vector' ranking via searchAfter
@@ -1602,6 +1638,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                         F.round("epochs", 6).alias("epochs_r"),
                         F.round("rate", 6).alias("rate_r"))
     q["text_sample_unimax"] = text_sample_unimax
+
+    def text_sample_temperature(sp, sf):
+        # temperature sampling (the mT5/XLM-R alpha rule,
+        # ops/sampling.temperature_allocation): q_i ∝ available^alpha.
+        # 'a05'  — alpha=0.5 uncapped: the closed-form share
+        # 'a02c' — alpha=0.2 with a 2-epoch cap: capped excess
+        #   redistributes proportionally among uncapped strata (the
+        #   one-pass ascending cap/q walk; the oracle replays it as a
+        #   recursive CTE)
+        from lucene_spark.ops.sampling import temperature_allocation
+        d = _docs(sp, sf)
+        a = (temperature_allocation(d, "lang", budget=15000, alpha=0.5)
+             .select(F.lit("a05").alias("op"), "stratum", "available",
+                     F.round("allocated", 4).alias("alloc_r"),
+                     F.round("epochs", 6).alias("epochs_r"),
+                     F.round("rate", 6).alias("rate_r")))
+        b = (temperature_allocation(d, "lang", budget=15000, alpha=0.2,
+                                    max_epochs=2.0)
+             .select(F.lit("a02c").alias("op"), "stratum", "available",
+                     F.round("allocated", 4).alias("alloc_r"),
+                     F.round("epochs", 6).alias("epochs_r"),
+                     F.round("rate", 6).alias("rate_r")))
+        return a.unionByName(b).orderBy("op", "stratum")
+    q["text_sample_temperature"] = text_sample_temperature
 
     def text_gopher_filter(sp, sf):
         # composite Gopher quality verdict (Rae et al. 2021 A1.1): one
@@ -2711,6 +2771,32 @@ SELECT 'edge', doc_id, score_r FROM (
         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
         WHERE f.term = 'vect')
 SELECT doc_id, round(s, 3) AS score_r FROM m ORDER BY s DESC, doc_id LIMIT 10)
+"""
+
+    # keyword-marker/override spec chain: every chain term is a 1:1
+    # rename on this corpus (see the entry comment), so the oracle
+    # scores the UNDERLYING surface terms with the standard prelude;
+    # 'prot_miss' proves the protected class split — the corpus has no
+    # literal 'queries' token and nothing else stems to 'queri', so
+    # the engine's 'queries' query (analyzed to 'queri') returns zero
+    # rows, while ft_stemmed_topk's plain porter index matches
+    o["ft_stem_override"] = P + f"""
+, m1 AS (SELECT f.doc_id, {_score('f.tf')} AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term = 'merge')
+, m2 AS (SELECT f.doc_id, {_score('f.tf')} AS s
+         FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+         WHERE f.term = 'query')
+SELECT op, doc_id, score_r FROM (
+  SELECT 'override' AS op, doc_id, round(s, 3) AS score_r FROM (
+    SELECT doc_id, s FROM m1 ORDER BY s DESC, doc_id LIMIT 10)
+  UNION ALL
+  SELECT 'protected', doc_id, round(s, 3) FROM (
+    SELECT doc_id, s FROM m2 ORDER BY s DESC, doc_id LIMIT 10)
+  UNION ALL
+  SELECT 'prot_miss', doc_id, 0.0 FROM tok
+  WHERE len(list_filter(toks, x -> x = 'queries')) > 0
+) ORDER BY op, score_r DESC, doc_id
 """
 
     # substring grep: ground truth is the tokenizer-level containment
@@ -3826,6 +3912,53 @@ SELECT stratum, available, round(allocated, 4) AS alloc_r,
        round(allocated / available, 6) AS epochs_r,
        round(least(1.0, allocated / available), 6) AS rate_r
 FROM wf WHERE rn > 0
+"""
+
+    # temperature sampling: 'a05' is the closed-form share; 'a02c'
+    # replays the one-pass capped walk (ascending by cap/q =
+    # 2*available^0.8, ties stratum) as a recursive CTE, mirroring
+    # temperature_allocation's redistribution exactly
+    o["text_sample_temperature"] = """
+WITH RECURSIVE
+tok AS (SELECT len(regexp_extract_all(lower(text), '[0-9a-z]+'))::DOUBLE
+               AS w, lang
+        FROM documents),
+cnt AS (SELECT lang AS stratum, sum(w) AS available
+        FROM tok GROUP BY lang),
+q5 AS (SELECT stratum, available, pow(available, 0.5) AS qq FROM cnt),
+t5 AS (SELECT sum(qq) AS tq FROM q5),
+a05 AS (SELECT stratum, available,
+               15000.0 * qq / (SELECT tq FROM t5) AS allocated
+        FROM q5),
+ord AS (SELECT stratum, available, pow(available, 0.2) AS qq,
+               row_number() OVER (ORDER BY 2.0 * pow(available, 0.8),
+                                  stratum) AS rn
+        FROM cnt),
+wf AS (
+  SELECT 0::BIGINT AS rn, 15000.0::DOUBLE AS remaining,
+         (SELECT sum(qq) FROM ord) AS qleft,
+         CAST(NULL AS VARCHAR) AS stratum, 0.0::DOUBLE AS available,
+         0.0::DOUBLE AS allocated
+  UNION ALL
+  SELECT o.rn,
+         w.remaining - least(2.0 * o.available,
+                             o.qq * w.remaining / w.qleft),
+         w.qleft - o.qq, o.stratum, o.available,
+         least(2.0 * o.available, o.qq * w.remaining / w.qleft)
+  FROM wf w JOIN ord o ON o.rn = w.rn + 1
+)
+SELECT op, stratum, available, alloc_r, epochs_r, rate_r FROM (
+  SELECT 'a05' AS op, stratum, available,
+         round(allocated, 4) AS alloc_r,
+         round(allocated / available, 6) AS epochs_r,
+         round(least(1.0, allocated / available), 6) AS rate_r
+  FROM a05
+  UNION ALL
+  SELECT 'a02c', stratum, available, round(allocated, 4),
+         round(allocated / available, 6),
+         round(least(1.0, allocated / available), 6)
+  FROM wf WHERE rn > 0
+) ORDER BY op, stratum
 """
 
     # C4 cleaning: same deterministic synthesis, line filter via

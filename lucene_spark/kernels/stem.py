@@ -208,6 +208,27 @@ def strip_possessive(t: str) -> str:
     return t
 
 
+def stem_unique_spec(uniques, protected=frozenset(),
+                     overrides=None) -> np.ndarray:
+    """stem_unique with KeywordMarkerFilter / StemmerOverrideFilter
+    stages in front of the stemmer (analysis/common/.../miscellaneous/
+    SetKeywordMarkerFilter.java, StemmerOverrideFilter.java:38-62):
+    an override maps the surface form to its dictionary stem AND marks
+    it keyword (later stemmers skip it); a protected token passes
+    through unstemmed. Both are surface-form keyed, like the
+    reference filters."""
+    overrides = overrides or {}
+    out = np.empty(len(uniques), dtype=object)
+    for i, u in enumerate(uniques):
+        if u in overrides:
+            out[i] = overrides[u]
+        elif u in protected:
+            out[i] = u
+        else:
+            out[i] = porter_stem(u) if u.isascii() and u.isalpha() else u
+    return out
+
+
 def english_unique(uniques) -> np.ndarray:
     """The EnglishAnalyzer chain over a factorized batch vocabulary:
     possessive strip -> stop filter (stopped tokens map to '', removed
@@ -220,6 +241,28 @@ def english_unique(uniques) -> np.ndarray:
         t = strip_possessive(u)
         if t in ENGLISH_STOP_WORDS:
             out[i] = ""
+        else:
+            out[i] = porter_stem(t) if t.isascii() and t.isalpha() else t
+    return out
+
+
+def english_unique_spec(uniques, protected=frozenset(),
+                        overrides=None) -> np.ndarray:
+    """english_unique with the keyword-marker/override stages inserted
+    where the reference puts them — AFTER possessive strip and stop
+    filtering, immediately before the stemmer (EnglishAnalyzer
+    .createComponents order with SetKeywordMarkerFilter /
+    StemmerOverrideFilter ahead of PorterStemFilter)."""
+    overrides = overrides or {}
+    out = np.empty(len(uniques), dtype=object)
+    for i, u in enumerate(uniques):
+        t = strip_possessive(u)
+        if t in ENGLISH_STOP_WORDS:
+            out[i] = ""
+        elif t in overrides:
+            out[i] = overrides[t]
+        elif t in protected:
+            out[i] = t
         else:
             out[i] = porter_stem(t) if t.isascii() and t.isalpha() else t
     return out

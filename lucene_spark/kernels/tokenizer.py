@@ -347,6 +347,44 @@ ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
              "metaphone")
 
 
+def parse_chain_spec(analyzer: str):
+    """Parameterized chain spec -> (base, protected, overrides).
+
+    ``'porter?protected=running,ran&override=mice:mouse,geese:goose'``
+    configures KeywordMarkerFilter / StemmerOverrideFilter stages in
+    front of the stemmer (analysis/common/.../miscellaneous/
+    SetKeywordMarkerFilter.java, StemmerOverrideFilter.java): protected
+    surface forms pass through unstemmed; override maps a surface form
+    straight to its dictionary stem (and marks it keyword). The spec is
+    a plain string, so it persists in the commit manifest and flows
+    through the per-field analyzer plumbing unchanged. Supported bases:
+    'porter' and 'english' (the English stemming chains — where the
+    reference filters are used in practice). A plain chain name returns
+    (name, None, None). The pattern-based PatternKeywordMarkerFilter
+    variant is not offered."""
+    if not analyzer or "?" not in analyzer:
+        return analyzer, None, None
+    base, _, qs = analyzer.partition("?")
+    if base not in ("porter", "english"):
+        raise ValueError(
+            f"chain spec parameters are supported for the porter/english "
+            f"chains, not {base!r}")
+    protected, overrides = frozenset(), {}
+    for part in qs.split("&"):
+        if not part:
+            continue
+        k, _, v = part.partition("=")
+        if k == "protected":
+            protected = frozenset(w for w in v.split(",") if w)
+        elif k == "override":
+            overrides = dict(p.split(":", 1)
+                             for p in v.split(",") if ":" in p)
+        else:
+            raise ValueError(f"unknown chain spec parameter {k!r} "
+                             f"in {analyzer!r}")
+    return base, protected, overrides
+
+
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     """text -> list[str] tokens through the named analyzer chain.
 
@@ -363,7 +401,12 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
                  position hole (the StopFilter
                  enablePositionIncrements=false behavior; documented
                  deviation from the modern default, which keeps gaps).
+
+    ``analyzer`` may be a parameterized chain spec (parse_chain_spec):
+    'porter?...'/'english?...' insert keyword-marker/override stages
+    before the stemmer.
     """
+    analyzer, _prot, _over = parse_chain_spec(analyzer)
     if analyzer == "cjk":
         # CJKAnalyzer: its own tokenize pass (maximal CJK runs ->
         # bigrams) — token merging can't be expressed as a per-token
@@ -414,7 +457,13 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
     codes, uniq = _pd.factorize(flat)
     if analyzer in ("porter", "fold", "phonetic", "metaphone"):
         if analyzer == "porter":
-            from .stem import stem_unique as _map_unique
+            if _prot is not None:
+                from functools import partial
+                from .stem import stem_unique_spec
+                _map_unique = partial(stem_unique_spec,
+                                      protected=_prot, overrides=_over)
+            else:
+                from .stem import stem_unique as _map_unique
         elif analyzer == "phonetic":
             # 'phonetic' = StandardAnalyzer + PhoneticFilter(Soundex,
             # inject=false): rewrites tokens 1:1 (kernels/phonetic.py)
@@ -432,7 +481,13 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         return pd.Series([list(x) for x in np.split(mapped, bounds)],
                          index=toks.index)
     if analyzer == "english":
-        from .stem import english_unique as _drop_unique
+        if _prot is not None:
+            from functools import partial
+            from .stem import english_unique_spec
+            _drop_unique = partial(english_unique_spec,
+                                   protected=_prot, overrides=_over)
+        else:
+            from .stem import english_unique as _drop_unique
     elif analyzer == "german":
         # GermanAnalyzer: stop set + normalization FSM + UniNE light
         # stem (kernels/de.py) — stop removal like the english chain
@@ -464,6 +519,15 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
 
 def analyze_one(text: str, analyzer: str = "standard") -> list:
     """Single-string analyzer chain (query/driver side)."""
+    analyzer, _prot, _over = parse_chain_spec(analyzer)
+    if _prot is not None:
+        from .stem import (english_unique_spec, stem_unique_spec)
+        toks = tokenize_one(text)
+        fn = stem_unique_spec if analyzer == "porter" else \
+            english_unique_spec
+        mapped = fn(np.asarray(toks, dtype=object), protected=_prot,
+                    overrides=_over) if toks else []
+        return [t for t in mapped if t != ""]
     if analyzer == "cjk":
         from .cjk import cjk_analyze_one
         return cjk_analyze_one(text)
@@ -548,6 +612,20 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
     are simply absent from an 'english' index, so the clause matches
     nothing (the classic QueryParser drops the clause instead —
     documented deviation for required clauses)."""
+    analyzer, _prot, _over = parse_chain_spec(analyzer)
+    if _prot is not None:
+        from .stem import (ENGLISH_STOP_WORDS, porter_stem,
+                           strip_possessive)
+        t = term.lower()
+        if analyzer == "english":
+            t = strip_possessive(t)
+            if t in ENGLISH_STOP_WORDS:
+                return t
+        if t in _over:
+            return _over[t]
+        if t in _prot:
+            return t
+        return porter_stem(t) if t.isascii() and t.isalpha() else t
     if analyzer == "standard":
         return term
     if analyzer == "porter":

@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["rate_threshold", "stratified_sample", "sample_rates_table",
-           "unimax_allocation"]
+           "unimax_allocation", "temperature_allocation"]
 
 _HEX_SPAN = 16 ** 8
 
@@ -125,6 +125,75 @@ def unimax_allocation(df: DataFrame, stratum_col: str, budget: float,
         remaining -= alloc
         out.append((stratum, avail, alloc, alloc / avail if avail else 0.0,
                     min(1.0, alloc / avail) if avail else 0.0))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        out, "stratum string, available double, allocated double, "
+             "epochs double, rate double")
+
+
+def temperature_allocation(df: DataFrame, stratum_col: str, budget: float,
+                           alpha: float = 0.3,
+                           max_epochs: float | None = None,
+                           weight_col: str | None = None,
+                           text_col: str = "text") -> DataFrame:
+    """Temperature-based budget allocation — the exponential-smoothing
+    sampling rule of multilingual pretraining (mT5 / XLM-R style:
+    q_i = n_i^alpha / sum_j n_j^alpha, alpha in (0, 1] flattening the
+    head-language dominance; alpha=1 is proportional, alpha->0
+    approaches uniform). Each stratum gets ``budget * q_i`` tokens.
+
+    ``max_epochs`` optionally caps a stratum at that many passes over
+    its available tokens; the capped excess redistributes among the
+    uncapped strata proportionally to their q — computed exactly in
+    ONE pass by walking strata ASCENDING by their cap-to-weight ratio
+    (max_epochs * available^(1-alpha), ties stratum asc): a stratum
+    caps out iff it would cap under every later water level, so
+    alloc_i = min(cap_i, q_i * remaining / Q_left) is exact.
+
+    Same input aggregation and output schema as
+    :func:`unimax_allocation` (stratum, available, allocated, epochs,
+    rate) — ``rate`` feeds :func:`stratified_sample` the same way.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be > 0")
+    if not 0 < alpha <= 1:
+        raise ValueError("alpha must be in (0, 1]")
+    if max_epochs is not None and max_epochs <= 0:
+        raise ValueError("max_epochs must be > 0")
+    from .dedup import tokens_expr
+    w = (F.col(weight_col).cast("double") if weight_col
+         else F.size(tokens_expr(text_col)).cast("double"))
+    counts = (df.select(F.col(stratum_col).cast("string")
+                        .alias("stratum"),
+                        F.coalesce(w, F.lit(0.0)).alias("w"))
+              .groupBy("stratum").agg(F.sum("w").alias("available"))
+              .collect())
+    rows = [(float(r["available"]), r["stratum"]) for r in counts]
+    qs = {s: a ** alpha if a > 0 else 0.0 for a, s in rows}
+    out = []
+    if max_epochs is None:
+        q_total = sum(qs.values())
+        for avail, stratum in sorted(rows, key=lambda t: (t[0],
+                                                          str(t[1]))):
+            alloc = budget * qs[stratum] / q_total if q_total else 0.0
+            out.append((stratum, avail, alloc,
+                        alloc / avail if avail else 0.0,
+                        min(1.0, alloc / avail) if avail else 0.0))
+    else:
+        ordered = sorted(
+            rows, key=lambda t: (max_epochs * t[0] ** (1.0 - alpha)
+                                 if t[0] > 0 else 0.0, str(t[1])))
+        remaining = float(budget)
+        q_left = sum(qs.values())
+        for avail, stratum in ordered:
+            q = qs[stratum]
+            alloc = (min(max_epochs * avail,
+                         q * remaining / q_left) if q_left else 0.0)
+            remaining -= alloc
+            q_left -= q
+            out.append((stratum, avail, alloc,
+                        alloc / avail if avail else 0.0,
+                        min(1.0, alloc / avail) if avail else 0.0))
     spark = df.sparkSession
     return spark.createDataFrame(
         out, "stratum string, available double, allocated double, "
