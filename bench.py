@@ -169,6 +169,14 @@ def main():
             return lm_perplexity(docs, lm).count()
         raw = E._docs(spark, sf_dir)
         emb = E._embeddings(spark, sf_dir)
+        # trigram index for the substring-grep op (build is a
+        # prerequisite, not part of the measured op — same treatment
+        # as the tr_idx the query set runs against)
+        from lucene_spark.search.substring import substring_search
+        ng_dir = os.path.join(tmp, "ngram_idx")
+        build_index(spark, E._as_transcripts(raw), ng_dir,
+                    num_buckets=4, analyzers={"text": "ngram"})
+        ng_searcher = IndexSearcher(spark, ng_dir)
         qs = (emb.filter(F.col("vec_id") < 16)
               .select(F.col("vec_id").alias("q_id"), "embedding"))
         cold = {}
@@ -210,6 +218,12 @@ def main():
                      "lucene_spark.ops.packing",
                      fromlist=["pack_sequences"])
                  .pack_sequences(raw, budget=256, n_shards=32).count()),
+                ("op_grep",
+                 # trigram-accelerated substring search: phrase prune
+                 # + stored-field verify (additive r05 key, method
+                 # unchanged)
+                 lambda: substring_search(ng_searcher,
+                                          "ustome").count()),
                 ("op_c4",
                  # C4 cleaning rules: pure-Catalyst projection
                  # (additive r05 key, method unchanged)

@@ -104,6 +104,12 @@ def substring_search(searcher, pattern: str, field: str = "text",
         n_hits = np.bincount(row_id[hit], minlength=lens.size)
         return pd.Series(n_hits > 0, index=toks.index)
 
-    return (searcher.retrieve(cand)
+    # candidate-side join WITHOUT a broadcast hint: a selective
+    # pattern's candidates are tiny (AQE broadcasts them), but a
+    # common substring can match most of the corpus — forcing
+    # broadcast there (retrieve()'s top-k assumption) would ship a
+    # corpus-sized doc_id set to every executor at 10^12 docs
+    ds = searcher._read_cached(searcher.docstore_paths)
+    return (ds.join(cand, "doc_id")
             .filter(_contains_tok(F.col(text_col)))
             .select("doc_id"))

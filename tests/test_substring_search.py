@@ -54,6 +54,7 @@ TEXTS = [
     "sorted tables join on hashed keys",              # 5
     "camer ergel bridge trap",                        # 6 gram-boundary FP
     "qq zz ab short tokens only",                     # 7
+    "aaaaa abab bell",                                # 8 repeated grams
 ]
 
 
@@ -105,6 +106,13 @@ def test_substring_gram_boundary_false_positive_rejected(ngram_index):
     cand = {r["doc_id"] for r in ngram_index.matches_df(
         PreAnalyzed(PhraseQuery(("mer", "erg", "rge")))).collect()}
     assert 6 in cand
+
+
+def test_substring_repeated_grams(ngram_index):
+    # patterns whose trigram sequence repeats a gram ('aaaa' -> aaa,
+    # aaa) must still phrase-match correctly; 'abab' -> aba, bab
+    for pat in ("aaaa", "aaaaa", "abab", "baba"):
+        assert _got(ngram_index, pat) == _brute(pat), pat
 
 
 def test_substring_no_match_and_case(ngram_index):
