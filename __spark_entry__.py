@@ -774,8 +774,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # 'long'  — pattern > 3 chars ("ustome" inside "customer"):
         #   PhraseQuery over the pattern's trigrams prunes, candidates
         #   verify against stored text with the engine tokenizer
-        # 'short' — pattern <= 3 ("qu"): wildcard over the TRIGRAM
+        # 'short' — pattern < 3 ("qu"): wildcard over the TRIGRAM
         #   dictionary + TermInSet match is exact, no verify pass
+        #   (a len-3 pattern would be ONE exact TermQuery)
         # 'neg'   — absent pattern: zero rows (false-positive gate)
         from lucene_spark.search.substring import substring_search
         s = _searcher_stem(sp, sf, "ngram")

@@ -35,8 +35,17 @@ NGRAM_SIZE = 3  # minGram = maxGram = 3
 def _ngrams_of(token: str) -> list:
     n = len(token)
     if n < NGRAM_SIZE:
+        # keepShortTerm: preserveOriginal emits the too-short original
         return [token] if token else []
-    return [token[i:i + NGRAM_SIZE] for i in range(n - NGRAM_SIZE + 1)]
+    out = [token[i:i + NGRAM_SIZE] for i in range(n - NGRAM_SIZE + 1)]
+    if n > NGRAM_SIZE:
+        # keepLongTerm: preserveOriginal ALSO emits the original after
+        # its grams (NGramTokenFilter.java:141-151) — whole-token
+        # TermQuery lookups stay exact on an ngram field, and the
+        # original lands AFTER the token's (consecutive) grams so the
+        # trigram-phrase contiguity argument is unchanged
+        out.append(token)
+    return out
 
 
 def ngram_lists(toks: pd.Series) -> pd.Series:

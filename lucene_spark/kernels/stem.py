@@ -216,14 +216,17 @@ def stem_unique_spec(uniques, protected=frozenset(),
     an override maps the surface form to its dictionary stem AND marks
     it keyword (later stemmers skip it); a protected token passes
     through unstemmed. Both are surface-form keyed, like the
-    reference filters."""
+    reference filters. PROTECTED WINS over an override for the same
+    surface form: the marker filter runs first in the chain, and
+    StemmerOverrideFilter.incrementToken applies only when
+    !keywordAtt.isKeyword()."""
     overrides = overrides or {}
     out = np.empty(len(uniques), dtype=object)
     for i, u in enumerate(uniques):
-        if u in overrides:
-            out[i] = overrides[u]
-        elif u in protected:
+        if u in protected:
             out[i] = u
+        elif u in overrides:
+            out[i] = overrides[u]
         else:
             out[i] = porter_stem(u) if u.isascii() and u.isalpha() else u
     return out
@@ -259,10 +262,12 @@ def english_unique_spec(uniques, protected=frozenset(),
         t = strip_possessive(u)
         if t in ENGLISH_STOP_WORDS:
             out[i] = ""
+        elif t in protected:
+            # marker filter precedes the override filter (see
+            # stem_unique_spec): protected wins on a collision
+            out[i] = t
         elif t in overrides:
             out[i] = overrides[t]
-        elif t in protected:
-            out[i] = t
         else:
             out[i] = porter_stem(t) if t.isascii() and t.isalpha() else t
     return out

@@ -375,10 +375,18 @@ def parse_chain_spec(analyzer: str):
             continue
         k, _, v = part.partition("=")
         if k == "protected":
-            protected = frozenset(w for w in v.split(",") if w)
+            protected = frozenset(w.lower() for w in v.split(",") if w)
         elif k == "override":
-            overrides = dict(p.split(":", 1)
-                             for p in v.split(",") if ":" in p)
+            overrides = {}
+            for p in v.split(","):
+                if not p:
+                    continue
+                src, sep, dst = p.partition(":")
+                if not sep or not src or not dst:
+                    raise ValueError(
+                        f"override entry {p!r} in {analyzer!r} must be "
+                        "'surface:stem' with both sides non-empty")
+                overrides[src.lower()] = dst.lower()
         else:
             raise ValueError(f"unknown chain spec parameter {k!r} "
                              f"in {analyzer!r}")
@@ -621,10 +629,10 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
             t = strip_possessive(t)
             if t in ENGLISH_STOP_WORDS:
                 return t
+        if t in _prot:       # marker filter precedes override filter
+            return t
         if t in _over:
             return _over[t]
-        if t in _prot:
-            return t
         return porter_stem(t) if t.isascii() and t.isalpha() else t
     if analyzer == "standard":
         return term
@@ -658,11 +666,13 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
         from .wdgf import wdgf_parts
         parts = wdgf_parts(term)
         return parts[0].lower() if len(parts) == 1 else term.lower()
-    if analyzer in ("shingle", "edge"):
+    if analyzer in ("shingle", "edge", "ngram"):
         # dictionary-level terms (a shingle query term is the two
         # words joined by one space; an edge query term is the typed
-        # prefix): lowercase only — both chains store their tokens
-        # lowercased by the standard tokenizer underneath
+        # prefix; an ngram query term is a trigram or — via
+        # keepShortTerm/keepLongTerm — a whole token): lowercase only —
+        # these chains store their tokens lowercased by the standard
+        # tokenizer underneath
         return term.lower()
     if analyzer == "payload":
         from .payload import payload_term

@@ -41,12 +41,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from .query import MultiTermQuery, PhraseQuery, PreAnalyzed
-
-NGRAM_SIZE = 3
+from ..kernels.ngram import NGRAM_SIZE
+from .query import MultiTermQuery, PhraseQuery, PreAnalyzed, TermQuery
 
 
 def _grams(pat: str) -> list:
+    """The pattern's sliding trigram sequence — deliberately NOT
+    kernels.ngram._ngrams_of, which also appends the preserveOriginal
+    whole token; the query needs only the gram window."""
     return [pat[i:i + NGRAM_SIZE] for i in range(len(pat) - NGRAM_SIZE + 1)]
 
 
@@ -73,13 +75,38 @@ def substring_search(searcher, pattern: str, field: str = "text",
             f"field {field!r} uses analyzer {chain!r}; substring_search "
             "needs the 'ngram' (trigram) chain")
 
-    if len(pat) <= NGRAM_SIZE:
+    if len(pat) == NGRAM_SIZE:
+        # a token contains a 3-char pattern iff the pattern IS one of
+        # its emitted grams (or the whole short token) — one exact
+        # TermQuery, no dictionary scan at all
+        return (searcher.matches_df(PreAnalyzed(TermQuery(pat,
+                                                          field=field)))
+                .select("doc_id"))
+
+    if len(pat) < NGRAM_SIZE:
         # exact via the dictionary: every indexed gram/short-token of a
-        # containing token itself contains the pattern
+        # containing token itself contains the pattern. The wildcard
+        # scan is bounded by the trigram vocabulary (alphabet^3 + short
+        # tokens + preserved originals); expansion is materialized ONCE
+        # here so a cap hit RAISES instead of silently dropping matches
+        cap = 1 << 22
         q = MultiTermQuery("wildcard", f"*{pat}*", field=field,
+                           rewrite="constant_score", max_expansions=cap)
+        expanded = searcher.expand_terms(q)
+        if len(expanded) >= cap:
+            raise RuntimeError(
+                f"substring_search: '*{pat}*' expansion hit the "
+                f"{cap}-term cap; result would be silently partial — "
+                "use a longer pattern")
+        if not expanded:
+            return searcher.matches_df(
+                PreAnalyzed(TermQuery("\x00none", field=field))
+            ).select("doc_id")
+        return searcher.matches_df(
+            MultiTermQuery("set", tuple(expanded), field=field,
                            rewrite="constant_score",
-                           max_expansions=1 << 22)
-        return searcher.matches_df(q).select("doc_id")
+                           max_expansions=len(expanded))
+        ).select("doc_id")
 
     # prune: the pattern's trigrams, consecutively, somewhere in the
     # gram stream. PreAnalyzed: grams are dictionary-level strings —

@@ -37,6 +37,32 @@ def test_parse_chain_spec():
         parse_chain_spec("porter?bogus=1")
 
 
+def test_protected_wins_over_override():
+    # the marker filter runs BEFORE the override filter, and
+    # StemmerOverrideFilter applies only to non-keyword tokens — a
+    # surface form in both sets stays protected
+    spec = "porter?protected=merge&override=merge:combine"
+    assert analyze_term("merge", spec) == "merge"
+    assert analyze_one("merge merging", spec) == ["merge", "merg"]
+    import pandas as pd_
+    assert list(analyze_series(pd_.Series(["merge"]), spec)) == [["merge"]]
+    e = "english?protected=mice&override=mice:mouse"
+    assert analyze_term("mice", e) == "mice"
+
+
+def test_spec_validation_and_case():
+    # empty override sides are malformed (an empty stem would write ''
+    # postings on the index side while the query side dropped it)
+    for bad in ("porter?override=merge:", "porter?override=:combine",
+                "porter?override=merge"):
+        with pytest.raises(ValueError):
+            parse_chain_spec(bad)
+    # spec words normalize to lowercase like the token stream
+    base, prot, over = parse_chain_spec(
+        "porter?protected=Query&override=Merge:Combine")
+    assert prot == frozenset({"query"}) and over == {"merge": "combine"}
+
+
 def test_porter_spec_semantics():
     # override is surface-form keyed: 'merge' maps, 'merging' still
     # porter-stems; protected 'query' passes through while 'queries'

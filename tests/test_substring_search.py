@@ -25,13 +25,17 @@ from lucene_spark.search.substring import substring_search
 
 
 def test_ngram_semantics():
-    assert ngram_one("merge") == ["mer", "erg", "rge"]
+    # keepLongTerm: preserveOriginal emits the original AFTER its
+    # grams for tokens longer than maxGram (NGramTokenFilter.java
+    # :141-151) — whole-token TermQuery stays exact on an ngram field
+    assert ngram_one("merge") == ["mer", "erg", "rge", "merge"]
     assert ngram_one("abc") == ["abc"]
-    # shorter than minGram: preserveOriginal keeps the token
+    # shorter than minGram: keepShortTerm keeps the token
     assert ngram_one("ab") == ["ab"]
     assert ngram_one("a") == ["a"]
     assert ngram_one("") == []
-    assert ngram_one("Scan Merge") == ["sca", "can", "mer", "erg", "rge"]
+    assert ngram_one("Scan Merge") == ["sca", "can", "scan",
+                                       "mer", "erg", "rge", "merge"]
 
 
 def test_ngram_series_equals_per_row():
@@ -52,7 +56,7 @@ TEXTS = [
     "a vectorized kernel scores the postings",        # 3
     "internationalization of the tokenizer pipeline", # 4
     "sorted tables join on hashed keys",              # 5
-    "camer ergel bridge trap",                        # 6 gram-boundary FP
+    "mer ergel bridge trap",                          # 6 gram-boundary FP
     "qq zz ab short tokens only",                     # 7
     "aaaaa abab bell",                                # 8 repeated grams
 ]
@@ -97,15 +101,25 @@ def test_substring_short_patterns_exact_via_dictionary(ngram_index):
 
 
 def test_substring_gram_boundary_false_positive_rejected(ngram_index):
-    # doc 6: 'camer ergel' puts the grams mer,erg,rge consecutively in
-    # the stream WITHOUT any token containing 'merge' — the phrase
-    # prune admits it, the stored-field verify must reject it
+    # doc 6: 'mer ergel' puts the grams mer,erg,rge consecutively in
+    # the stream (the 3-char token emits no preserved original, so
+    # nothing separates it from the next token's grams) WITHOUT any
+    # token containing 'merge' — the phrase prune admits it, the
+    # stored-field verify must reject it
     assert 6 not in _got(ngram_index, "merge")
     # and the candidate really was a phrase match (the prune fired):
     from lucene_spark.search.query import PhraseQuery, PreAnalyzed
     cand = {r["doc_id"] for r in ngram_index.matches_df(
         PreAnalyzed(PhraseQuery(("mer", "erg", "rge")))).collect()}
     assert 6 in cand
+
+
+def test_ngram_whole_token_termquery_exact(ngram_index):
+    # keepLongTerm makes whole-token lookups exact: 'segments' is an
+    # index term (docs 0, 1), and analyze_term routes it through the
+    # chain's lowercase-only dictionary-level path
+    got = {d for d, _ in ngram_index.search(TermQuery("Segments"), k=10)}
+    assert got == {0, 1}
 
 
 def test_substring_repeated_grams(ngram_index):
