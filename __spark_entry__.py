@@ -776,14 +776,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #   verify against stored text with the engine tokenizer
         # 'short' — pattern < 3 ("qu"): wildcard over the TRIGRAM
         #   dictionary + TermInSet match is exact, no verify pass
-        #   (a len-3 pattern would be ONE exact TermQuery)
+        # 'tri'   — pattern == 3 ("que" inside "query"): ONE exact
+        #   TermQuery against the gram dictionary, no scan, no verify
         # 'neg'   — absent pattern: zero rows (false-positive gate)
         from lucene_spark.search.substring import substring_search
         s = _searcher_stem(sp, sf, "ngram")
         parts = [substring_search(s, pat)
                  .select(F.lit(op).alias("op"), "doc_id")
                  for op, pat in (("long", "ustome"), ("short", "qu"),
-                                 ("neg", "zzqxv"))]
+                                 ("tri", "que"), ("neg", "zzqxv"))]
         out = parts[0]
         for p_ in parts[1:]:
             out = out.unionByName(p_)
@@ -2811,6 +2812,9 @@ SELECT op, doc_id FROM (
   UNION ALL
   SELECT 'short', doc_id FROM tok
   WHERE len(list_filter(toks, x -> contains(x, 'qu'))) > 0
+  UNION ALL
+  SELECT 'tri', doc_id FROM tok
+  WHERE len(list_filter(toks, x -> contains(x, 'que'))) > 0
   UNION ALL
   SELECT 'neg', doc_id FROM tok
   WHERE len(list_filter(toks, x -> contains(x, 'zzqxv'))) > 0

@@ -6,6 +6,7 @@ from the command line.
     python tools/demo.py index  <src_dir> <index_dir>
     python tools/demo.py search <index_dir> "query" [-k 10] [--explain]
     python tools/demo.py parquet <parquet_file> <index_dir> [--text-col text]
+    python tools/demo.py grep   <ngram_index_dir> <pattern> [-n 20]
 
 `index` walks <src_dir> recursively; every *.txt/*.md/*.py/... file
 becomes one document (conv_id = relative path, text = contents) —
@@ -77,8 +78,10 @@ def cmd_parquet(args) -> None:
         F.lit(None).cast("string").alias("tool"),
         F.current_timestamp().alias("ts"))
     from lucene_spark.index import build_index
-    build_index(spark, df, args.index_dir, num_buckets=args.buckets)
-    print(f"indexed {src.count()} rows -> {args.index_dir}")
+    build_index(spark, df, args.index_dir, num_buckets=args.buckets,
+                analyzers={"text": args.analyzer})
+    print(f"indexed {src.count()} rows -> {args.index_dir} "
+          f"(analyzer {args.analyzer})")
 
 
 def cmd_search(args) -> None:
@@ -104,6 +107,28 @@ def cmd_search(args) -> None:
         print(s.explain(q, int(best["doc_id"])))
 
 
+def cmd_grep(args) -> None:
+    """Index-accelerated substring grep (search/substring.py) over an
+    index whose text field uses the 'ngram' chain — build one with
+    `parquet ... --analyzer ngram` or analyzers={"text": "ngram"}."""
+    spark = _spark()
+    from lucene_spark.search import IndexSearcher
+    from lucene_spark.search.substring import substring_search
+    s = IndexSearcher(spark, args.index_dir)
+    hits = (s.retrieve(substring_search(s, args.pattern))
+            .orderBy("doc_id").limit(args.n).collect())
+    if not hits:
+        print("no hits")
+        return
+    pat = args.pattern.lower()
+    for r in hits:
+        text = " ".join((r["text"] or "").split())
+        i = text.lower().find(pat)
+        lo = max(0, i - 50)
+        print(f"doc={r['doc_id']} {r['conv_id']}: "
+              f"...{text[lo:lo + 120]}...")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -122,7 +147,13 @@ def main() -> None:
     p3.add_argument("index_dir")
     p3.add_argument("--text-col", default="text")
     p3.add_argument("--buckets", type=int, default=8)
+    p3.add_argument("--analyzer", default="standard")
     p3.set_defaults(fn=cmd_parquet)
+    p4 = sub.add_parser("grep")
+    p4.add_argument("index_dir")
+    p4.add_argument("pattern")
+    p4.add_argument("-n", type=int, default=20)
+    p4.set_defaults(fn=cmd_grep)
     args = ap.parse_args()
     args.fn(args)
 
