@@ -181,8 +181,11 @@ class MemoryIndex:
             return self._has_special(q.query)
         return False
 
-    def _eval(self, q):
-        """-> np.float32 score, or None when the doc does not match."""
+    def _eval(self, q, _rewritten: bool = False):
+        """-> np.float32 score, or None when the doc does not match.
+        ``_rewritten``: the tree already went through _rewrite_mtq —
+        recursive combiner calls set it so subtrees are not re-walked
+        (the rewrite is idempotent but O(subtree) per call)."""
         from ..search.query import (BooleanQuery, ConstantScoreQuery,
                                     DisMaxQuery, FieldExistsQuery,
                                     MatchAllQuery, MultiTermQuery,
@@ -192,7 +195,8 @@ class MemoryIndex:
         if isinstance(q, FieldExistsQuery):
             return (np.float32(q.boost)
                     if self._tokens.get(q.field) else None)
-        q = self._rewrite_mtq(q)
+        if not _rewritten:
+            q = self._rewrite_mtq(q)
         fields = self._fields_of(q)
         if len(fields) <= 1 and self._has_special(q):
             # MatchAll/FieldExists inside a tree: the combiner below
@@ -212,11 +216,12 @@ class MemoryIndex:
         # cross-field combiners: same discipline as the engine's
         # eval_tree (clauses float32, sum in double, one cast)
         if isinstance(q, ConstantScoreQuery):
-            inner = self._eval(q.query)
+            inner = self._eval(q.query, _rewritten=True)
             return None if inner is None else np.float32(q.boost)
         if isinstance(q, DisMaxQuery):
             parts = [self._eval(c if not isinstance(c, str)
-                                else TermQuery(c, q.field))
+                                else TermQuery(c, q.field),
+                                _rewritten=True)
                      for c in q.terms_]
             parts = [p for p in parts if p is not None]
             if not parts:
@@ -233,21 +238,21 @@ class MemoryIndex:
             tot = np.float64(0.0)
             must_scores = []
             for c in q.must:
-                s = self._eval(as_q(c))
+                s = self._eval(as_q(c), _rewritten=True)
                 if s is None:
                     return None
                 must_scores.append(s)
             for c in q.filter_:
-                if self._eval(as_q(c)) is None:
+                if self._eval(as_q(c), _rewritten=True) is None:
                     return None
             for c in q.must_not:
-                if self._eval(as_q(c)) is not None:
+                if self._eval(as_q(c), _rewritten=True) is not None:
                     return None
             for s in must_scores:
                 tot += np.float64(s)
             n_should = 0
             for c in q.should:
-                s = self._eval(as_q(c))
+                s = self._eval(as_q(c), _rewritten=True)
                 if s is not None:
                     n_should += 1
                     tot += np.float64(s)

@@ -76,17 +76,32 @@ def export_simpletext(searcher, out_dir: str, field: str = "text",
     counts["postings.txt"] = n
 
     import numpy as np
-    buckets = (searcher._read_cached(searcher.norms_paths)
-               .select("base_doc", "norms").orderBy("base_doc")
-               .collect())
     n_norm = 0
     with open(os.path.join(out_dir, "norms.txt"), "w") as fh:
-        for b in buckets:
-            codes = np.frombuffer(bytes(b["norms"]), dtype=np.uint8)
-            base = int(b["base_doc"])
-            for off, code in enumerate(codes):
-                fh.write(f"doc {base + off} norm {int(code)}\n")
+        if field in searcher.keyword_fields:
+            # keyword fields omit norms (StringField omitNorms):
+            # every doc scores at length 1 -> norm code 1, same as the
+            # search path's const_norm handling
+            docs = (searcher._read_cached(searcher.docstore_paths)
+                    .select("doc_id").orderBy("doc_id").collect())
+            for r in docs:
+                fh.write(f"doc {int(r['doc_id'])} norm 1\n")
                 n_norm += 1
+        elif field != searcher.field:
+            raise ValueError(
+                f"no norms stored for field {field!r} (norms exist for "
+                f"the scored field {searcher.field!r}; keyword fields "
+                "export constant code 1)")
+        else:
+            buckets = (searcher._read_cached(searcher.norms_paths)
+                       .select("base_doc", "norms").orderBy("base_doc")
+                       .collect())
+            for b in buckets:
+                codes = np.frombuffer(bytes(b["norms"]), dtype=np.uint8)
+                base = int(b["base_doc"])
+                for off, code in enumerate(codes):
+                    fh.write(f"doc {base + off} norm {int(code)}\n")
+                    n_norm += 1
     counts["norms.txt"] = n_norm
 
     dc, sttf = searcher._field_stats(field)
@@ -133,7 +148,7 @@ def verify_simpletext(export_dir: str, searcher, query_terms: list,
     and compare with the engine's search. Raises AssertionError with
     the diff on mismatch; True otherwise."""
     from ..kernels.smallfloat import byte4_to_int
-    from ..search.query import OrQuery
+    from ..search.query import OrQuery, PreAnalyzed
 
     post = read_simpletext_postings(
         os.path.join(export_dir, "postings.txt"))
@@ -163,7 +178,11 @@ def verify_simpletext(export_dir: str, searcher, query_terms: list,
             scores[doc] += float(np.float32(
                 idf * np.float32(tf / denom)))
     want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
-    got = searcher.search(OrQuery(tuple(query_terms), field), k=k)
+    # query_terms are INDEX terms read back from the text dump —
+    # PreAnalyzed so a stemming chain doesn't re-stem them (stems are
+    # not idempotent) while the file side scores them verbatim
+    got = searcher.search(PreAnalyzed(OrQuery(tuple(query_terms),
+                                              field)), k=k)
     assert [d for d, _ in got] == [d for d, _ in want], (got, want)
     for (gd, gs), (wd, ws) in zip(got, want):
         assert abs(gs - ws) <= 1e-3 * max(1.0, abs(ws)), (gd, gs, ws)

@@ -310,6 +310,19 @@ def bm25_nb_classify(searcher, text: str,
         allm = mw if allm is None else allm.unionByName(mw)
     ds = (searcher._read_cached(searcher.docstore_paths)
           .select("doc_id", F.col(class_field).alias("cls")))
+    if searcher.livedocs_path is not None:
+        # the reference prior is the top-1 of an actual class search —
+        # a class whose docs are ALL deleted gets log(0) and drops out;
+        # term_stats keep counting deleted docs (Lucene semantics), so
+        # liveness needs one live-masked pass (only when deletes exist)
+        from ..search.query import MatchAllQuery
+        live_cls = {r["cls"] for r in
+                    (searcher.matches_df(MatchAllQuery(searcher.field))
+                     .join(ds, "doc_id").select("cls").distinct()
+                     .collect())}
+        classes = [c for c in classes if c in live_cls]
+        if not classes:
+            return spark.createDataFrame([], "cls string, score double")
     cells = (allm.join(ds, "doc_id")
              .groupBy("cls", "w")
              .agg(F.max("score").cast("double").alias("mw")).collect())

@@ -109,9 +109,14 @@ def train_boolean_perceptron(searcher, positive_expr: str,
                   .applyInPandas(train,
                                  schema="part long, delta array<double>")
                   .collect())
+        bstart.destroy()  # one vocabulary-sized broadcast per epoch
         if deltas:
-            w = start + np.mean(
-                [np.asarray(r["delta"]) for r in deltas], axis=0)
+            # average over ALL n_parts shards (McDonald/Hall/Mann
+            # parameter mixing): a shard with no rows contributes a
+            # ZERO delta, it does not shrink the denominator
+            tot = np.sum([np.asarray(r["delta"]) for r in deltas],
+                         axis=0)
+            w = start + tot / max(n_parts, 1)
             w = np.maximum(0.0, w)
 
     wdf = spark.createDataFrame(
@@ -120,7 +125,7 @@ def train_boolean_perceptron(searcher, positive_expr: str,
     return wdf, b
 
 
-def perceptron_assign(spark, texts: DataFrame, weights: DataFrame,
+def perceptron_assign(texts: DataFrame, weights: DataFrame,
                       bias: float, id_col: str = "id",
                       text_col: str = "text",
                       analyzer: str = "standard") -> DataFrame:

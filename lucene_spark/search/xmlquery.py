@@ -166,11 +166,21 @@ def _build(e, field, searcher):
                 "exactly one Field element supported per "
                 "FuzzyLikeThisQuery")
         f, text = fields[0]
-        return searcher.fuzzy_like_this(
+        q = searcher.fuzzy_like_this(
             text, field=f,
             max_num_terms=int(e.get("maxNumTerms", 50)),
             prefix_length=int(e.get("prefixLength", 0)),
             ignore_tf=e.get("ignoreTF", "false").lower() == "true")
+        b = float(e.get("boost", 1.0))
+        if b != 1.0:
+            # boost the tree INSIDE the PreAnalyzed marker (the marker
+            # itself carries no boost)
+            if isinstance(q, PreAnalyzed):
+                q = PreAnalyzed(replace(q.query,
+                                        boost=q.query.boost * b))
+            else:
+                q = _boost(e, q)
+        return q
     raise XmlParserError(f"unsupported element: {tag}")
 
 
@@ -205,4 +215,15 @@ def parse_xml_query(xml: str, field: str = "text",
         # range itself (reference: a filter-only boolean still matches)
         return XmlParsed(MatchAllQuery(), " and ".join(filters))
     q = _build(root, field, searcher)
+    if filters and isinstance(q, BooleanQuery) and not q.must \
+            and not q.filter_:
+        # the folded range was the boolean's only required clause; in
+        # the reference its presence keeps SHOULD clauses optional
+        # (and lets a must_not-only remainder match). Re-anchor with a
+        # zero-score MatchAll must so the engine's msm rule sees a
+        # required clause — matching set unchanged (the doc_filter is
+        # the range), scores = the matching optional clauses
+        import dataclasses as _dc
+        q = _dc.replace(q, must=(MatchAllQuery(field=q.field,
+                                               boost=0.0),))
     return XmlParsed(q, " and ".join(filters) or None)

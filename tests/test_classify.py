@@ -253,3 +253,33 @@ def test_bm25_nb_on_stemmed_index(spark, tmp_path_factory):
     assert res and sum(r["score"] for r in res) == pytest.approx(1.0)
     scores = sorted({round(r["score"], 9) for r in res})
     assert len(scores) > 1, "likelihoods must differentiate classes"
+
+
+def test_bm25_nb_dead_class_eliminated(spark, tmp_path_factory):
+    """A class whose docs are ALL deleted must drop out entirely (the
+    reference prior is the top-1 of an actual live search — no hits
+    means log(0) elimination), even though termstats still carry the
+    class term until compaction."""
+    from lucene_spark.fixtures.transcripts import transcripts_df
+    from lucene_spark.index import build_index
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.ops.classify import bm25_nb_classify
+    out = str(tmp_path_factory.mktemp("bm25nbd") / "idx")
+    src = transcripts_df(spark, n_convs=40, seed=11, partitions=2)
+    build_index(spark, src, out, num_buckets=2,
+                keyword_fields=("role",))
+    s0 = IndexSearcher(spark, out)
+    roles = sorted({r["role"] for r in
+                    s0._read_cached(s0.docstore_paths)
+                    .select("role").distinct().collect()
+                    if r["role"] is not None})
+    assert len(roles) >= 2
+    dead = roles[0]
+    delete_docs(spark, out, f"role = '{dead}'")
+    s = IndexSearcher(spark, out)
+    got = {r["cls"]: r["score"]
+           for r in bm25_nb_classify(s, "w000002",
+                                     class_field="role").collect()}
+    assert dead not in got, got
+    assert set(got) == set(roles[1:])
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)

@@ -105,7 +105,7 @@ def test_assign_semantics(spark, searcher, corpus):
              for i, (_, toks, _) in enumerate(corpus[:6])]
     tdf = spark.createDataFrame(texts, "id long, text string")
     out = {int(r["id"]): r for r in
-           perceptron_assign(spark, tdf, w, b).collect()}
+           perceptron_assign(tdf, w, b).collect()}
     for i, text in texts:
         o = sum(wmap.get(t, 0.0) for t in tokenize_one(text))
         assert out[i]["output"] == pytest.approx(o, rel=1e-9)
@@ -117,5 +117,19 @@ def test_assign_semantics(spark, searcher, corpus):
 def test_unknown_terms_score_zero(spark, searcher):
     w, b = train_boolean_perceptron(searcher, "role = 'user'")
     tdf = spark.createDataFrame([(0, "zzz qqq www")], "id long, text string")
-    r = perceptron_assign(spark, tdf, w, b).collect()[0]
+    r = perceptron_assign(tdf, w, b).collect()[0]
     assert r["output"] == 0.0 and r["assigned"] is False
+
+
+def test_empty_shards_keep_full_denominator(searcher, corpus):
+    # n_parts greater than the doc count leaves shards EMPTY; the
+    # McDonald/Hall/Mann averaging still divides by n_parts (an empty
+    # shard contributes a zero delta, it does not shrink the
+    # denominator) — _brute_train always appends a delta per shard
+    parts = len(corpus) + 3
+    w, b = train_boolean_perceptron(searcher, "role = 'user'",
+                                    n_parts=parts, epochs=1)
+    want = _brute_train(corpus, "user", b, parts=parts)
+    got = {r["term"]: r["weight"] for r in w.collect()}
+    for t in want:
+        assert got[t] == pytest.approx(want[t], abs=1e-9), t

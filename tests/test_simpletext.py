@@ -60,3 +60,33 @@ def test_docstore_dump_roundtrips_tokens(exported, spark, small_index):
             .select("doc_id", "text").collect())
     for r in rows[:50]:
         assert stored[int(r["doc_id"])] == tokenize_one(r["text"] or "")
+
+
+def test_export_keyword_field_norms_constant(spark, tmp_path):
+    """Keyword fields omit norms (StringField omitNorms): the export
+    writes constant code 1 per doc and verify scores with it; a
+    non-default field without stored norms raises."""
+    import os
+    import pytest
+    from lucene_spark.fixtures.transcripts import transcripts_df
+    from lucene_spark.index import build_index
+    from lucene_spark.index.simpletext import (export_simpletext,
+                                               verify_simpletext)
+    from lucene_spark.search.searcher import IndexSearcher
+    idx = str(tmp_path / "kwidx")
+    build_index(spark, transcripts_df(spark, n_convs=30, seed=3,
+                                      partitions=2),
+                idx, num_buckets=2, keyword_fields=("role",))
+    s = IndexSearcher(spark, idx)
+    out = str(tmp_path / "st_role")
+    counts = export_simpletext(s, out, field="role", max_terms=10)
+    norms = open(os.path.join(out, "norms.txt")).read().splitlines()
+    assert norms and all(line.endswith("norm 1") for line in norms)
+    assert counts["norms.txt"] == len(norms)
+    roles = [line.split()[1] for line in
+             open(os.path.join(out, "postings.txt"))
+             if line.strip().startswith("term ")]
+    assert roles
+    assert verify_simpletext(out, s, roles[:2], k=5, field="role")
+    with pytest.raises(ValueError):
+        export_simpletext(s, str(tmp_path / "bad"), field="nosuch")

@@ -174,3 +174,49 @@ def test_flt_nested_in_boolean(spark, small_index):
            + term_string(2) + '</TermQuery></Clause></BooleanQuery>')
     p = parse_xml_query(xml, searcher=s)
     assert s.search_df(p.query, k=5).count() > 0
+
+
+def test_must_range_fold_keeps_shoulds_optional():
+    """Folding the boolean's ONLY must clause (a PointRangeQuery) into
+    doc_filter must not flip SHOULD clauses to required: the parser
+    re-anchors with a zero-score MatchAll must."""
+    p = parse_xml_query(
+        '<BooleanQuery fieldName="text">'
+        '<Clause occurs="must"><PointRangeQuery fieldName="token_count"'
+        ' lowerTerm="30" upperTerm="70"/></Clause>'
+        '<Clause occurs="should"><TermQuery>foo</TermQuery></Clause>'
+        '</BooleanQuery>')
+    assert p.doc_filter == "token_count >= 30 and token_count <= 70"
+    q = p.query
+    assert len(q.must) == 1 and isinstance(q.must[0], MatchAllQuery)
+    assert q.must[0].boost == 0.0
+    assert len(q.should) == 1
+
+
+def test_must_range_fold_end_to_end(spark, small_index):
+    """In-range docs WITHOUT the should term still match (score 0 from
+    the anchor, bonus from the should when present)."""
+    s = IndexSearcher(spark, small_index)
+    lo, hi = 5, 60
+    p = parse_xml_query(
+        '<BooleanQuery fieldName="text">'
+        f'<Clause occurs="must"><PointRangeQuery fieldName="turn_idx"'
+        f' lowerTerm="{lo}" upperTerm="{hi}"/></Clause>'
+        '<Clause occurs="should"><TermQuery>w000001</TermQuery>'
+        '</Clause></BooleanQuery>', searcher=s)
+    got = s.count_df(p.query, doc_filter=p.doc_filter).collect()[0][0]
+    want = (s._read_cached(s.docstore_paths)
+            .filter(f"turn_idx >= {lo} and turn_idx <= {hi}").count())
+    assert got == want and want > 0
+
+
+def test_flt_boost_applies(spark, small_index):
+    from lucene_spark.fixtures.transcripts import term_string
+    from lucene_spark.search.query import PreAnalyzed
+    s = IndexSearcher(spark, small_index)
+    t = term_string(1)
+    xml = (f'<FuzzyLikeThisQuery boost="2.5"><Field fieldName="text">'
+           f'{t}</Field></FuzzyLikeThisQuery>')
+    q = parse_xml_query(xml, searcher=s).query
+    inner = q.query if isinstance(q, PreAnalyzed) else q
+    assert inner.boost == pytest.approx(2.5)
