@@ -132,10 +132,18 @@ def main():
         searcher.count(AndQuery(("slow", "fast")))
         queries["q_count"] = round(time.time() - t0, 3)
 
-        # batch mode: all headline queries in ONE Spark job (throughput)
-        t0 = time.time()
-        searcher.search_batch(dict(headline), k=10).count()
-        queries["batch_headline"] = round(time.time() - t0, 3)
+        # batch mode: all headline queries in ONE Spark job
+        # (throughput). Median of 3 steady reps with the cold rep
+        # reported separately — single-shot numbers proved
+        # load-sensitive by up to 5x when a prior JVM's cleanup
+        # overlapped the run (r05 session-4 postmortem)
+        reps = []
+        for _ in range(4):
+            t0 = time.time()
+            searcher.search_batch(dict(headline), k=10).count()
+            reps.append(time.time() - t0)
+        batch_cold = round(reps[0], 3)
+        queries["batch_headline"] = round(sorted(reps[1:])[1], 3)
 
         # reference query set over the north-rule transcripts index:
         # 40 mixed queries (term/and/or/phrase across the df spectrum)
@@ -145,9 +153,13 @@ def main():
         tr_searcher = IndexSearcher(spark, os.path.join(tmp, "tr_idx"))
         ref_qs = {q["qid"]: from_dict(q)
                   for q in generate_queries(n_queries=40, seed=4242)}
-        t0 = time.time()
-        tr_searcher.search_batch(ref_qs, k=10).count()
-        ref_wall = time.time() - t0
+        reps = []
+        for _ in range(4):
+            t0 = time.time()
+            tr_searcher.search_batch(ref_qs, k=10).count()
+            reps.append(time.time() - t0)
+        ref_cold = round(reps[0], 3)
+        ref_wall = sorted(reps[1:])[1]
         queries["ref_set_40"] = round(ref_wall, 3)
 
         # training-data ops at bench scale — same convention as q_*:
@@ -245,12 +257,17 @@ def main():
             "metric": "e2e_sec",
             "value": total,
             "unit": "sec",
-            "method": "q_*/op_* = median of 3 steady-state reps; "
+            "method": "q_*/op_*/batch_headline/ref_set_40 = median of "
+                      "3 steady-state reps (batch/ref cold reps in "
+                      "*_cold_sec — r05 method hardening: single-shot "
+                      "batch numbers proved ambient-load-sensitive); "
                       "first_query_cold_sec = fresh-searcher first query "
                       "incl. term-dictionary cache load; op_cold_sec = "
                       "first op rep incl. codegen compile + cold scan",
             "queries": queries,
             "first_query_cold_sec": q_cold,
+            "batch_headline_cold_sec": batch_cold,
+            "ref_set_40_cold_sec": ref_cold,
             "op_cold_sec": cold,
             "p50_query_sec": p50,
             "ref_queries_per_sec": round(40.0 / ref_wall, 1),
