@@ -842,6 +842,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.orderBy("op", F.col("score_r").desc(), "doc_id")
     q["ft_stem_override"] = ft_stem_override
 
+    def ft_compound(sp, sf):
+        # DictionaryCompoundWordTokenFilter chain spec
+        # (kernels/compound.py; analysis/common/.../compound/
+        # DictionaryCompoundWordTokenFilter.java): tokens >= 5 chars
+        # emit every dictionary subword found at any position AFTER
+        # the original; BM25 stats run over the expanded stream.
+        # 'sub'   — TermQuery('cust'): an emitted subword of
+        #           'customer' ranks compound docs
+        # 'multi' — TermQuery('me'): emitted by BOTH 'merge' (pos 0)
+        #           and 'customer' (pos 5), repeated emissions raise tf
+        spec = "standard?compound=cust,omer,me"
+        s = _searcher_stem(sp, sf, spec)
+        parts = [s.search_df(TermQuery(t), k=10)
+                 .select(F.lit(op).alias("op"), "doc_id",
+                         F.round(F.col("score").cast("double"), 3)
+                         .alias("score_r"))
+                 for op, t in (("sub", "cust"), ("multi", "me"))]
+        return (parts[0].unionByName(parts[1])
+                .orderBy("op", F.col("score_r").desc(), "doc_id"))
+    q["ft_compound"] = ft_compound
+
     def ft_search_after(sp, sf):
         # deep paging: page 2 of the 'vector' ranking via searchAfter
         s = _searcher(sp, sf)
@@ -2799,6 +2820,40 @@ SELECT op, doc_id, score_r FROM (
   SELECT 'prot_miss', doc_id, 0.0 FROM tok
   WHERE len(list_filter(toks, x -> x = 'queries')) > 0
 ) ORDER BY op, score_r DESC, doc_id
+"""
+
+    # compound decompounding: the oracle rebuilds the ENTIRE BM25
+    # prelude over the AUGMENTED stream — each token followed by its
+    # dictionary subword emissions, one emission per occurrence
+    # position (multiset-equal to the engine's (start, length) order,
+    # so tf/dl/df agree exactly)
+    _COMP_TOKS = (
+        "flatten(list_transform(regexp_extract_all(lower(text), "
+        "'[0-9a-z]+'), w -> list_concat([w], "
+        "CASE WHEN length(w) >= 5 THEN "
+        "flatten(list_transform(['cust', 'omer', 'me'], d -> "
+        "list_transform(range(1, len(list_filter("
+        "range(1, length(w) - length(d) + 2), "
+        "i -> w[i:i+length(d)-1] = d)) + 1), x -> d))) "
+        "ELSE [] END)))")
+    _P_COMP = _prelude(_COMP_TOKS)
+    o["ft_compound"] = f"""
+SELECT 'sub' AS op, doc_id, score_r FROM (
+{_P_COMP}
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'cust')
+SELECT doc_id, round(s, 3) AS score_r FROM m
+ORDER BY s DESC, doc_id LIMIT 10)
+UNION ALL
+SELECT 'multi', doc_id, score_r FROM (
+{_P_COMP}
+, m AS (SELECT f.doc_id, {_score('f.tf')} AS s
+        FROM tf f JOIN qdl q USING (doc_id) JOIN idf i ON i.term = f.term
+        WHERE f.term = 'me')
+SELECT doc_id, round(s, 3) AS score_r FROM m
+ORDER BY s DESC, doc_id LIMIT 10)
+ORDER BY op, score_r DESC, doc_id
 """
 
     # substring grep: ground truth is the tokenizer-level containment

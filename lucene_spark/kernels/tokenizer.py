@@ -347,36 +347,58 @@ ANALYZERS = ("standard", "porter", "english", "fold", "cjk", "german",
              "metaphone")
 
 
+# chains whose token stream flows through the shared tokenize_series
+# path (eligible for the 'compound' spec parameter); the remaining
+# chains run their own tokenize pass
+_TOKS_PATH_BASES = ("standard", "porter", "english", "fold", "phonetic",
+                    "metaphone", "german", "french", "portuguese",
+                    "spanish", "italian")
+
+
 def parse_chain_spec(analyzer: str):
-    """Parameterized chain spec -> (base, protected, overrides).
+    """Parameterized chain spec -> (base, protected, overrides,
+    compound).
 
     ``'porter?protected=running,ran&override=mice:mouse,geese:goose'``
     configures KeywordMarkerFilter / StemmerOverrideFilter stages in
     front of the stemmer (analysis/common/.../miscellaneous/
     SetKeywordMarkerFilter.java, StemmerOverrideFilter.java): protected
     surface forms pass through unstemmed; override maps a surface form
-    straight to its dictionary stem (and marks it keyword). The spec is
-    a plain string, so it persists in the commit manifest and flows
-    through the per-field analyzer plumbing unchanged. Supported bases:
-    'porter' and 'english' (the English stemming chains — where the
-    reference filters are used in practice). A plain chain name returns
-    (name, None, None). The pattern-based PatternKeywordMarkerFilter
-    variant is not offered."""
+    straight to its dictionary stem (and marks it keyword). Supported
+    bases for protected/override: 'porter' and 'english' (the English
+    stemming chains — where the reference filters are used in
+    practice).
+
+    ``'german?compound=schlüssel,haus'`` (any tokenize_series-path
+    base) inserts a DictionaryCompoundWordTokenFilter stage
+    (kernels/compound.py) right after tokenization, so dictionary
+    subwords are emitted alongside the compound and then stop/stem
+    like standalone words.
+
+    The spec is a plain string, so it persists in the commit manifest
+    and flows through the per-field analyzer plumbing unchanged. A
+    plain chain name returns (name, None, None, None). The
+    pattern-based PatternKeywordMarkerFilter and the
+    hyphenation-grammar decompounder are not offered."""
     if not analyzer or "?" not in analyzer:
-        return analyzer, None, None
+        return analyzer, None, None, None
     base, _, qs = analyzer.partition("?")
-    if base not in ("porter", "english"):
-        raise ValueError(
-            f"chain spec parameters are supported for the porter/english "
-            f"chains, not {base!r}")
-    protected, overrides = frozenset(), {}
+    protected, overrides, compound = None, None, None
     for part in qs.split("&"):
         if not part:
             continue
         k, _, v = part.partition("=")
         if k == "protected":
+            if base not in ("porter", "english"):
+                raise ValueError(
+                    "protected/override spec parameters are supported "
+                    f"for the porter/english chains, not {base!r}")
             protected = frozenset(w.lower() for w in v.split(",") if w)
         elif k == "override":
+            if base not in ("porter", "english"):
+                raise ValueError(
+                    "protected/override spec parameters are supported "
+                    f"for the porter/english chains, not {base!r}")
             overrides = {}
             for p in v.split(","):
                 if not p:
@@ -387,10 +409,22 @@ def parse_chain_spec(analyzer: str):
                         f"override entry {p!r} in {analyzer!r} must be "
                         "'surface:stem' with both sides non-empty")
                 overrides[src.lower()] = dst.lower()
+        elif k == "compound":
+            if base not in _TOKS_PATH_BASES:
+                raise ValueError(
+                    f"compound spec parameter is not supported for the "
+                    f"{base!r} chain (own tokenize pass)")
+            compound = frozenset(w.lower() for w in v.split(",") if w)
+            if not compound:
+                raise ValueError(
+                    f"compound dictionary in {analyzer!r} is empty")
         else:
             raise ValueError(f"unknown chain spec parameter {k!r} "
                              f"in {analyzer!r}")
-    return base, protected, overrides
+    if protected is not None or overrides is not None:
+        protected = protected if protected is not None else frozenset()
+        overrides = overrides or {}
+    return base, protected, overrides, compound
 
 
 def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
@@ -412,9 +446,10 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
 
     ``analyzer`` may be a parameterized chain spec (parse_chain_spec):
     'porter?...'/'english?...' insert keyword-marker/override stages
-    before the stemmer.
+    before the stemmer; '<base>?compound=...' inserts the dictionary
+    decompounder after tokenization.
     """
-    analyzer, _prot, _over = parse_chain_spec(analyzer)
+    analyzer, _prot, _over, _comp = parse_chain_spec(analyzer)
     if analyzer == "cjk":
         # CJKAnalyzer: its own tokenize pass (maximal CJK runs ->
         # bigrams) — token merging can't be expressed as a per-token
@@ -453,6 +488,12 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
         from .htmlstrip import html_tokenize_series
         return html_tokenize_series(texts)
     toks = tokenize_series(texts)
+    if _comp is not None:
+        # DictionaryCompoundWordTokenFilter stage: subwords join the
+        # stream BEFORE stop/stem so they normalize like standalone
+        # words (kernels/compound.py)
+        from .compound import decompound_lists
+        toks = decompound_lists(toks, _comp)
     if analyzer == "standard":
         return toks
     lens = toks.str.len().to_numpy(dtype=np.int64)
@@ -527,15 +568,23 @@ def analyze_series(texts: pd.Series, analyzer: str = "standard") -> pd.Series:
 
 def analyze_one(text: str, analyzer: str = "standard") -> list:
     """Single-string analyzer chain (query/driver side)."""
-    analyzer, _prot, _over = parse_chain_spec(analyzer)
-    if _prot is not None:
-        from .stem import (english_unique_spec, stem_unique_spec)
+    analyzer, _prot, _over, _comp = parse_chain_spec(analyzer)
+    if _prot is not None or _comp is not None:
         toks = tokenize_one(text)
-        fn = stem_unique_spec if analyzer == "porter" else \
-            english_unique_spec
-        mapped = fn(np.asarray(toks, dtype=object), protected=_prot,
-                    overrides=_over) if toks else []
-        return [t for t in mapped if t != ""]
+        if _comp is not None:
+            from .compound import decompound_one
+            toks = decompound_one(toks, _comp)
+        if _prot is not None:
+            from .stem import (english_unique_spec, stem_unique_spec)
+            fn = stem_unique_spec if analyzer == "porter" else \
+                english_unique_spec
+            mapped = fn(np.asarray(toks, dtype=object), protected=_prot,
+                        overrides=_over) if toks else []
+            return [t for t in mapped if t != ""]
+        # compound-only: run the BASE chain over the expanded stream
+        # by re-analyzing the joined tokens is wrong (re-tokenize may
+        # merge) — instead apply the plain chain per token list
+        return _analyze_token_list(toks, analyzer)
     if analyzer == "cjk":
         from .cjk import cjk_analyze_one
         return cjk_analyze_one(text)
@@ -557,7 +606,14 @@ def analyze_one(text: str, analyzer: str = "standard") -> list:
     if analyzer == "html":
         from .htmlstrip import html_analyze_one
         return html_analyze_one(text)
-    toks = tokenize_one(text)
+    return _analyze_token_list(tokenize_one(text), analyzer)
+
+
+def _analyze_token_list(toks: list, analyzer: str) -> list:
+    """Apply a tokenize_series-path base chain's FILTER stages to an
+    already-tokenized (lowercased) list — the per-token tail of
+    analyze_one, shared with the compound-spec path (whose expanded
+    stream must not be re-tokenized)."""
     if analyzer == "standard":
         return toks
     if analyzer == "porter":
@@ -619,8 +675,11 @@ def analyze_term(term: str, analyzer: str = "standard") -> str:
     single term slot. A stop word analyzes to itself: stopped terms
     are simply absent from an 'english' index, so the clause matches
     nothing (the classic QueryParser drops the clause instead —
-    documented deviation for required clauses)."""
-    analyzer, _prot, _over = parse_chain_spec(analyzer)
+    documented deviation for required clauses). A compound spec does
+    NOT decompound query terms — subwords are index terms, a query
+    term seeks the dictionary directly (the reference applies the
+    decompounder index-side only)."""
+    analyzer, _prot, _over, _comp = parse_chain_spec(analyzer)
     if _prot is not None:
         from .stem import (ENGLISH_STOP_WORDS, porter_stem,
                            strip_possessive)

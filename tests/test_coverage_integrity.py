@@ -36,6 +36,6 @@ def test_every_entry_has_an_oracle():
 
 def test_round_notes_entry_count_is_current():
     q, _ = _registry()
-    assert len(q) == 103, (
+    assert len(q) == 104, (
         "entry registry changed size — update ROUND_NOTES/COVERAGE "
         f"references (now {len(q)})")

@@ -27,10 +27,10 @@ SPEC = "porter?protected=query&override=merge:combine"
 
 
 def test_parse_chain_spec():
-    assert parse_chain_spec("porter") == ("porter", None, None)
-    base, prot, over = parse_chain_spec(SPEC)
-    assert (base, prot, over) == ("porter", frozenset({"query"}),
-                                  {"merge": "combine"})
+    assert parse_chain_spec("porter") == ("porter", None, None, None)
+    base, prot, over, comp = parse_chain_spec(SPEC)
+    assert (base, prot, over, comp) == ("porter", frozenset({"query"}),
+                                        {"merge": "combine"}, None)
     with pytest.raises(ValueError):
         parse_chain_spec("cjk?protected=x")
     with pytest.raises(ValueError):
@@ -58,7 +58,7 @@ def test_spec_validation_and_case():
         with pytest.raises(ValueError):
             parse_chain_spec(bad)
     # spec words normalize to lowercase like the token stream
-    base, prot, over = parse_chain_spec(
+    base, prot, over, comp = parse_chain_spec(
         "porter?protected=Query&override=Merge:Combine")
     assert prot == frozenset({"query"}) and over == {"merge": "combine"}
 
