@@ -179,3 +179,52 @@ def test_high_freq_terms(spark, tmp_path_factory):
         assert got == want, by
     with pytest.raises(ValueError):
         s.high_freq_terms(5, by="freq")
+
+
+def test_substring_fuzz_many_patterns(ngram_index):
+    """One built index, many patterns: every substring family the
+    operator distinguishes (1..2 dictionary-exact, 3 exact TermQuery,
+    >3 phrase+verify), derived from real corpus tokens plus
+    mutations, each checked against the tokenizer-level brute."""
+    import itertools
+    vocab = sorted({t for txt in TEXTS for t in tokenize_one(txt)})
+    pats = set()
+    for tok in vocab[::3]:
+        for ln in (1, 2, 3, 4, 5, len(tok)):
+            if ln <= len(tok):
+                pats.add(tok[:ln])
+                pats.add(tok[-ln:])
+                mid = max(0, (len(tok) - ln) // 2)
+                pats.add(tok[mid:mid + ln])
+        # mutated (likely-absent) variants exercise the negative path
+        pats.add(tok[:3] + "zq")
+        pats.add("zq" + tok[-2:])
+    checked = 0
+    for pat in sorted(pats):
+        if tokenize_one(pat) != [pat]:
+            continue
+        assert _got(ngram_index, pat) == _brute(pat), pat
+        checked += 1
+    assert checked >= 40
+
+
+def test_substring_respects_deletes(spark, tmp_path_factory):
+    """Deleted docs drop out of every substring path (the candidate
+    stream is live-masked; the verify join must not resurrect them)."""
+    from lucene_spark.index import build_index
+    from lucene_spark.index.deletes import delete_docs
+    from lucene_spark.search import IndexSearcher
+    rows = [(f"c{i:04d}", 0, "user", t, "none")
+            for i, t in enumerate(TEXTS)]
+    src = (spark.createDataFrame(rows,
+                                 "conv_id string, turn_idx int, role string, "
+                                 "text string, tool string")
+           .selectExpr("*", "timestamp('2026-01-01') as ts"))
+    out = str(tmp_path_factory.mktemp("ngram_del") / "idx")
+    build_index(spark, src, out, num_buckets=2,
+                analyzers={"text": "ngram"})
+    delete_docs(spark, out, "doc_id = 0")
+    s = IndexSearcher(spark, out)
+    for pat in ("merge", "mer", "ge", "sorted"):
+        got = {r["doc_id"] for r in substring_search(s, pat).collect()}
+        assert got == _brute(pat) - {0}, pat
