@@ -40,24 +40,25 @@ from .dedup import tokens_expr
 
 __all__ = ["pack_sequences", "pack_stats"]
 
-PACK_SCHEMA = ("shard bigint, sample_id bigint, doc_id bigint, "
-               "doc_tok_start bigint, doc_tok_end bigint, "
-               "sample_off bigint, n_toks bigint")
-
 
 def pack_sequences(docs: DataFrame, budget: int = 256,
                    n_shards: int = 8, text_col: str = "text",
                    id_col: str = "doc_id") -> DataFrame:
     """Pack documents into ``budget``-token samples within
-    ``n_shards`` deterministic shards (shard = doc_id % n_shards,
-    docs concatenated in doc_id order)."""
-    if budget < 1:
-        raise ValueError("budget must be >= 1")
-    if n_shards < 1:
-        raise ValueError("n_shards must be >= 1")
+    ``n_shards`` deterministic shards (shard = pmod(doc_id, n_shards),
+    docs concatenated in doc_id order). ``id_col`` values must be
+    UNIQUE — the running-sum window orders by doc_id, so duplicate
+    ids would make the packing order (and thus every offset)
+    non-deterministic across executions."""
+    if not isinstance(budget, int) or budget < 1:
+        raise ValueError("budget must be an int >= 1")
+    if not isinstance(n_shards, int) or n_shards < 1:
+        raise ValueError("n_shards must be an int >= 1")
     d = docs.select(
         F.col(id_col).alias("doc_id"),
-        (F.col(id_col) % n_shards).alias("shard"),
+        # pmod: negative doc_ids co-shard with their Python-% residue
+        # instead of minting extra negative shard keys
+        F.pmod(F.col(id_col), F.lit(n_shards)).alias("shard"),
         F.size(tokens_expr(text_col)).cast("long").alias("n"))
     d = d.filter(F.col("n") > 0)
     w = (Window.partitionBy("shard").orderBy("doc_id")
@@ -65,10 +66,14 @@ def pack_sequences(docs: DataFrame, budget: int = 256,
     d = (d.withColumn("end", F.sum("n").over(w))
           .withColumn("start", F.col("end") - F.col("n")))
     b = F.lit(int(budget))
+    # integer division ('div'), NOT floor(double /): at shard offsets
+    # approaching 2^53 the long->double rounding of a float divide can
+    # land floor() on the wrong sample; div stays exact at any long
     d = d.withColumn(
         "sample_id",
-        F.explode(F.sequence(F.floor(F.col("start") / b),
-                             F.floor((F.col("end") - 1) / b))))
+        F.explode(F.sequence(
+            F.expr(f"start div {int(budget)}"),
+            F.expr(f"(end - 1) div {int(budget)}"))))
     lo = F.greatest(F.col("sample_id") * b, F.col("start"))
     hi = F.least((F.col("sample_id") + 1) * b, F.col("end"))
     return d.select(

@@ -104,3 +104,18 @@ def test_shuffle_partitions_on_shard_key_only(spark, docs):
     # the only exchange is the per-shard window sort — shards pack in
     # parallel; no global single-partition window
     assert "SinglePartition" not in plan
+
+
+def test_negative_ids_pmod_sharding(spark):
+    from lucene_spark.ops.packing import pack_sequences
+    rows = [(-5, "a b c"), (3, "d e")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = pack_sequences(df, budget=4, n_shards=4).collect()
+    # Python residue: -5 % 4 == 3 — both docs co-shard on 3 (no
+    # negative shard keys), concatenated in doc_id order (-5 first)
+    assert {r["shard"] for r in got} == {3}
+    first = min(got, key=lambda r: (r["sample_id"], r["sample_off"]))
+    assert first["doc_id"] == -5
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        pack_sequences(df, budget=4.5)
