@@ -96,9 +96,15 @@ class IndexCatalog:
         return os.path.join(self.root, "commits", "snapshots.json")
 
     def snapshots(self) -> list:
+        """Pinned gens as a MULTISET (duplicates = reference counts):
+        two independent clients pinning the same gen hold two pins,
+        and one release() drops only one — the reference's
+        SnapshotDeletionPolicy refCounts map (SnapshotDeletionPolicy
+        .java:58), without which replica A's release could unpin a
+        revision replica B is still copying."""
         try:
             with open(self._snapshots_path()) as fh:
-                return sorted(set(json.load(fh)))
+                return sorted(json.load(fh))
         except (OSError, ValueError):
             return []
 
@@ -106,7 +112,7 @@ class IndexCatalog:
         p = self._snapshots_path()
         tmp = p + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump(sorted(set(int(g) for g in gens)), fh)
+            json.dump(sorted(int(g) for g in gens), fh)
             fh.flush()
             os.fsync(fh.fileno())
         os.rename(tmp, p)
@@ -125,7 +131,14 @@ class IndexCatalog:
         return int(gen)
 
     def release_snapshot(self, gen: int) -> None:
-        self._write_snapshots(g for g in self.snapshots() if g != int(gen))
+        """Drop ONE pin on ``gen`` (refcount decrement); other
+        holders' pins survive."""
+        gens = self.snapshots()
+        try:
+            gens.remove(int(gen))
+        except ValueError:
+            pass
+        self._write_snapshots(gens)
 
     def rollback(self, gen: int) -> int:
         """Publish a NEW commit whose tables/extra are those of an

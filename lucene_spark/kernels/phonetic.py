@@ -615,16 +615,18 @@ def _handle_z(v: str, r: _DMResult, index: int, slavo: bool) -> int:
 def phonetic_encode(term: str, encoder: str = "soundex") -> str:
     """One token through PhoneticFilter(encoder, inject=false)
     (PhoneticFilter.java:66-85): empty code or code == original keeps
-    the original token; encode errors pass the token through."""
+    the original token; encode errors pass the token through —
+    INCLUDING the Soundex unmapped-character ValueError a non-ASCII
+    letter raises (commons-codec throws IllegalArgumentException there
+    and the reference filter's catch keeps the original, so 'café'
+    must index as itself, not crash the task)."""
+    if encoder not in ("soundex", "metaphone"):
+        raise ValueError(f"unknown phonetic encoder {encoder!r}")
     try:
         if encoder == "soundex":
             code = soundex(term)
-        elif encoder == "metaphone":
-            code = double_metaphone(term)[0]
         else:
-            raise ValueError(f"unknown phonetic encoder {encoder!r}")
-    except ValueError:
-        raise
+            code = double_metaphone(term)[0]
     except Exception:
         return term  # "just use the direct text" (PhoneticFilter.java:75)
     if code and code != term:

@@ -66,8 +66,14 @@ def sampled_counts(matches: DataFrame, docs: DataFrame, dim_col: str,
     reader.docFreq(dim path)); counts over an unsampled stream pass
     through unchanged. Returns (value, n_sampled, n_amortized)."""
     from .sampling import rate_threshold
+    # NULL dimension values count nowhere in BOTH paths (a doc with no
+    # facet value has no ordinal in the reference); without this, the
+    # no-sampling pass-through kept a NULL group that the sampled
+    # path's equi-join silently dropped — same data, different result
+    # schema across the sampling threshold
     j = (matches.select(id_col)
-         .join(docs.select(id_col, F.col(dim_col).alias("value")), id_col))
+         .join(docs.select(id_col, F.col(dim_col).alias("value")), id_col)
+         .filter(F.col("value").isNotNull()))
     total = j.count()
     cap = docs.groupBy(F.col(dim_col).alias("value")) \
         .agg(F.count("*").alias("_cap"))

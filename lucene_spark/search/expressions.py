@@ -356,4 +356,15 @@ def compile_expression(source: str, bindings: dict | None = None) -> str:
     wrong arity, or unbound variables.
     """
     node = _Parser(_tokenize(source)).parse()
-    return _Emitter(bindings).num(node)
+    sql = _Emitter(bindings).num(node)
+    # several emitters inline an operand's SQL more than once (the
+    # Java (long)-cast ladder 4x, / and % guards 2x), so deeply nested
+    # chains of those operators grow the snippet geometrically; fail
+    # loudly before Catalyst parses a multi-megabyte expression
+    if len(sql) > 1_000_000:
+        raise JavascriptParseError(
+            f"compiled expression SQL is {len(sql):,} chars (deeply "
+            "nested /, %, or bitwise operators multiply operand "
+            "snippets); restructure the expression or precompute "
+            "subexpressions as bound columns")
+    return sql

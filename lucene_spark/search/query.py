@@ -514,8 +514,20 @@ class TermAutomaton:
         check(0)
         seqs: list[tuple] = []
         seen: set[tuple] = set()
+        # work limit on WALK STEPS, not just distinct sequences: many
+        # NFA paths can spell the SAME sequence (parallel duplicate
+        # arcs), so a dedup-count guard alone lets finish() run 2^states
+        # steps without ever tripping — the reference bounds the
+        # analogous explosion with determinizeWorkLimit and throws
+        work = [0]
+        work_limit = max(10_000, 64 * max_paths)
 
         def walk(s, prefix):
+            work[0] += 1
+            if work[0] > work_limit:
+                raise ValueError(
+                    f"term automaton too complex: > {work_limit} path "
+                    "steps (determinizeWorkLimit analog)")
             if len(seqs) > max_paths:
                 raise ValueError(f"term automaton language exceeds "
                                  f"{max_paths} paths")

@@ -111,7 +111,9 @@ def _tokenize(src: str) -> list:
     return out
 
 
-_DIST_RE = re.compile(r"^([2-9][0-9]?)?([WwNn])$")
+# distance prefix 2..99: [2-9] alone misses 10-19 ("10W" must parse
+# as distance 10, not lex as a term)
+_DIST_RE = re.compile(r"^([2-9]|[1-9][0-9])?([WwNn])$")
 
 
 def _dist_op(word: str):

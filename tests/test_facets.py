@@ -190,3 +190,22 @@ def test_sampled_counts_brute_and_properties(spark):
                                         sample_size=50, seed=9).collect()}
     assert all(ns == na for ns, na in exact.values())
     assert sum(ns for ns, _ in exact.values()) == 20
+
+
+def test_sampled_counts_null_dim_consistent_across_threshold(spark):
+    """NULL dimension values count nowhere in BOTH the pass-through
+    and the sampled path (previously the threshold flipped the
+    result's group set)."""
+    from lucene_spark.ops.facets import sampled_counts
+    rows = [(i, "a" if i % 3 == 0 else (None if i % 3 == 1 else "b"))
+            for i in range(90)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    matches = docs.select("doc_id")
+    small = {r["value"] for r in
+             sampled_counts(matches, docs, "lang", sample_size=1000)
+             .collect()}
+    sampled = {r["value"] for r in
+               sampled_counts(matches, docs, "lang", sample_size=30)
+               .collect()}
+    assert None not in small and None not in sampled
+    assert small == {"a", "b"}

@@ -197,3 +197,19 @@ def test_soundex_sql_expression_matches_python():
     got = con.execute(f"SELECT t, {expr} AS c FROM w").df()
     for t, c in zip(got["t"], got["c"]):
         assert c == phonetic_encode(t, "soundex"), t
+
+
+def test_non_ascii_tokens_pass_through():
+    """PhoneticFilter.java:75 'just use the direct text': an encode
+    error (Soundex unmapped non-ASCII letter) keeps the original token
+    instead of crashing the chain (advisor-style r05 finding)."""
+    from lucene_spark.kernels.phonetic import phonetic_encode
+    from lucene_spark.kernels.tokenizer import analyze_one
+    assert phonetic_encode("café", "soundex") == "café"
+    got = analyze_one("Café latte", "phonetic")
+    assert got[0] == "café" and len(got) == 2
+    got = analyze_one("naïve test", "metaphone")
+    assert len(got) == 2
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        phonetic_encode("x", "bogus")

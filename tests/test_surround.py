@@ -154,3 +154,18 @@ def test_quoted_wildcards_are_literal():
     assert parse_surround('"abc*"') == STerm("abc*")
     assert parse_surround('"ab*"') == STerm("ab*")  # no length guard
     assert parse_surround('"a?c"') == STerm("a?c")
+
+
+def test_distance_prefix_10_to_19():
+    """'10W' is a distance operator, not a term — the 2..99 range has
+    no gap at 10-19."""
+    from lucene_spark.search.surround import SDist, parse_surround
+    q = parse_surround("10W(aaa, bbb)")
+    assert isinstance(q, SDist) and q.dist == 10 and q.ordered
+    q = parse_surround("aaa 15N bbb")
+    assert isinstance(q, SDist) and q.dist == 15 and not q.ordered
+    q = parse_surround("99N(aaa, bbb)")
+    assert q.dist == 99
+    # '1W' is not a valid distance prefix (bare W/N means adjacent)
+    from lucene_spark.search.surround import STerm
+    assert isinstance(parse_surround('"1w"'), STerm)

@@ -217,3 +217,21 @@ def test_absent_term_paths_drop_but_others_survive(spark, env):
     want = {int(r["doc_id"])
             for r in s.matches_df(PhraseQuery((T[1], T[4]))).collect()}
     assert got == want
+
+
+def test_duplicate_arc_chain_trips_work_limit():
+    """Parallel same-term arcs spell ONE sequence through 2^n NFA
+    paths; the walk-step work limit must throw (determinizeWorkLimit
+    analog) instead of hanging while the dedup count stays at 1."""
+    import pytest
+    from lucene_spark.search.query import TermAutomaton
+    ta = TermAutomaton()
+    s = 0
+    for i in range(40):
+        nxt = ta.create_state()
+        ta.add_transition(s, nxt, f"t{i}")
+        ta.add_transition(s, nxt, f"t{i}")  # duplicate arc
+        s = nxt
+    ta.set_accept(s)
+    with pytest.raises(ValueError, match="too complex"):
+        ta.finish()

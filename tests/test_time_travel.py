@@ -89,3 +89,21 @@ def test_rollback_restores_old_tables_as_new_generation(
     got = IndexSearcher(spark, idx).search(Q, k=10 ** 6)
     assert [(d, round(float(sc), 5)) for d, sc in got] \
         == [(d, round(float(sc), 5)) for d, sc in before]
+
+
+def test_snapshot_pins_are_reference_counted(spark, small_index):
+    """Two independent holders pin the same gen; one release drops ONE
+    pin (SnapshotDeletionPolicy.refCounts) — the survivor still
+    protects the commit from vacuum."""
+    from lucene_spark.index.catalog import IndexCatalog
+    cat = IndexCatalog(small_index)
+    g1 = cat.snapshot()
+    g2 = cat.snapshot()
+    assert g1 == g2
+    assert cat.snapshots().count(g1) == 2
+    cat.release_snapshot(g1)
+    assert cat.snapshots().count(g1) == 1  # B's pin survives
+    cat.release_snapshot(g1)
+    assert g1 not in cat.snapshots()
+    cat.release_snapshot(g1)  # over-release is a no-op
+    assert cat.snapshots() == [g for g in cat.snapshots()]
